@@ -1,0 +1,34 @@
+"""kgfarm_spark — a PySpark-native point-in-time feature-engineering engine.
+
+A brand-new implementation (NOT a port) of the query and data-processing
+capabilities of CoDS-GCS/KGFarm (reference snapshot at /root/reference,
+surveyed in SURVEY.md): point-in-time-correct enrichment (as-of joins with a
+freshness window, reference `operations/api.py:518-571`), windowed feature
+backfill (lag/lead, rolling aggregates, gap-based sessionize), column
+profiling + entity detection, cleaning (null normalization, fills,
+interpolation), transformations (scalers, encoders, unary transforms), and
+feature selection — all expressed as lazy DataFrame plans so Catalyst/AQE
+pick the physical strategy.
+"""
+
+from kgfarm_spark.session import get_spark
+from kgfarm_spark.operators.asof import asof_join
+from kgfarm_spark.operators.windows import (
+    lag_lead_features,
+    rolling_aggregates,
+    sessionize,
+    role_transitions,
+    backfill_features,
+)
+
+__all__ = [
+    "get_spark",
+    "asof_join",
+    "lag_lead_features",
+    "rolling_aggregates",
+    "sessionize",
+    "role_transitions",
+    "backfill_features",
+]
+
+__version__ = "0.1.0"

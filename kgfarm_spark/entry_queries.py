@@ -1,0 +1,416 @@
+"""Named queries + DuckDB oracle SQL — the driver-checked operator surface.
+
+Each entry demonstrates one operator family from SURVEY.md §2 over the
+driver testdata. Column names are aliased identically on both sides
+(driver hashes values under name-sorted columns). Float outputs that pass
+through aggregation are rounded to 4 decimals on BOTH sides (Spark round
+and DuckDB round are both half-away-from-zero for positive doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgfarm_spark.operators.asof import asof_join
+from kgfarm_spark.operators.windows import (
+    backfill_features,
+    lag_lead_features,
+    role_transitions,
+    rolling_aggregates,
+    sessionize,
+)
+from kgfarm_spark.sources.transcripts import (
+    load_table,
+    oracle_ctes,
+    probes,
+    transcripts,
+)
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _cte(sql: str) -> str:
+    return oracle_ctes() + sql
+
+
+# ---------------------------------------------------------------------------
+# As-of joins (flagship family — reference enrich(), operations/api.py:518-571)
+# ---------------------------------------------------------------------------
+
+_ASOF_OUT = """
+SELECT p.probe_id,
+       p.conv_id,
+       p.query_ts,
+       t.ts       AS matched_ts,
+       t.turn_idx AS matched_turn_idx,
+       t.role     AS matched_role,
+       t.text     AS matched_text
+FROM probes p
+LEFT JOIN transcripts t
+  ON p.conv_id = t.conv_id
+"""
+
+
+@register(
+    "asof_backward_latest",
+    _cte(
+        _ASOF_OUT
+        + """
+ AND t.ts <= p.query_ts
+ AND t.ts >= p.query_ts - INTERVAL 1 DAY
+QUALIFY row_number() OVER (
+  PARTITION BY p.probe_id ORDER BY t.ts DESC, t.turn_idx DESC) = 1
+"""
+    ),
+)
+def q_asof_backward(spark: SparkSession, sf: str) -> DataFrame:
+    out = asof_join(
+        probes(spark, sf),
+        transcripts(spark, sf),
+        on="conv_id",
+        left_ts="query_ts",
+        right_ts="ts",
+        direction="backward",
+        tolerance="1 DAY",
+        right_cols=["turn_idx", "role", "text"],
+        tiebreak="turn_idx",
+    )
+    return out.select(
+        "probe_id",
+        "conv_id",
+        "query_ts",
+        "matched_ts",
+        F.col("turn_idx").alias("matched_turn_idx"),
+        F.col("role").alias("matched_role"),
+        F.col("text").alias("matched_text"),
+    )
+
+
+@register(
+    "asof_forward_latest",
+    _cte(
+        _ASOF_OUT
+        + """
+ AND t.ts >= p.query_ts
+ AND t.ts <= p.query_ts + INTERVAL 1 DAY
+QUALIFY row_number() OVER (
+  PARTITION BY p.probe_id ORDER BY t.ts ASC, t.turn_idx DESC) = 1
+"""
+    ),
+)
+def q_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    out = asof_join(
+        probes(spark, sf),
+        transcripts(spark, sf),
+        on="conv_id",
+        left_ts="query_ts",
+        right_ts="ts",
+        direction="forward",
+        tolerance="1 DAY",
+        right_cols=["turn_idx", "role", "text"],
+        tiebreak="turn_idx",
+    )
+    return out.select(
+        "probe_id",
+        "conv_id",
+        "query_ts",
+        "matched_ts",
+        F.col("turn_idx").alias("matched_turn_idx"),
+        F.col("role").alias("matched_role"),
+        F.col("text").alias("matched_text"),
+    )
+
+
+@register(
+    "asof_nearest",
+    _cte(
+        _ASOF_OUT
+        + """
+ AND t.ts BETWEEN p.query_ts - INTERVAL 1 DAY AND p.query_ts + INTERVAL 1 DAY
+QUALIFY row_number() OVER (
+  PARTITION BY p.probe_id
+  ORDER BY abs(epoch(p.query_ts) - epoch(t.ts)) ASC, t.ts ASC, t.turn_idx DESC) = 1
+"""
+    ),
+)
+def q_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    out = asof_join(
+        probes(spark, sf),
+        transcripts(spark, sf),
+        on="conv_id",
+        left_ts="query_ts",
+        right_ts="ts",
+        direction="nearest",
+        tolerance="1 DAY",
+        right_cols=["turn_idx", "role", "text"],
+        tiebreak="turn_idx",
+    )
+    return out.select(
+        "probe_id",
+        "conv_id",
+        "query_ts",
+        "matched_ts",
+        F.col("turn_idx").alias("matched_turn_idx"),
+        F.col("role").alias("matched_role"),
+        F.col("text").alias("matched_text"),
+    )
+
+
+@register(
+    "asof_interval_all",
+    _cte(
+        """
+SELECT p.probe_id,
+       p.conv_id,
+       p.query_ts,
+       t.ts       AS matched_ts,
+       t.turn_idx AS matched_turn_idx,
+       t.role     AS matched_role
+FROM probes p
+JOIN transcripts t
+  ON p.conv_id = t.conv_id
+ AND t.ts <= p.query_ts
+ AND t.ts >= p.query_ts - INTERVAL 4 HOUR
+"""
+    ),
+)
+def q_asof_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact reference-J2 parity: ALL rows in the freshness window
+    (operations/api.py:543-553 keeps every row, interval-join semantics)."""
+    out = asof_join(
+        probes(spark, sf),
+        transcripts(spark, sf),
+        on="conv_id",
+        left_ts="query_ts",
+        right_ts="ts",
+        tolerance="4 HOUR",
+        mode="all_in_window",
+        right_cols=["turn_idx", "role"],
+    )
+    return out.select(
+        "probe_id",
+        "conv_id",
+        "query_ts",
+        "matched_ts",
+        F.col("turn_idx").alias("matched_turn_idx"),
+        F.col("role").alias("matched_role"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window feature ops (north_rule core, SURVEY.md §2.5/§2.12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lag_lead_features",
+    _cte(
+        """
+SELECT conv_id, turn_idx, role,
+       lag(role)  OVER w AS role_lag_1,
+       lead(role) OVER w AS role_lead_1,
+       lag(ts)    OVER w AS ts_lag_1,
+       lead(ts)   OVER w AS ts_lead_1
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+"""
+    ),
+)
+def q_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    out = lag_lead_features(transcripts(spark, sf), cols={"role": 1, "ts": 1})
+    return out.select(
+        "conv_id", "turn_idx", "role", "role_lag_1", "role_lead_1", "ts_lag_1", "ts_lead_1"
+    )
+
+
+@register(
+    "rolling_aggregates",
+    _cte(
+        """
+SELECT conv_id, turn_idx,
+       length(text) AS text_len,
+       round(avg(length(text)) OVER w, 4)                 AS roll_text_len_avg,
+       max(length(text)) OVER w                           AS roll_text_len_max,
+       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w AS roll_tool_calls,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) OVER w    AS roll_user_turns
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+    ),
+)
+def q_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    out = rolling_aggregates(transcripts(spark, sf), n_turns=3)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("text_len").cast("long").alias("text_len"),
+        F.round("roll_text_len_avg", 4).alias("roll_text_len_avg"),
+        F.col("roll_text_len_max").cast("long").alias("roll_text_len_max"),
+        "roll_tool_calls",
+        "roll_user_turns",
+    )
+
+
+@register(
+    "sessionize",
+    _cte(
+        """
+SELECT conv_id, turn_idx, ts,
+       CAST(sum(is_new) OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT) AS session_id
+FROM (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NULL
+                OR ts > lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                        + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM transcripts
+) flagged
+"""
+    ),
+)
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    out = sessionize(transcripts(spark, sf), gap="30 MINUTE")
+    return out.select("conv_id", "turn_idx", "ts", "session_id")
+
+
+@register(
+    "role_transitions",
+    _cte(
+        """
+SELECT conv_id, turn_idx,
+       coalesce(lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx), 'start')
+         || '->' || role AS role_transition
+FROM transcripts
+"""
+    ),
+)
+def q_role_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    out = role_transitions(transcripts(spark, sf))
+    return out.select("conv_id", "turn_idx", "role_transition")
+
+
+@register(
+    "backfill_features",
+    _cte(
+        """
+SELECT conv_id, turn_idx, ts,
+       count(*) OVER w                                          AS turns_so_far,
+       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w AS tool_calls_so_far,
+       round(CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w AS DOUBLE)
+             / count(*) OVER w, 4)                              AS tool_call_rate,
+       sum(length(text)) OVER w                                 AS text_len_sum,
+       round(avg(length(text)) OVER w, 4)                       AS text_len_avg,
+       max(length(text)) OVER w                                 AS text_len_max,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) OVER w    AS user_turns_so_far,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) OVER w AS assistant_turns_so_far
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+    ),
+)
+def q_backfill(spark: SparkSession, sf: str) -> DataFrame:
+    out = backfill_features(transcripts(spark, sf))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "turns_so_far",
+        "tool_calls_so_far",
+        F.round("tool_call_rate", 4).alias("tool_call_rate"),
+        F.col("text_len_sum").cast("long").alias("text_len_sum"),
+        F.round("text_len_avg", 4).alias("text_len_avg"),
+        F.col("text_len_max").cast("long").alias("text_len_max"),
+        "user_turns_so_far",
+        "assistant_turns_so_far",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship (entry): backfill + point-in-time resolve (reference enrich()
+# pipeline end-to-end: scan → window backfill → as-of join → project)
+# ---------------------------------------------------------------------------
+
+
+def flagship(spark: SparkSession, sf: str) -> DataFrame:
+    feats = backfill_features(transcripts(spark, sf)).select(
+        "conv_id",
+        "ts",
+        "turn_idx",
+        "turns_so_far",
+        "tool_calls_so_far",
+        "tool_call_rate",
+        "text_len_avg",
+        "user_turns_so_far",
+    )
+    out = asof_join(
+        probes(spark, sf),
+        feats,
+        on="conv_id",
+        left_ts="query_ts",
+        right_ts="ts",
+        direction="backward",
+        tolerance="1 DAY",
+        tiebreak="turn_idx",
+    )
+    return out
+
+
+@register(
+    "flagship_backfill_asof",
+    _cte(
+        """
+SELECT p.probe_id, p.conv_id, p.query_ts,
+       f.ts AS matched_ts,
+       f.turns_so_far, f.tool_calls_so_far,
+       round(f.tool_call_rate, 4) AS tool_call_rate,
+       round(f.text_len_avg, 4)   AS text_len_avg,
+       f.user_turns_so_far
+FROM probes p
+LEFT JOIN (
+  SELECT conv_id, turn_idx, ts,
+         count(*) OVER w AS turns_so_far,
+         sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w AS tool_calls_so_far,
+         CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w AS DOUBLE)
+           / count(*) OVER w AS tool_call_rate,
+         avg(length(text)) OVER w AS text_len_avg,
+         sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) OVER w AS user_turns_so_far
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+) f
+  ON p.conv_id = f.conv_id
+ AND f.ts <= p.query_ts
+ AND f.ts >= p.query_ts - INTERVAL 1 DAY
+QUALIFY row_number() OVER (
+  PARTITION BY p.probe_id ORDER BY f.ts DESC, f.turn_idx DESC) = 1
+"""
+    ),
+)
+def q_flagship(spark: SparkSession, sf: str) -> DataFrame:
+    out = flagship(spark, sf)
+    return out.select(
+        "probe_id",
+        "conv_id",
+        "query_ts",
+        "matched_ts",
+        "turns_so_far",
+        "tool_calls_so_far",
+        F.round("tool_call_rate", 4).alias("tool_call_rate"),
+        F.round("text_len_avg", 4).alias("text_len_avg"),
+        "user_turns_so_far",
+    )

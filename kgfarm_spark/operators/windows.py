@@ -1,0 +1,153 @@
+"""Windowed feature engineering over conversation transcripts.
+
+North_rule core (SURVEY.md §2.5/§2.12): lag/lead turn features, rolling
+aggregates over turn sequences, gap-based sessionize, role-transition
+encoding, and leakage-free cumulative backfill. Generalizes the reference's
+window-shaped ops (W1-W4: interpolate/ffill at interface/apis.py:211-216,
+default-entity election at kg_augmentor/augment_LiDS.py:89-126, top-k at
+operations/api.py:606-619) into proper Spark window specs.
+
+Scale notes: every function here uses a single window partitioned by
+``conv_id`` — ONE shuffle on the conversation key, shared across all the
+window expressions in a stage (Catalyst collapses same-spec windows into
+one Window physical node). Hot conversations are bounded by conversation
+length (turns), not by data volume, so per-key windows do not need salting;
+the cross-conversation shuffle uses AQE skew handling (session.py).
+All expressions are JVM-side (whole-stage codegen) — no Python in the
+hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: canonical per-conversation ordering (input_hint: stable (conv_id,
+#: turn_idx) ordering; ts is monotone per conv but may tie across convs)
+def turn_window(key: str = "conv_id", order: str = "turn_idx") -> Window:
+    return Window.partitionBy(key).orderBy(order)
+
+
+def lag_lead_features(
+    df: DataFrame,
+    cols: dict[str, int] | None = None,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+) -> DataFrame:
+    """lag/lead features per turn (SURVEY.md §2.12).
+
+    ``cols`` maps column → max offset; emits ``<col>_lag_<n>`` and
+    ``<col>_lead_<n>`` for n in 1..offset. Default: role/ts lag+lead 1.
+    """
+    cols = cols or {"role": 1, "ts": 1}
+    w = turn_window(key, order)
+    out = df
+    for c, depth in cols.items():
+        for n in range(1, depth + 1):
+            out = out.withColumn(f"{c}_lag_{n}", F.lag(c, n).over(w))
+            out = out.withColumn(f"{c}_lead_{n}", F.lead(c, n).over(w))
+    return out
+
+
+def rolling_aggregates(
+    df: DataFrame,
+    n_turns: int = 3,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+) -> DataFrame:
+    """Rolling (current + previous ``n_turns``) aggregates per turn:
+    text-length mean/max, tool-usage count, user-turn count — the derived
+    features the north_rule backfills. Pure rowsBetween frames."""
+    w = turn_window(key, order).rowsBetween(-n_turns, Window.currentRow)
+    text_len = F.length("text")
+    return (
+        df.withColumn("text_len", text_len)
+        .withColumn("roll_text_len_avg", F.avg("text_len").over(w))
+        .withColumn("roll_text_len_max", F.max("text_len").over(w))
+        .withColumn(
+            "roll_tool_calls",
+            F.sum(F.col("tool").isNotNull().cast("long")).over(w),
+        )
+        .withColumn(
+            "roll_user_turns",
+            F.sum((F.col("role") == "user").cast("long")).over(w),
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    key: str = "conv_id",
+    ts: str = "ts",
+    order: str = "turn_idx",
+) -> DataFrame:
+    """Gap-based session boundary detection: a new session starts when the
+    inter-turn gap exceeds ``gap``. Emits ``session_id`` (0-based per conv)
+    via the classic flag-then-cumsum window pattern — no per-row Python.
+
+    (Streaming twin: ``F.session_window(ts, gap)`` — streaming/stream.py.)
+    """
+    w = turn_window(key, order)
+    cum = turn_window(key, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag(ts).over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col(ts) > prev_ts + F.expr(f"INTERVAL {gap}")), 1
+    ).otherwise(0)
+    return df.withColumn("__new_session", is_new).withColumn(
+        "session_id", (F.sum("__new_session").over(cum) - 1).cast("int")
+    ).drop("__new_session")
+
+
+def role_transitions(
+    df: DataFrame,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+) -> DataFrame:
+    """Role-transition encoding per turn: ``prev_role->role`` (first turn:
+    ``start->role``). Reference analog: sequential pipeline-graph mining
+    (operations/template.py:200-250 orders calls by nextCall edges)."""
+    w = turn_window(key, order)
+    prev = F.coalesce(F.lag("role").over(w), F.lit("start"))
+    return df.withColumn(
+        "role_transition", F.concat(prev, F.lit("->"), F.col("role"))
+    )
+
+
+def backfill_features(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    order: str = "turn_idx",
+) -> DataFrame:
+    """Leakage-free cumulative feature backfill at each (conv_id, ts):
+    turn counts, tool-usage frequencies, text-length statistics computed
+    over ONLY the turns at-or-before the current one (frame ends at
+    currentRow → zero temporal leakage by construction, north_rule).
+
+    The output is a feature table keyed (conv_id, ts) that the as-of join
+    resolves probes against — together they reproduce the reference's
+    enrich() pipeline (operations/api.py:518-571) Spark-first.
+    """
+    cum = turn_window(key, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    text_len = F.length("text")
+    return (
+        df.withColumn("text_len", text_len)
+        .withColumn("turns_so_far", F.count(F.lit(1)).over(cum).cast("long"))
+        .withColumn("tool_calls_so_far", F.sum(F.col("tool").isNotNull().cast("long")).over(cum))
+        .withColumn(
+            "tool_call_rate",
+            F.col("tool_calls_so_far") / F.col("turns_so_far"),
+        )
+        .withColumn("text_len_sum", F.sum("text_len").over(cum))
+        .withColumn("text_len_avg", F.avg("text_len").over(cum))
+        .withColumn("text_len_max", F.max("text_len").over(cum))
+        .withColumn(
+            "user_turns_so_far",
+            F.sum((F.col("role") == "user").cast("long")).over(cum),
+        )
+        .withColumn(
+            "assistant_turns_so_far",
+            F.sum((F.col("role") == "assistant").cast("long")).over(cum),
+        )
+    )
