@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kgfarm_spark.operators.asof import asof_join
+from kgfarm_spark.operators.backfill import backfill_asof_fused
 from kgfarm_spark.operators.windows import (
     backfill_features,
     lag_lead_features,
@@ -347,25 +348,16 @@ def q_backfill(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def flagship(spark: SparkSession, sf: str) -> DataFrame:
-    feats = backfill_features(transcripts(spark, sf)).select(
-        "conv_id",
-        "ts",
-        "turn_idx",
-        "turns_so_far",
-        "tool_calls_so_far",
-        "tool_call_rate",
-        "text_len_avg",
-        "user_turns_so_far",
-    )
-    out = asof_join(
+    """Fused single-shuffle backfill + point-in-time resolve (see
+    operators/backfill.py — equivalent to backfill_features→asof_join
+    with half the shuffle volume)."""
+    out = backfill_asof_fused(
+        transcripts(spark, sf),
         probes(spark, sf),
-        feats,
-        on="conv_id",
-        left_ts="query_ts",
-        right_ts="ts",
-        direction="backward",
+        key="conv_id",
+        ts="ts",
+        probe_ts="query_ts",
         tolerance="1 DAY",
-        tiebreak="turn_idx",
     )
     return out
 

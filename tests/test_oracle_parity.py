@@ -1,0 +1,65 @@
+"""Driver-contract parity: every queries() entry matches its oracle_sql()
+on DuckDB at sf0.001 (row count + schema + order-insensitive value hash) —
+the same gate the driver runs at sf0.01."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _norm(v):
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return str(v)
+
+
+def df_hash(pdf: pd.DataFrame) -> str:
+    pdf = pdf[sorted(pdf.columns)]
+    rows = sorted("|".join(_norm(v) for v in row) for row in pdf.itertuples(index=False))
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def _query_names():
+    from kgfarm_spark.entry_queries import ORACLES, QUERIES
+
+    return sorted(n for n in QUERIES if n in ORACLES)
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_matches_oracle(spark, duck, name):
+    from kgfarm_spark.entry_queries import ORACLES, QUERIES
+
+    spdf = QUERIES[name](spark, SF_SMOKE).toPandas()
+    opdf = duck.execute(ORACLES[name]).df()
+    assert len(spdf) == len(opdf), f"row count {len(spdf)} != oracle {len(opdf)}"
+    assert sorted(spdf.columns) == sorted(opdf.columns)
+    assert df_hash(spdf) == df_hash(opdf), f"value hash mismatch for {name}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as m
+
+    df = m.entry(spark)
+    assert df.count() > 0
+    assert set(["conv_id", "query_ts", "probe_id", "matched_ts"]).issubset(df.columns)
+
+
+def test_queries_have_oracles():
+    from kgfarm_spark.entry_queries import ORACLES, QUERIES
+
+    missing = set(QUERIES) - set(ORACLES)
+    # non-SQL-expressible ops may be rows-only; keep the list explicit
+    allowed_rows_only = set()
+    assert missing <= allowed_rows_only
