@@ -82,8 +82,14 @@ def run_scale_job(cpus: int) -> dict:
     from kgfarm_spark.session import get_spark
     from kgfarm_spark.sources.datagen import gen_probes
 
+    # AQE's stage-materialization + replan barriers are a FIXED ~2-3 s cost
+    # that swamps sub-minute sandbox jobs (it pays for itself at real scale
+    # via skew-splitting); disable it here so the measurement reflects the
+    # job's parallel fraction, not the replanner's constant.
     spark = get_spark(
-        app_name=f"kgfarm_scale_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+        app_name=f"kgfarm_scale_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     t = spark.read.parquet(SCALE_DIR)
     n = t.count()

@@ -1,0 +1,362 @@
+"""Oracle-checked queries: dedup / similarity / text-analysis families
+(training-data pipeline ops from the task brief).
+
+The dedup corpora are augmented with deterministic duplicate/near-dup
+copies (doc_id+100000) so the operators have guaranteed positives at
+every scale factor; the oracle applies the identical augmentation in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgfarm_spark.entry_queries import register
+from kgfarm_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_dedup_pairs,
+    simhash16,
+)
+from kgfarm_spark.operators.similarity import cosine_topk
+from kgfarm_spark.operators.textstats import (
+    LANG_STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_counts,
+)
+from kgfarm_spark.sources.transcripts import load_table
+
+# ---------------------------------------------------------------------------
+# shared corpora (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+
+def _dup_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """documents ∪ exact copies (every 7th) ∪ near-dup copies (every 10th,
+    3 tokens appended) — deterministic positives for dedup ops."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz1 zz2 zz3")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+_DUP_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' zz1 zz2 zz3' AS text
+  FROM documents WHERE doc_id % 10 = 0
+)"""
+
+_SHINGLES_SQL = """
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 2),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"""
+
+_JACCARD_VERIFY_SQL = """
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.id_a
+JOIN sizes sb ON sb.doc_id = inter.id_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+"""
+
+
+@register(
+    "dedup_exact",
+    f"""
+WITH {_DUP_CORPUS_SQL}
+SELECT doc_id, text FROM corpus
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_dedup(_dup_corpus(spark, sf), on=["text"], order_col="doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_DUP_CORPUS_SQL},
+{_SHINGLES_SQL},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+{_JACCARD_VERIFY_SQL}
+""",
+)
+def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    out = jaccard_pairs(
+        _dup_corpus(spark, sf), "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=None
+    )
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+_MINHASH_K = 8
+_MINHASH_BANDS = 4
+
+
+def _minhash_oracle() -> str:
+    mh_cols = ",\n    ".join(
+        f"min(md5(shingle || '#{i}')) AS mh_{i}" for i in range(_MINHASH_K)
+    )
+    rows_per_band = _MINHASH_K // _MINHASH_BANDS
+    band_keys = []
+    for b in range(_MINHASH_BANDS):
+        parts = " || '|' || ".join(
+            f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_keys.append(f"'{b}' || '|' || {parts}")
+    buckets = " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS bucket FROM sigs" for k in band_keys
+    )
+    return f"""
+WITH {_DUP_CORPUS_SQL},
+{_SHINGLES_SQL},
+sigs AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+buckets AS (SELECT DISTINCT doc_id, bucket FROM ({buckets})),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b USING (bucket)
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+{_JACCARD_VERIFY_SQL}
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    out = minhash_lsh_dedup_pairs(
+        _dup_corpus(spark, sf), "doc_id", "text",
+        n=3, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5,
+    )
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN substr(md5(w), {b + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    fp = " || ".join(
+        f"CASE WHEN s{b} > 0 THEN '1' ELSE '0' END" for b in range(16)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+agg AS (SELECT doc_id, {sums} FROM words GROUP BY doc_id)
+SELECT doc_id, {fp} AS simhash FROM agg
+"""
+
+
+@register("simhash_fingerprint", _simhash_oracle())
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash16(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+@register(
+    "embedding_neardup",
+    """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM corpus a, corpus b WHERE a.vec_id < b.vec_id
+),
+sums AS (
+  SELECT id_a, id_b, sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nb
+  FROM (SELECT id_a, id_b, unnest(va) AS x, unnest(vb) AS y FROM pairs)
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
+FROM sums WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.999
+""",
+)
+def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    out = embedding_neardup_pairs(corpus, "vec_id", "embedding", threshold=0.999)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+@register(
+    "cosine_topk",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+sums AS (
+  SELECT query_id, neighbor_id, sum(a * b) AS dot, sum(a * a) AS na, sum(b * b) AS nb
+  FROM (
+    SELECT query_id, neighbor_id, unnest(qv) AS a, unnest(cv) AS b
+    FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+  )
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id,
+       round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine,
+       CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, neighbor_id) AS rn
+  FROM sums
+)
+WHERE rn <= 5
+""",
+)
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, "vec_id", "embedding", "query_id", k=5)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@register(
+    "text_token_counts",
+    r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+FROM documents
+""",
+)
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    out = token_counts(load_table(spark, sf, "documents"), "text")
+    return out.select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+def _quality_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars_computed,
+         len(string_split_regex(trim(text), '\s+')) AS n_words,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         len(list_intersect(
+             list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)),
+             [{stops}])) AS n_stop
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, n_chars_computed, n_words,
+         CAST(n_punct AS DOUBLE) / greatest(n_chars_computed, 1) AS punct_ratio,
+         CAST(n_digit AS DOUBLE) / greatest(n_chars_computed, 1) AS digit_ratio,
+         CAST(n_stop AS DOUBLE) / greatest(n_words, 1) AS stopword_ratio,
+         CASE WHEN n_words BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END AS len_ok,
+         CASE WHEN CAST(n_chars_computed - (n_words - 1) AS DOUBLE) / n_words
+                   BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END AS word_len_ok
+  FROM base
+)
+-- no rounding: both engines evaluate the identical left-assoc double
+-- expression → bit-identical results (round() itself diverges at
+-- decimal half-boundaries between BigDecimal and multiply-then-round)
+SELECT doc_id, n_chars_computed, n_words,
+       punct_ratio, digit_ratio, stopword_ratio,
+       0.3 * len_ok + 0.2 * word_len_ok
+             + 0.2 * (1 - least(punct_ratio * 5, 1.0))
+             + 0.2 * (1 - least(digit_ratio * 5, 1.0))
+             + 0.1 * least(stopword_ratio * 10, 1.0) AS quality_score
+FROM ratios
+"""
+
+
+@register("text_quality", _quality_oracle())
+def q_quality(spark: SparkSession, sf: str) -> DataFrame:
+    out = quality_features(load_table(spark, sf, "documents"), "text")
+    return out.select(
+        "doc_id",
+        "n_chars_computed",
+        "n_words",
+        "punct_ratio",
+        "digit_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+def _langid_oracle() -> str:
+    hit_exprs = []
+    for lang, stops in sorted(LANG_STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in stops)
+        hit_exprs.append(
+            f"len(list_intersect(words, [{lst}])) AS h_{lang}"
+        )
+    hits_sql = ",\n         ".join(hit_exprs)
+    langs = sorted(LANG_STOPWORDS)
+    mx = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + mx + " = 0 THEN 'und' "
+    for l in langs:
+        case += f"WHEN h_{l} = {mx} THEN '{l}' "
+    case += "END"
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)) AS words
+  FROM documents
+),
+h AS (SELECT doc_id, {hits_sql} FROM w)
+SELECT doc_id, {case} AS lang_pred FROM h
+"""
+
+
+@register("lang_id", _langid_oracle())
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    out = lang_id(load_table(spark, sf, "documents"), "text")
+    return out.select("doc_id", "lang_pred")
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+)
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    out = fingerprint(load_table(spark, sf, "documents"), "text")
+    return out.select("doc_id", "fingerprint")

@@ -406,3 +406,11 @@ def q_flagship(spark: SparkSession, sf: str) -> DataFrame:
         F.round("text_len_avg", 4).alias("text_len_avg"),
         "user_turns_so_far",
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended operator families register themselves via @register on import
+# (kept in separate modules to keep each file focused).
+# ---------------------------------------------------------------------------
+import kgfarm_spark.entry_profiling  # noqa: E402,F401
+import kgfarm_spark.entry_pipeline  # noqa: E402,F401

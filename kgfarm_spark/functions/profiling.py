@@ -1,0 +1,214 @@
+"""Column profiling + entity/join discovery — the KG (LiDS) replacement.
+
+The reference stores per-column profiles as RDF triples in Stardog and
+queries them with SPARQL (operations/template.py:523-561 detect_entities,
+kg_augmentor/augment_LiDS.py:89-126 default-entity election,
+template.py:126-172 join discovery). Here the same facts are computed
+directly from the data as DataFrames — one aggregate pass per table,
+window election, metadata joins.
+
+Scale notes: profile_table computes ALL per-column stats in a single
+aggregate pass (one job, map-side partial aggregation, no shuffled raw
+rows); approx_count_distinct (HLL) instead of exact distinct keeps it
+one-pass at 100 TB. Exact mode exists for oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: reference type buckets (operations/api.py:1018-1021)
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _ref_type(dt: T.DataType) -> str:
+    """Map a Spark type to the reference profiler's type labels
+    (N_int/N_float/N_bool/T/T_date — operations/api.py:1018-1021)."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "N_int"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "N_float"
+    if isinstance(dt, T.BooleanType):
+        return "N_bool"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "T_date"
+    return "T"
+
+
+def profile_table(
+    df: DataFrame, table_name: str, exact: bool = False
+) -> DataFrame:
+    """One profile row per column: total/distinct/missing counts, min/max
+    (reference profile schema: hasTotalValueCount / hasDistinctValueCount /
+    hasMissingValueCount / hasDataType at template.py:528-534, min/max at
+    template.py:694-697). Single aggregate pass over the table.
+
+    ``exact`` uses count_distinct (needed for oracle parity); default is
+    approx_count_distinct (one-pass HLL — the 100 TB mode).
+    """
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in df.columns:
+        cd = (F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(F.col(c)))
+        aggs.append(cd.alias(f"{c}__distinct"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__missing"))
+        # min/max as strings so one schema fits all column types
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))
+    row = df.agg(*aggs)
+
+    parts = []
+    for c in df.columns:
+        parts.append(
+            F.struct(
+                F.lit(table_name).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                F.lit(_ref_type(df.schema[c].dataType)).alias("data_type"),
+                F.col("__total").alias("total_count"),
+                F.col(f"{c}__distinct").alias("distinct_count"),
+                F.col(f"{c}__missing").alias("missing_count"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+        )
+    out = row.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
+    return out.withColumn(
+        "uniqueness", F.col("distinct_count") / F.col("total_count")
+    )
+
+
+def detect_entities(
+    profiles: DataFrame,
+    uniqueness_threshold: float = 0.95,
+    min_columns: int = 3,
+) -> DataFrame:
+    """Entity candidates per the reference's exact SPARQL filters
+    (template.py:523-561): zero missing values, uniqueness ≥ 0.95,
+    non-date type, table has > 2 columns. Emits the Feast value type the
+    reference binds (INT64 for N*, STRING otherwise — template.py:546).
+    """
+    ncols = profiles.groupBy("table_name").agg(F.count(F.lit(1)).alias("n_cols"))
+    out = (
+        profiles.join(ncols, "table_name")
+        .filter(F.col("n_cols") >= min_columns)
+        .filter(F.col("missing_count") == 0)
+        .filter(F.col("uniqueness") >= uniqueness_threshold)
+        .filter(F.col("data_type") != "T_date")
+    )
+    return out.select(
+        "table_name",
+        "column_name",
+        "data_type",
+        "uniqueness",
+        F.when(F.col("data_type").startswith("N"), "INT64")
+        .otherwise("STRING")
+        .alias("value_type"),
+    )
+
+
+def elect_default_entities(entities: DataFrame) -> DataFrame:
+    """Default-entity election per table: argmax uniqueness, ties broken by
+    column name for determinism (reference: argmax uniqueness, ties by most
+    PKFK relations — augment_LiDS.py:89-126; name tiebreak substitutes when
+    no relation counts are supplied). Window + row_number — W3 in SURVEY §2.5."""
+    w = Window.partitionBy("table_name").orderBy(
+        F.col("uniqueness").desc(), F.col("column_name").asc()
+    )
+    return (
+        entities.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumnRenamed("column_name", "default_entity")
+    )
+
+
+def pkfk_features(
+    fk_df: DataFrame, fk_col: str, pk_df: DataFrame, pk_col: str
+) -> dict:
+    """Inclusion/containment features for one PK-FK candidate pair — the
+    distributed rewrite of the reference's O(n²) Python loops
+    (kg_augmentor/pkfk_classification/feature_generator.py:29-73: F3/F4/F5)
+    plus range containment F8 (template.py:699) and name-suffix F10
+    (template.py:717). Returns a dict of named features (driver-side
+    scalars from one aggregate each — inputs are column projections)."""
+    fk_vals = fk_df.select(F.col(fk_col).alias("v")).filter(F.col("v").isNotNull())
+    pk_vals = pk_df.select(F.col(pk_col).alias("v")).filter(F.col("v").isNotNull())
+
+    fk_stats = fk_vals.agg(
+        F.count("v").alias("n"),
+        F.count_distinct("v").alias("d"),
+        F.min("v").cast("double").alias("mn"),
+        F.max("v").cast("double").alias("mx"),
+    ).first()
+    pk_stats = pk_vals.agg(
+        F.count("v").alias("n"),
+        F.count_distinct("v").alias("d"),
+        F.min("v").cast("double").alias("mn"),
+        F.max("v").cast("double").alias("mx"),
+    ).first()
+
+    # containment: |FK ∩ PK| / |FK distinct| via distinct semi-join
+    inter = fk_vals.distinct().join(pk_vals.distinct(), "v", "left_semi").count()
+
+    import re
+
+    name_flag = 1 if re.search(r"(id$|key$|num_$)", fk_col, re.IGNORECASE) else 0
+    range_contained = int(
+        pk_stats["mx"] is not None
+        and fk_stats["mx"] is not None
+        and pk_stats["mx"] >= fk_stats["mx"]
+        and pk_stats["mn"] <= fk_stats["mn"]
+    )
+    return {
+        "fk_uniqueness": fk_stats["d"] / fk_stats["n"] if fk_stats["n"] else 0.0,
+        "pk_uniqueness": pk_stats["d"] / pk_stats["n"] if pk_stats["n"] else 0.0,
+        "containment": inter / fk_stats["d"] if fk_stats["d"] else 0.0,
+        "cardinality_ratio": (fk_stats["d"] / pk_stats["d"]) if pk_stats["d"] else 0.0,
+        "range_contained": range_contained,
+        "name_suffix_flag": name_flag,
+    }
+
+
+def discover_joins(
+    spark,
+    tables: dict[str, DataFrame],
+    uniqueness_threshold: float = 0.95,
+    containment_threshold: float = 0.9,
+) -> DataFrame:
+    """search_enrichment_options replacement (J4, template.py:126-172):
+    enumerate (pk_table.pk_col ← fk_table.fk_col) candidates where the PK
+    side is entity-like and FK values are contained in PK values; score =
+    containment (the reference shows Joinability_strength % desc,
+    api.py:205-209). Candidate pruning uses profiles (same-type columns
+    only) before any data-data comparison."""
+    rows = []
+    profs = {name: profile_table(df, name, exact=True) for name, df in tables.items()}
+    ents = {
+        name: {
+            r["column_name"]
+            for r in detect_entities(p, uniqueness_threshold).collect()
+        }
+        for name, p in profs.items()
+    }
+    types = {
+        name: {r["column_name"]: r["data_type"] for r in p.collect()}
+        for name, p in profs.items()
+    }
+    for pk_t, pk_df in tables.items():
+        for pk_c in ents[pk_t]:
+            for fk_t, fk_df in tables.items():
+                if fk_t == pk_t:
+                    continue
+                for fk_c in fk_df.columns:
+                    if types[fk_t][fk_c] != types[pk_t][pk_c]:
+                        continue
+                    feats = pkfk_features(fk_df, fk_c, pk_df, pk_c)
+                    if feats["containment"] >= containment_threshold:
+                        rows.append(
+                            (pk_t, pk_c, fk_t, fk_c, round(feats["containment"], 6))
+                        )
+    return spark.createDataFrame(
+        rows,
+        "pk_table string, pk_col string, fk_table string, fk_col string, joinability double",
+    ).orderBy(F.col("joinability").desc(), "pk_table", "pk_col", "fk_table", "fk_col")

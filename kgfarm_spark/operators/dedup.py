@@ -1,0 +1,265 @@
+"""Deduplication operators over document tables — the training-data
+pipeline family (task brief): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Everything is expressed as DataFrame ops (explode → join → agg); the hash
+kernels use md5 (portable — the DuckDB oracle computes bit-identical
+signatures) plus a fast xxhash64 variant for production use.
+
+Scale notes:
+- exact_dedup: one shuffle on the dedup key (hash groupBy).
+- jaccard_pairs: shingle-explode (|D|·s rows) → self-join on shingle.
+  The shingle join is THE scale hazard (hot shingles fan out
+  quadratically); ``max_shingle_freq`` drops shingles seen in > N docs —
+  stopword-shingles carry no dedup signal but dominate join cost.
+- MinHash+LSH: replaces the quadratic shingle join with a band-bucket
+  join: candidates share a band signature; only candidates get the exact
+  Jaccard verification. This is the 100 TB path (cost ≈ |D|·bands).
+- SimHash: one pass, no join for the fingerprint; near-dup via bucket
+  grouping on the fingerprint (exact-bucket) or banded bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, on: list[str], order_col: str) -> DataFrame:
+    """Keep one row per duplicate group (lowest ``order_col`` —
+    deterministic). A1-style hash groupBy, one shuffle."""
+    w = Window.partitionBy(*on).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """Add ``shingle`` (exploded, distinct per doc) — n-word shingles."""
+    words = F.split(F.col(text_col), " ")
+    sh = F.when(
+        F.size(words) >= n,
+        F.expr(
+            f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
+            f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+        ),
+    ).otherwise(F.array())
+    return df.withColumn("shingle", F.explode(sh)).dropDuplicates(
+        [c for c in df.columns] + ["shingle"]
+    )
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) distinct pairs."""
+    return word_shingles(df.select(id_col, text_col), text_col, n).select(
+        id_col, "shingle"
+    ).distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """All pairs (a < b) with n-gram Jaccard ≥ threshold.
+
+    |A∩B| from a self-join on shingle; |A∪B| = |A|+|B|-|A∩B| from per-doc
+    shingle counts. ``max_shingle_freq`` prunes super-frequent shingles
+    before the join (skew guard — see module docstring)."""
+    s = _doc_shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
+        s = s.join(freq.filter(F.col("__f") <= max_shingle_freq), "shingle").drop("__f")
+    sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a = s.select(F.col(id_col).alias("id_a"), "shingle")
+    b = s.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Drop the higher id of each near-dup pair (greedy, deterministic —
+    the reference's correlation pruning uses the same keep-one-of-pair
+    shape, interface/apis.py:287-293)."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-doc MinHash signature: component i = min over shingles of
+    h(shingle, i). ``portable=True`` uses md5 hex strings (bit-identical
+    in DuckDB → oracle-checkable); False uses xxhash64 (faster, JVM-only).
+    One explode + one groupBy — no joins."""
+    s = _doc_shingles(df, id_col, text_col, n)
+    if portable:
+        aggs = [
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")).cast("binary"))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    return s.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows = num_hashes/bands per band); docs sharing
+    any band bucket become candidate pairs. Bucket join replaces the
+    all-pairs comparison."""
+    rows_per_band = num_hashes // bands
+    buckets = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        buckets.append(F.concat_ws("|", F.lit(str(b)), *cols))
+    sig = signatures.select(
+        id_col, F.explode(F.array(*buckets)).alias("bucket")
+    ).distinct()
+    a = sig.select(F.col(id_col).alias("id_a"), "bucket")
+    b_ = sig.select(F.col(id_col).alias("id_b"), "bucket")
+    return (
+        a.join(b_, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates → exact Jaccard verification ≥ threshold.
+    Same output contract as jaccard_pairs but candidate-pruned."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    s = _doc_shingles(df, id_col, text_col, n)
+    sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    inter = (
+        cand.join(s.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(s.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("__sb")), "id_b")
+        .filter(F.col("shingle") == F.col("__sb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash fingerprint, portable construction: token bit b :=
+    high bit of hex digit b of md5(token); fingerprint bit b := majority
+    over tokens. One explode + one groupBy; emitted as a 16-char '0'/'1'
+    string (``simhash``). Oracle-checkable (md5+substr only)."""
+    words = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("__w"))
+    words = words.withColumn("__h", F.md5(F.col("__w").cast("binary")))
+    aggs = []
+    for b in range(16):
+        bit = F.substring(F.col("__h"), b + 1, 1).isin(
+            "8", "9", "a", "b", "c", "d", "e", "f"
+        )
+        aggs.append(
+            F.sum(F.when(bit, 1).otherwise(-1)).alias(f"__s{b}")
+        )
+    agg = words.groupBy(id_col).agg(*aggs)
+    fp = F.concat(
+        *[F.when(F.col(f"__s{b}") > 0, "1").otherwise("0") for b in range(16)]
+    )
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash via xxhash64 (production variant, JVM-only hash):
+    same majority construction over shiftright-extracted bits."""
+    words = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("__w"))
+    words = words.withColumn("__h", F.xxhash64("__w"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__s{b}")
+        for b in range(64)
+    ]
+    agg = words.groupBy(id_col).agg(*aggs)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"__s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long") if b < 63 else F.when(F.col(f"__s{b}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold. Brute-force quadratic —
+    correctness baseline; the scale path buckets by LSH first
+    (similarity.hyperplane_lsh_bucket)."""
+    from kgfarm_spark.operators.similarity import cosine_expr
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("__va", "__vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

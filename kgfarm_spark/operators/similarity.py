@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact top-k — the correctness baseline. The
+  query set is broadcast (small side), one pass over the corpus, per-query
+  rank. All arithmetic JVM-side (zip_with/aggregate in double — matches
+  the DuckDB oracle's sequential double sums bit-for-bit).
+- hyperplane_lsh_bucket + lsh_topk: random-hyperplane LSH (deterministic,
+  hash-seeded planes — no RNG) bucketing for the scale path: candidates
+  share a bucket; exact cosine only within buckets. Recall measured in
+  tests against the brute-force baseline.
+
+Scale notes: brute force is O(|Q|·|C|) — fine for |Q| small (broadcast
+join, no shuffle of the corpus). For corpus-vs-corpus the LSH variant
+turns it into a bucket join. Per-query top-k uses a window after a
+shuffle on query id; at 100 TB swap in the two-phase partial-top-k
+(mapInPandas heap per partition, then merge) — same result, fewer
+shuffled rows; both implemented, equality-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Cosine similarity of two array columns, computed in double with
+    strictly sequential sums (dot/(sqrt(na)*sqrt(nb))) — the exact
+    expression shape the DuckDB oracle uses, so hashes match."""
+    va = F.col(a).cast("array<double>")
+    vb = F.col(b).cast("array<double>")
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform(va, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(vb, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query (self-matches excluded when ids
+    collide). Deterministic tie-break: cosine desc, neighbor id asc."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr("__qv", "__cv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_topk_twophase(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Same contract as cosine_topk, scale-optimized: per-partition
+    partial top-k (Arrow-vectorized numpy heap) before the per-query
+    merge — shuffles ≤ partitions·|Q|·k rows instead of |Q|·|C|."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[query_id_col] for r in q_rows]
+    qmat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qmat, qnorm))
+
+    out_schema = f"{query_id_col} long, neighbor_id long, cosine double"
+
+    def partial_topk(batches):
+        qids_, qmat_, qnorm_ = bq.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+            sims = (qmat_ @ cmat.T) / (qnorm_[:, None] * cnorm[None, :])
+            outs = []
+            for qi, qid in enumerate(qids_):
+                row = sims[qi]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                top = cand_idx[np.argsort(-row[cand_idx], kind="stable")[: k]]
+                outs.append(
+                    pd.DataFrame(
+                        {query_id_col: qid, "neighbor_id": ids[top], "cosine": row[top]}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(partial_topk, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic random-hyperplane LSH bucket id: plane p, dim d
+    weight = int-hash(p, d, seed) centered on 0; bucket bit p =
+    sign(v·plane_p). Pure JVM expressions — no RNG, reproducible at any
+    parallelism. Adds column ``lsh_bucket`` (string of n_planes bits)."""
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for p in range(n_planes):
+        # weight_d = xxhash64(p, d, seed) mapped to [-0.5, 0.5)
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, d: x
+                * (
+                    (
+                        F.pmod(F.xxhash64(F.lit(p), d, F.lit(seed)), F.lit(100003)).cast("double")
+                        / F.lit(100003.0)
+                    )
+                    - F.lit(0.5)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, "1").otherwise("0"))
+    return df.withColumn("lsh_bucket", F.concat(*bits))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """ANN top-k: exact cosine only among bucket-sharing candidates.
+    Approximate (recall < 1); tests report recall vs cosine_topk."""
+    c = hyperplane_lsh_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "__cv", n_planes,
+    )
+    q = hyperplane_lsh_bucket(
+        queries.select(query_id_col, F.col(vec_col).alias("__qv")), "__qv", n_planes
+    )
+    sims = (
+        q.join(c, "lsh_bucket")
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr("__qv", "__cv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

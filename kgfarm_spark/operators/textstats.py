@@ -1,0 +1,111 @@
+"""Text-analysis operators over document tables: token counting, quality
+scoring, language-ID heuristic, document fingerprinting (task brief's
+training-data pipeline family).
+
+All pure JVM expressions (split/regexp/md5) — no Python in the row path,
+every op oracle-checkable in DuckDB with the same regexes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic —
+#: deliberately minimal (the container has no langid libs; heuristic only)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "mit", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "est", "pas", "que", "pour", "dans"],
+}
+
+PUNCT_RE = "[.,!?;:]"
+DIGIT_RE = "[0-9]"
+#: BPE-ish token regex: word pieces OR digit runs OR single punctuation
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (brief: token
+    counting 'whitespace + a BPE-ish regex')."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # Spark SQL string literals eat backslashes — double them so the
+    # regex keeps its \s (otherwise [^...\s] silently becomes [^...s])
+    bpe = F.size(
+        F.expr(
+            f"regexp_extract_all({text_col}, '{BPE_TOKEN_RE.replace(chr(92), chr(92) * 2)}', 0)"
+        )
+    )
+    return df.withColumn("ws_tokens", ws).withColumn("bpe_tokens", bpe)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / digit-ratio / stopword-ratio /
+    mean-word-length quality signals + a composite [0,1] score (the
+    usual pretraining-data heuristics; each feature is one expression)."""
+    txt = F.col(text_col)
+    n_chars = F.length(txt)
+    words = F.split(F.trim(txt), r"\s+")
+    n_words = F.size(words)
+    n_punct = n_chars - F.length(F.regexp_replace(txt, PUNCT_RE, ""))
+    n_digit = n_chars - F.length(F.regexp_replace(txt, DIGIT_RE, ""))
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.transform(words, F.lower), en_stop))
+    mean_word_len = (n_chars - (n_words - 1)) / n_words  # chars sans separators
+
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    digit_ratio = n_digit / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
+    len_ok = F.when((n_words >= 10) & (n_words <= 10000), 1.0).otherwise(0.0)
+    word_len_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0).otherwise(0.0)
+    score = (
+        0.3 * len_ok
+        + 0.2 * word_len_ok
+        + 0.2 * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
+        + 0.2 * (1 - F.least(digit_ratio * 5, F.lit(1.0)))
+        + 0.1 * F.least(stop_ratio * 10, F.lit(1.0))
+    )
+    return (
+        df.withColumn("n_chars_computed", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("digit_ratio", digit_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality_score", score)
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-count language heuristic: distinct-stopword hits per
+    language, argmax with deterministic tie-break (hit count desc, lang
+    asc); 'und' (undetermined) when no stopword hits."""
+    words = F.transform(F.split(F.trim(F.col(text_col)), r"\s+"), F.lower)
+    hits: list[Column] = []
+    for lang, stops in sorted(LANG_STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in stops])
+        hits.append(
+            F.struct(
+                F.size(F.array_intersect(words, arr)).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax with alphabetical tie-break: take max hit count, then the
+    # first language (sorted asc) reaching it
+    max_hits = F.array_max(F.transform(F.array(*hits), lambda s: s["hits"]))
+    pred = F.lit(None).cast("string")
+    for lang, stops in sorted(LANG_STOPWORDS.items(), reverse=True):
+        arr = F.array(*[F.lit(w) for w in stops])
+        pred = F.when(F.size(F.array_intersect(words, arr)) == max_hits, lang).otherwise(pred)
+    pred = F.when(max_hits > 0, pred).otherwise("und")
+    return df.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-document fingerprint: lowercase, collapse whitespace,
+    strip punctuation, md5 — the dedup-key flavor of fingerprinting
+    (content-defined; portable to the oracle)."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), PUNCT_RE, ""), r"\s+", " "
+    )
+    return df.withColumn("fingerprint", F.md5(F.trim(norm).cast("binary")))

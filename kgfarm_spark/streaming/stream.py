@@ -1,0 +1,95 @@
+"""Structured-Streaming twins of the batch operators (SURVEY §2.11 —
+the reference has NO streaming; these are the engine's additions mapping
+freshness ↔ watermark, sessionize ↔ session_window, rolling ↔ window).
+
+Each function takes a *streaming* DataFrame with the input_hint schema
+and returns a streaming DataFrame; callers attach writeStream (tests use
+``trigger(availableNow=True)`` + memory sink and compare against the
+batch twin).
+
+Scale notes: state stores are keyed by (conv_id[, window]) — the same
+partitioning as batch; watermarks bound state size (late turns beyond
+the watermark are dropped deterministically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_session_aggregates(
+    transcripts: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization on a stream: F.session_window merges
+    events closer than ``gap`` per conv_id (the streaming twin of
+    operators.windows.sessionize). Emits one row per closed session."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("session"), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("tool").isNotNull().cast("long")).alias("tool_calls"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "conv_id",
+            F.col("session.start").alias("window_start"),
+            F.col("session.end").alias("window_end"),
+            "n_turns",
+            "tool_calls",
+            "session_start",
+            "session_end",
+        )
+    )
+
+
+def stream_rolling_counts(
+    transcripts: DataFrame,
+    size: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window per-conversation turn/tool counts (streaming twin of
+    rolling_aggregates; time-based windows instead of row frames)."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("text_len_sum"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_turns",
+            "text_len_sum",
+        )
+    )
+
+
+def stream_enrich_against_features(
+    stream_probes: DataFrame,
+    static_features: DataFrame,
+    tolerance: str = "1 DAY",
+) -> DataFrame:
+    """Streaming probes point-in-time-enriched against a STATIC feature
+    table (stream-static join): the online-serving shape of the flagship.
+    Equi join on conv_id + freshness filter; the per-probe latest row is
+    selected downstream per micro-batch (stream-static joins permit
+    arbitrary static sides)."""
+    f = static_features.select(
+        F.col("conv_id").alias("__f_conv_id"),
+        F.col("ts").alias("matched_ts"),
+        *[c for c in static_features.columns if c not in ("conv_id", "ts")],
+    )
+    cond = (
+        (F.col("conv_id") == F.col("__f_conv_id"))
+        & (F.col("matched_ts") <= F.col("query_ts"))
+        & (F.col("matched_ts") >= F.col("query_ts") - F.expr(f"INTERVAL {tolerance}"))
+    )
+    return stream_probes.join(f, cond, "left").drop("__f_conv_id")
