@@ -60,15 +60,23 @@ def null_scan(df: DataFrame) -> DataFrame:
     )
 
 
-def fill_stats(df: DataFrame, numeric_cols: list[str], categorical_cols: list[str]) -> dict:
+def fill_stats(
+    df: DataFrame,
+    numeric_cols: list[str],
+    categorical_cols: list[str],
+    exact: bool = False,
+) -> dict:
     """Mean/median for numeric, mode for categorical, in minimal passes
-    (reference A4/A5: df.mean()/df.median()/Series.mode()[0])."""
+    (reference A4/A5: df.mean()/df.median()/Series.mode()[0]). ``exact``
+    uses interpolated exact percentiles (pandas median parity) instead of
+    the one-pass sketch — parity tests only; the sketch is the scale path."""
+    pctl = "percentile" if exact else "percentile_approx"
     stats: dict[str, float | str] = {}
     if numeric_cols:
         aggs = []
         for c in numeric_cols:
             aggs.append(F.avg(c).alias(f"{c}__mean"))
-            aggs.append(F.expr(f"percentile_approx(`{c}`, 0.5)").alias(f"{c}__median"))
+            aggs.append(F.expr(f"{pctl}(`{c}`, 0.5)").alias(f"{c}__median"))
         row = df.agg(*aggs).first()
         for c in numeric_cols:
             stats[f"{c}__mean"] = row[f"{c}__mean"]
@@ -92,6 +100,7 @@ def fill_nulls(
     numeric_strategy: str = "mean",
     numeric_cols: list[str] | None = None,
     categorical_cols: list[str] | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """SimpleImputer parity (M10): numeric mean/median, categorical mode."""
     num_types = {"int", "bigint", "double", "float", "smallint", "tinyint"}
@@ -99,7 +108,7 @@ def fill_nulls(
         numeric_cols = [c for c, t in df.dtypes if t in num_types]
     if categorical_cols is None:
         categorical_cols = [c for c, t in df.dtypes if t == "string"]
-    stats = fill_stats(df, numeric_cols, categorical_cols)
+    stats = fill_stats(df, numeric_cols, categorical_cols, exact=exact)
     out = df
     for c in numeric_cols:
         v = stats[f"{c}__{'mean' if numeric_strategy == 'mean' else 'median'}"]
@@ -176,17 +185,20 @@ def interpolate_linear(
 
 
 def drop_outlier_rows_iqr(
-    df: DataFrame, cols: list[str], k: float = 1.5
+    df: DataFrame, cols: list[str], k: float = 1.5, exact: bool = False
 ) -> DataFrame:
     """Distributed stand-in for the reference's LocalOutlierFactor masking
     (M9, interface/apis.py:187-192 — LOF is not exactly distributable;
     SURVEY §7 'what's hard' #2): Tukey-fence outlier filter using
-    percentile_approx bounds computed in one pass. Exact LOF parity for
-    small frames lives in the pandas-UDF path (see transforms.lof_mask)."""
+    percentile bounds computed in one pass (``exact`` uses interpolated
+    exact percentiles for parity tests; the sketch is the scale path).
+    Exact LOF parity for small frames lives in the pandas-UDF path (see
+    transforms.lof_mask)."""
+    pctl = "percentile" if exact else "percentile_approx"
     aggs = []
     for c in cols:
-        aggs.append(F.expr(f"percentile_approx(`{c}`, 0.25)").alias(f"{c}__q1"))
-        aggs.append(F.expr(f"percentile_approx(`{c}`, 0.75)").alias(f"{c}__q3"))
+        aggs.append(F.expr(f"{pctl}(`{c}`, 0.25)").alias(f"{c}__q1"))
+        aggs.append(F.expr(f"{pctl}(`{c}`, 0.75)").alias(f"{c}__q3"))
     row = df.agg(*aggs).first()
     cond = F.lit(True)
     for c in cols:

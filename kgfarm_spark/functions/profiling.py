@@ -123,6 +123,21 @@ def elect_default_entities(entities: DataFrame) -> DataFrame:
     )
 
 
+def task_type(df: DataFrame, target: str) -> str:
+    """ML-task typing from target cardinality — reference A12 rule
+    (interface/apis.py:118-126): nunique == 2 → binary; nunique > 2 and
+    nunique/len < 0.5 → multiclass; else regression. One aggregate pass."""
+    row = df.agg(
+        F.count_distinct(F.col(target)).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if row["d"] == 2:
+        return "binary"
+    if row["d"] > 2 and row["d"] / row["n"] < 0.5:
+        return "multiclass"
+    return "regression"
+
+
 def pkfk_features(
     fk_df: DataFrame, fk_col: str, pk_df: DataFrame, pk_col: str
 ) -> dict:
@@ -138,14 +153,14 @@ def pkfk_features(
     fk_stats = fk_vals.agg(
         F.count("v").alias("n"),
         F.count_distinct("v").alias("d"),
-        F.min("v").cast("double").alias("mn"),
-        F.max("v").cast("double").alias("mx"),
+        F.min("v").try_cast("double").alias("mn"),
+        F.max("v").try_cast("double").alias("mx"),
     ).first()
     pk_stats = pk_vals.agg(
         F.count("v").alias("n"),
         F.count_distinct("v").alias("d"),
-        F.min("v").cast("double").alias("mn"),
-        F.max("v").cast("double").alias("mx"),
+        F.min("v").try_cast("double").alias("mn"),
+        F.max("v").try_cast("double").alias("mx"),
     ).first()
 
     # containment: |FK ∩ PK| / |FK distinct| via distinct semi-join
