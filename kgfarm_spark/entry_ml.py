@@ -1,0 +1,129 @@
+"""Queries for the learned-operator family (SURVEY §2.9 M1-M8/M11) and
+the engineer_features e2e pipeline (§3.1).
+
+These kernels (seeded MLP / MinHash / softmax heads) are genuinely not
+ANSI-SQL-expressible, so per the driver contract they register WITHOUT
+oracle SQL — the driver records the weaker rows-only check; pytest
+(tests/test_embeddings.py) carries the exact-parity checks (numpy twin,
+cross-parallelism determinism) instead.
+
+Registered into kgfarm_spark.entry_queries.QUERIES/ORACLES at import.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgfarm_spark.entry_queries import register
+from kgfarm_spark.functions.embeddings import (
+    feature_selection_scores,
+    melt_numeric,
+    melt_strings,
+    minhash_column_embeddings,
+    numeric_column_embeddings,
+    recommend_categorical,
+    recommend_cleaning,
+    recommend_scaling,
+    recommend_unary,
+)
+from kgfarm_spark.pipeline import engineer_features
+from kgfarm_spark.sources.transcripts import load_table
+
+_NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_STR_COLS = ["o_orderstatus", "o_orderpriority"]
+
+
+def _numeric_long(spark: SparkSession, sf: str) -> DataFrame:
+    return melt_numeric(
+        load_table(spark, sf, "lineitem").select(*_NUM_COLS), "lineitem", _NUM_COLS
+    )
+
+
+def _string_long(spark: SparkSession, sf: str) -> DataFrame:
+    return melt_strings(
+        load_table(spark, sf, "orders").select(*_STR_COLS), "orders", _STR_COLS
+    )
+
+
+@register("numeric_column_embeddings")  # rows-only: MLP kernel, no SQL oracle
+def q_numeric_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    out = numeric_column_embeddings(_numeric_long(spark, sf))
+    # project a stable scalar view (first components) for the rows check
+    return out.select(
+        "table_name",
+        "column_name",
+        F.round(F.col("embedding")[0], 6).alias("e0"),
+        F.round(F.col("embedding")[1], 6).alias("e1"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@register("minhash_column_embeddings")  # rows-only: hash kernel, no SQL oracle
+def q_minhash_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    out = minhash_column_embeddings(_string_long(spark, sf))
+    return out.select(
+        "table_name",
+        "column_name",
+        F.round(F.col("embedding")[0], 6).alias("e0"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@register("transform_recommendations")  # rows-only: learned heads
+def q_transform_recs(spark: SparkSession, sf: str) -> DataFrame:
+    num_emb = numeric_column_embeddings(_numeric_long(spark, sf))
+    cat_emb = minhash_column_embeddings(_string_long(spark, sf))
+    scaler = recommend_scaling(num_emb)
+    unary = recommend_unary(num_emb).withColumn("kind", F.lit("unary"))
+    cat = recommend_categorical(cat_emb).withColumn("kind", F.lit("categorical"))
+    scaling_row = spark.createDataFrame(
+        [(scaler, [], "scaling")],
+        "recommended_transformation string, features array<string>, kind string",
+    )
+    return unary.unionByName(cat).unionByName(scaling_row)
+
+
+@register("cleaning_recommendations")  # rows-only: learned head
+def q_cleaning_recs(spark: SparkSession, sf: str) -> DataFrame:
+    num_emb = numeric_column_embeddings(_numeric_long(spark, sf))
+    cat_emb = minhash_column_embeddings(_string_long(spark, sf))
+    ranked = recommend_cleaning(cat_emb, num_emb)
+    return spark.createDataFrame(
+        [(i, op) for i, op in enumerate(ranked)], "rank int, operation string"
+    )
+
+
+@register("feature_selection_scores")  # rows-only: learned head
+def q_selection_scores(spark: SparkSession, sf: str) -> DataFrame:
+    num_emb = numeric_column_embeddings(_numeric_long(spark, sf))
+    target_emb = np.zeros(300, dtype=np.float32)  # deterministic target slot
+    return feature_selection_scores(num_emb, target_emb)
+
+
+@register("engineer_features_e2e")  # rows-only: multi-stage orchestration
+def q_engineer_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Full §3.1 lifecycle on (orders ⋈ customer): importance → corr-prune
+    → OHE/ordinal → standard-scale, fit on 'train' (odd keys), applied to
+    'test' (even keys); returns the transformed test frame."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    frame = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_acctbal", "c_mktsegment")),
+        orders["o_custkey"] == cust["c_custkey"],
+    ).select(
+        "o_orderkey", "o_totalprice", "c_acctbal", "o_orderstatus",
+        "o_orderpriority", "c_mktsegment",
+    )
+    train = frame.filter(F.col("o_orderkey") % 2 == 1)
+    test = frame.filter(F.col("o_orderkey") % 2 == 0)
+    _, test_out, _ = engineer_features(train, test, target="o_orderstatus")
+    cols = [c for c in test_out.columns if c != "o_orderkey"]
+    return test_out.select(
+        "o_orderkey",
+        *[
+            F.round(F.col(c), 4).alias(c) if dict(test_out.dtypes)[c] == "double" else F.col(c)
+            for c in cols
+        ],
+    )

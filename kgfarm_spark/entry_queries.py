@@ -415,3 +415,4 @@ def q_flagship(spark: SparkSession, sf: str) -> DataFrame:
 import kgfarm_spark.entry_profiling  # noqa: E402,F401
 import kgfarm_spark.entry_pipeline  # noqa: E402,F401
 import kgfarm_spark.entry_cleaning  # noqa: E402,F401
+import kgfarm_spark.entry_ml  # noqa: E402,F401

@@ -1,0 +1,323 @@
+"""Column-embedding operators + embedding-driven recommenders — the
+reference's "learned relational operators" (SURVEY §2.9, M1–M8/M11)
+re-expressed as broadcast-model + Arrow-vectorized pandas UDFs.
+
+Reference semantics:
+- M1 numeric column embedding (DDE): each float32 value → its 32-bit
+  IEEE-754 bit vector → MLP(32→300→300→300, tanh) → mean-pool over the
+  column (inference_manager/column_embeddings.py:7-23,
+  inference_manager/inference.py:61-74; bit decomposition at
+  inference.py:65-66).
+- M2 categorical column embedding: MinHash signature over the column's
+  lowercased utf-8 values (inference.py:76-81; datasketch num_perm=512 —
+  here 128 perms via the same universal-hash construction).
+- M4-M8 recommenders: sklearn heads over the aggregated embedding with
+  probability thresholds 0.60 (unary/categorical) and 0.50 (numerical)
+  (inference.py:46-48,169-212,223-255).
+- M11 feature-selection scorer: concat(feature emb, target emb) →
+  P(select), max-normalized (inference.py:257-310, A8 normalization).
+
+The reference ships ~20 pickled proprietary-trained models
+(inference_manager/inference.py:17-43). This repo does NOT copy them:
+model weights here are deterministic seeded stand-ins with the same
+shapes, demonstrating the full distributed pattern (driver builds
+weights once → sparkContext.broadcast → executors run the kernel inside
+Arrow-batched pandas UDFs → driver-side single-row predict on the
+aggregated embedding, exactly the reference's split). Swapping in real
+trained weights is a one-line change (load instead of seed).
+
+Scale notes: embeddings are computed by ``applyInPandas`` grouped on
+(table, column) — one shuffle on the column key; each group's kernel is
+pure numpy (no per-row Python). Columns with billions of rows should be
+sampled upstream (the reference samples too — operations/api.py:309-313);
+use functions.sampling.deterministic_sample for partition-invariant
+results.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EMB_DIM = 300  # column_embeddings.py:4
+BIT_DIM = 32  # float32 bit decomposition (inference.py:65-66)
+MINHASH_PERMS = 128  # reference uses 512 (inference.py:22); 128 here
+_MERSENNE = (1 << 61) - 1
+
+#: recommendation label spaces (inference.py:169-173,196-212,223-247)
+SCALERS = ["StandardScaler", "MinMaxScaler", "RobustScaler", "QuantileTransformer", "PowerTransformer"]
+UNARY = ["Log", "Sqrt", "Square", "NoTransform"]
+CATEGORICAL = ["OrdinalEncoder", "OneHotEncoder"]
+CLEANING = ["Fill", "Interpolate", "Impute"]
+
+#: probability thresholds (inference.py:46-48)
+THETA_UNARY = 0.60
+THETA_CATEGORICAL = 0.60
+THETA_NUMERICAL = 0.50
+
+
+# ---------------------------------------------------------------------------
+# Deterministic model weights (seeded stand-ins, reference shapes)
+# ---------------------------------------------------------------------------
+
+
+def _mlp_weights(seed: int, in_dim: int, hidden: int = EMB_DIM, layers: int = 3) -> list:
+    """MLP(in→300→300→300, tanh) weight stack — the DDE architecture
+    (column_embeddings.py:7-23)."""
+    rng = np.random.default_rng(seed)
+    ws, d = [], in_dim
+    for _ in range(layers):
+        ws.append(
+            (
+                rng.normal(0, 1.0 / np.sqrt(d), size=(d, hidden)).astype(np.float32),
+                rng.normal(0, 0.01, size=(hidden,)).astype(np.float32),
+            )
+        )
+        d = hidden
+    return ws
+
+
+def _head_weights(seed: int, in_dim: int, n_classes: int, gain: float = 6.0) -> tuple:
+    """Softmax head. ``gain`` sets logit scale so the stand-in heads emit
+    calibrated-looking confidences (trained heads are naturally sharp;
+    a unit-variance random head would be near-uniform over classes and
+    the reference's 0.50/0.60 probability gates would never trigger)."""
+    rng = np.random.default_rng(seed)
+    return (
+        rng.normal(0, gain / np.sqrt(in_dim), size=(in_dim, n_classes)).astype(np.float32),
+        np.zeros(n_classes, dtype=np.float32),
+    )
+
+
+def _minhash_params(seed: int, k: int = MINHASH_PERMS) -> tuple:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+def _mlp_forward(x: np.ndarray, ws: list) -> np.ndarray:
+    h = x
+    for w, b in ws:
+        h = np.tanh(h @ w + b)
+    return h
+
+
+def _softmax(z: np.ndarray) -> np.ndarray:
+    e = np.exp(z - z.max())
+    return e / e.sum()
+
+
+def _bit_decompose(vals: np.ndarray) -> np.ndarray:
+    """float32 → (n, 32) 0/1 matrix, MSB first — the reference's IEEE-754
+    binary-string decomposition (inference.py:65-66) vectorized."""
+    u = vals.astype(np.float32).view(np.uint32)
+    return ((u[:, None] >> np.arange(BIT_DIM - 1, -1, -1, dtype=np.uint32)) & 1).astype(
+        np.float32
+    )
+
+
+def _crc_hashes(values) -> np.ndarray:
+    """Deterministic 32-bit hash per lowercased utf-8 value
+    (inference.py:78-81 lowercases + encodes before hashing)."""
+    return np.fromiter(
+        (zlib.crc32(str(v).lower().encode("utf8")) for v in values),
+        dtype=np.int64,
+        count=len(values),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1/M2/M3: distributed column embeddings (applyInPandas, broadcast weights)
+# ---------------------------------------------------------------------------
+
+_EMB_SCHEMA = "table_name string, column_name string, embedding array<float>"
+
+
+def numeric_column_embeddings(
+    long_df: DataFrame, value_col: str = "value", seed: int = 42
+) -> DataFrame:
+    """M1 (DDE): long-format (table_name, column_name, value) → one
+    300-dim embedding row per column. Kernel = bit-decompose → seeded MLP
+    → mean-pool, all numpy inside Arrow batches; weights broadcast once."""
+    sc = long_df.sparkSession.sparkContext
+    bc = sc.broadcast(_mlp_weights(seed, BIT_DIM))
+
+    def kernel(pdf):
+        import pandas as pd
+
+        # sort + float64 pooling → result invariant to partitioning /
+        # arrival order (test_partitioning_invariant)
+        vals = np.sort(pdf[value_col].dropna().to_numpy(dtype=np.float32))
+        if len(vals) == 0:
+            emb = np.zeros(EMB_DIM, dtype=np.float64)
+        else:
+            emb = _mlp_forward(_bit_decompose(vals), bc.value).astype(np.float64).mean(axis=0)
+        return pd.DataFrame(
+            [[pdf["table_name"].iloc[0], pdf["column_name"].iloc[0],
+              emb.astype(float).tolist()]],
+            columns=["table_name", "column_name", "embedding"],
+        )
+
+    return long_df.groupBy("table_name", "column_name").applyInPandas(
+        kernel, _EMB_SCHEMA
+    )
+
+
+def minhash_column_embeddings(
+    long_df: DataFrame, value_col: str = "value", seed: int = 42
+) -> DataFrame:
+    """M2: long-format string column → MinHash signature (k perms,
+    universal hashing (a·h + b) mod p — same construction datasketch
+    uses). Signature is scaled to [0,1] floats so downstream heads can
+    consume it like any embedding."""
+    sc = long_df.sparkSession.sparkContext
+    a, b = _minhash_params(seed)
+    bc = sc.broadcast((a, b))
+
+    def kernel(pdf):
+        import pandas as pd
+
+        vals = pdf[value_col].dropna().unique()
+        aa, bb = bc.value
+        if len(vals) == 0:
+            sig = np.full(MINHASH_PERMS, float(_MERSENNE), dtype=np.float64)
+        else:
+            h = _crc_hashes(vals)
+            # (n, k) universal hashes, min over n — chunked to bound memory
+            sig = np.full(MINHASH_PERMS, np.iinfo(np.int64).max, dtype=np.int64)
+            for i in range(0, len(h), 65536):
+                hh = h[i : i + 65536, None]
+                sig = np.minimum(sig, ((hh * aa + bb) % _MERSENNE).min(axis=0))
+            sig = sig.astype(np.float64)
+        emb = (sig / float(_MERSENNE)).astype(np.float32)
+        return pd.DataFrame(
+            [[pdf["table_name"].iloc[0], pdf["column_name"].iloc[0],
+              emb.astype(float).tolist()]],
+            columns=["table_name", "column_name", "embedding"],
+        )
+
+    return long_df.groupBy("table_name", "column_name").applyInPandas(
+        kernel, _EMB_SCHEMA
+    )
+
+
+def melt_numeric(df: DataFrame, table_name: str, cols: list[str]) -> DataFrame:
+    """Wide → long (table_name, column_name, value:double) for embedding.
+    Column pruning keeps the scan narrow; the stack() is zero-shuffle."""
+    pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+    return df.selectExpr(
+        f"stack({len(cols)}, {pairs}) as (column_name, value)"
+    ).select(F.lit(table_name).alias("table_name"), "column_name", "value")
+
+
+def melt_strings(df: DataFrame, table_name: str, cols: list[str]) -> DataFrame:
+    pairs = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+    return df.selectExpr(
+        f"stack({len(cols)}, {pairs}) as (column_name, value)"
+    ).select(F.lit(table_name).alias("table_name"), "column_name", "value")
+
+
+# ---------------------------------------------------------------------------
+# M4-M8/M11: recommenders — driver-side heads on aggregated embeddings
+# (the reference also predicts driver-side on the pooled embedding)
+# ---------------------------------------------------------------------------
+
+
+def _predict(emb: np.ndarray, seed: int, labels: list[str]) -> tuple[str, float]:
+    w, b = _head_weights(seed, len(emb), len(labels))
+    p = _softmax(emb @ w + b)
+    i = int(np.argmax(p))
+    return labels[i], float(p[i])
+
+
+def recommend_scaling(embeddings: DataFrame, seed: int = 7) -> str:
+    """M4: average numeric embedding → one scaler for the whole frame
+    (inference.py:169-173)."""
+    rows = embeddings.select("embedding").collect()
+    avg = np.mean([r["embedding"] for r in rows], axis=0)
+    label, _ = _predict(avg, seed, SCALERS)
+    return label
+
+
+def recommend_unary(embeddings: DataFrame, seed: int = 1) -> DataFrame:
+    """M5: per-feature embedding → unary transform with prob ≥ 0.60,
+    grouped per recommendation (A6 groupBy-collect shape,
+    inference.py:176-190)."""
+    spark = embeddings.sparkSession
+    recs = []
+    for r in embeddings.collect():
+        label, p = _predict(np.asarray(r["embedding"]), seed, UNARY)
+        if p >= THETA_UNARY and label != "NoTransform":
+            recs.append((label, r["column_name"], round(p, 4)))
+    out = spark.createDataFrame(
+        recs or [], "recommended_transformation string, feature string, probability double"
+    )
+    return out.groupBy("recommended_transformation").agg(
+        F.sort_array(F.collect_list("feature")).alias("features")
+    )
+
+
+def recommend_categorical(embeddings: DataFrame, seed: int = 1) -> DataFrame:
+    """M6: MinHash embedding → Ordinal vs OneHot with prob ≥ 0.60
+    (inference.py:196-212)."""
+    spark = embeddings.sparkSession
+    recs = []
+    for r in embeddings.collect():
+        label, p = _predict(np.asarray(r["embedding"]), seed, CATEGORICAL)
+        if p >= THETA_CATEGORICAL:
+            recs.append((label, r["column_name"], round(p, 4)))
+    out = spark.createDataFrame(
+        recs or [], "recommended_transformation string, feature string, probability double"
+    )
+    return out.groupBy("recommended_transformation").agg(
+        F.sort_array(F.collect_list("feature")).alias("features")
+    )
+
+
+def recommend_cleaning(
+    string_emb: DataFrame, numeric_emb: DataFrame, seed: int = 10
+) -> list[str]:
+    """M7: concat(avg string emb, avg numeric emb) → ranked cleaning ops
+    (inference.py:223-247; the reference CI expects a ranked list)."""
+    s_rows = [r["embedding"] for r in string_emb.select("embedding").collect()]
+    n_rows = [r["embedding"] for r in numeric_emb.select("embedding").collect()]
+    s_avg = np.mean(s_rows, axis=0) if s_rows else np.zeros(MINHASH_PERMS)
+    n_avg = np.mean(n_rows, axis=0) if n_rows else np.zeros(EMB_DIM)
+    emb = np.concatenate([s_avg, n_avg])
+    w, b = _head_weights(seed, len(emb), len(CLEANING))
+    p = _softmax(emb @ w + b)
+    return [CLEANING[i] for i in np.argsort(-p)]
+
+
+def detect_outliers_flag(numeric_emb: DataFrame, seed: int = 11) -> bool:
+    """M8: avg numeric embedding → should-clean-outliers binary flag
+    (inference.py:249-255)."""
+    rows = [r["embedding"] for r in numeric_emb.select("embedding").collect()]
+    if not rows:
+        return False
+    avg = np.mean(rows, axis=0)
+    label, _ = _predict(avg, seed, ["keep", "clean"])
+    return label == "clean"
+
+
+def feature_selection_scores(
+    feature_emb: DataFrame, target_emb: np.ndarray, seed: int = 12
+) -> DataFrame:
+    """M11: per-feature P(select) from concat(feature emb, target emb),
+    max-normalized (inference.py:257-310 + A8). Returns
+    (feature, score) rows sorted desc."""
+    spark = feature_emb.sparkSession
+    scored = []
+    for r in feature_emb.collect():
+        emb = np.concatenate([np.asarray(r["embedding"]), target_emb])
+        w, b = _head_weights(seed, len(emb), 2)
+        p = _softmax(emb @ w + b)[1]
+        scored.append((r["column_name"], float(p)))
+    mx = max((s for _, s in scored), default=1.0) or 1.0
+    return spark.createDataFrame(
+        [(c, round(s / mx, 6)) for c, s in scored], "feature string, score double"
+    ).orderBy(F.col("score").desc(), "feature")
