@@ -205,6 +205,52 @@ def minhash_column_embeddings(
     )
 
 
+CHAR_DIM = 50  # chars2vec('eng_50') per-value dim (column_embeddings.py:26-43)
+
+
+def string_column_embeddings(
+    long_df: DataFrame, value_col: str = "value", seed: int = 43
+) -> DataFrame:
+    """M3 (string-cleaning embedding): each value → 50-dim char-level
+    feature vector → MLP(50→300→300→300, tanh) → mean-pool per column
+    (reference: chars2vec('eng_50') per value then the same MLP —
+    inference.py:143-148, column_embeddings.py:26-43). The chars2vec
+    model is proprietary-trained; the stand-in char featurizer is a
+    deterministic 50-bin hashed character histogram (same shape, same
+    distributed pattern)."""
+    sc = long_df.sparkSession.sparkContext
+    bc = sc.broadcast(_mlp_weights(seed, CHAR_DIM))
+
+    def featurize(vals: np.ndarray) -> np.ndarray:
+        out = np.zeros((len(vals), CHAR_DIM), dtype=np.float32)
+        for i, v in enumerate(vals):
+            s = str(v).lower()
+            if not s:
+                continue
+            for ch in s:
+                out[i, ord(ch) % CHAR_DIM] += 1.0
+            out[i] /= len(s)
+        return out
+
+    def kernel(pdf):
+        import pandas as pd
+
+        vals = np.sort(pdf[value_col].dropna().unique())
+        if len(vals) == 0:
+            emb = np.zeros(EMB_DIM, dtype=np.float64)
+        else:
+            emb = _mlp_forward(featurize(vals), bc.value).astype(np.float64).mean(axis=0)
+        return pd.DataFrame(
+            [[pdf["table_name"].iloc[0], pdf["column_name"].iloc[0],
+              emb.astype(float).tolist()]],
+            columns=["table_name", "column_name", "embedding"],
+        )
+
+    return long_df.groupBy("table_name", "column_name").applyInPandas(
+        kernel, _EMB_SCHEMA
+    )
+
+
 def melt_numeric(df: DataFrame, table_name: str, cols: list[str]) -> DataFrame:
     """Wide → long (table_name, column_name, value:double) for embedding.
     Column pruning keeps the scan narrow; the stack() is zero-shuffle."""

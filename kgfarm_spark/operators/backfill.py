@@ -74,24 +74,31 @@ def backfill_asof_fused(
     is_turn1 = F.when(F.col("__is_turn"), F.lit(1)).otherwise(F.lit(0)).cast("long")
     turn_len = F.when(F.col("__is_turn"), F.col("__text_len"))
 
-    state = (
-        u.withColumn("matched_ts", F.last(F.when(F.col("__is_turn"), F.col("__ts")), ignorenulls=True).over(cum))
-        .withColumn("turns_so_far", F.sum(is_turn1).over(cum))
-        .withColumn(
-            "tool_calls_so_far",
-            F.coalesce(F.sum(F.when(F.col("__has_tool"), 1).otherwise(0).cast("long")).over(cum), F.lit(0)),
-        )
-        .withColumn("text_len_sum", F.sum(turn_len).over(cum))
-        .withColumn("text_len_avg", F.avg(turn_len).over(cum))
-        .withColumn("text_len_max", F.max(turn_len).over(cum))
-        .withColumn(
-            "user_turns_so_far",
-            F.coalesce(F.sum(F.when(F.col("__is_user"), 1).otherwise(0).cast("long")).over(cum), F.lit(0)),
-        )
-        .withColumn(
-            "assistant_turns_so_far",
-            F.coalesce(F.sum(F.when(F.col("__is_assistant"), 1).otherwise(0).cast("long")).over(cum), F.lit(0)),
-        )
+    # ONE select so Catalyst emits a single Window operator for all eight
+    # expressions (chained withColumn + scalar wrappers like coalesce
+    # interleave Projects between Window nodes, which blocks the
+    # CollapseWindow rule → 8 sequential window passes instead of 1)
+    state = u.select(
+        "*",
+        F.last(F.when(F.col("__is_turn"), F.col("__ts")), ignorenulls=True)
+        .over(cum)
+        .alias("matched_ts"),
+        F.sum(is_turn1).over(cum).alias("turns_so_far"),
+        F.coalesce(
+            F.sum(F.when(F.col("__has_tool"), 1).otherwise(0).cast("long")).over(cum),
+            F.lit(0),
+        ).alias("tool_calls_so_far"),
+        F.sum(turn_len).over(cum).alias("text_len_sum"),
+        F.avg(turn_len).over(cum).alias("text_len_avg"),
+        F.max(turn_len).over(cum).alias("text_len_max"),
+        F.coalesce(
+            F.sum(F.when(F.col("__is_user"), 1).otherwise(0).cast("long")).over(cum),
+            F.lit(0),
+        ).alias("user_turns_so_far"),
+        F.coalesce(
+            F.sum(F.when(F.col("__is_assistant"), 1).otherwise(0).cast("long")).over(cum),
+            F.lit(0),
+        ).alias("assistant_turns_so_far"),
     )
 
     out = state.filter(F.col("__side") == 1)

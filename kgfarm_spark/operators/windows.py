@@ -60,18 +60,16 @@ def rolling_aggregates(
     features the north_rule backfills. Pure rowsBetween frames."""
     w = turn_window(key, order).rowsBetween(-n_turns, Window.currentRow)
     text_len = F.length("text")
-    return (
-        df.withColumn("text_len", text_len)
-        .withColumn("roll_text_len_avg", F.avg("text_len").over(w))
-        .withColumn("roll_text_len_max", F.max("text_len").over(w))
-        .withColumn(
-            "roll_tool_calls",
-            F.sum(F.col("tool").isNotNull().cast("long")).over(w),
-        )
-        .withColumn(
-            "roll_user_turns",
-            F.sum((F.col("role") == "user").cast("long")).over(w),
-        )
+    # one select over base columns → Catalyst emits a SINGLE Window node
+    # (window exprs referencing withColumn-derived columns interleave
+    # Projects that block the CollapseWindow rule)
+    return df.select(
+        "*",
+        text_len.alias("text_len"),
+        F.avg(text_len).over(w).alias("roll_text_len_avg"),
+        F.max(text_len).over(w).alias("roll_text_len_max"),
+        F.sum(F.col("tool").isNotNull().cast("long")).over(w).alias("roll_tool_calls"),
+        F.sum((F.col("role") == "user").cast("long")).over(w).alias("roll_user_turns"),
     )
 
 
@@ -131,23 +129,19 @@ def backfill_features(
     """
     cum = turn_window(key, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     text_len = F.length("text")
-    return (
-        df.withColumn("text_len", text_len)
-        .withColumn("turns_so_far", F.count(F.lit(1)).over(cum).cast("long"))
-        .withColumn("tool_calls_so_far", F.sum(F.col("tool").isNotNull().cast("long")).over(cum))
-        .withColumn(
-            "tool_call_rate",
-            F.col("tool_calls_so_far") / F.col("turns_so_far"),
-        )
-        .withColumn("text_len_sum", F.sum("text_len").over(cum))
-        .withColumn("text_len_avg", F.avg("text_len").over(cum))
-        .withColumn("text_len_max", F.max("text_len").over(cum))
-        .withColumn(
-            "user_turns_so_far",
-            F.sum((F.col("role") == "user").cast("long")).over(cum),
-        )
-        .withColumn(
-            "assistant_turns_so_far",
-            F.sum((F.col("role") == "assistant").cast("long")).over(cum),
-        )
+    # single Window pass (see rolling_aggregates note); the derived
+    # tool_call_rate ratio is a scalar projection AFTER the window stage
+    out = df.select(
+        "*",
+        text_len.alias("text_len"),
+        F.count(F.lit(1)).over(cum).cast("long").alias("turns_so_far"),
+        F.sum(F.col("tool").isNotNull().cast("long")).over(cum).alias("tool_calls_so_far"),
+        F.sum(text_len).over(cum).alias("text_len_sum"),
+        F.avg(text_len).over(cum).alias("text_len_avg"),
+        F.max(text_len).over(cum).alias("text_len_max"),
+        F.sum((F.col("role") == "user").cast("long")).over(cum).alias("user_turns_so_far"),
+        F.sum((F.col("role") == "assistant").cast("long")).over(cum).alias("assistant_turns_so_far"),
+    )
+    return out.withColumn(
+        "tool_call_rate", F.col("tool_calls_so_far") / F.col("turns_so_far")
     )

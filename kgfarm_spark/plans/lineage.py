@@ -81,16 +81,21 @@ def run_checkpointed(
     max_buckets: int | None = None,
 ) -> list[dict]:
     """Run ``build_job(bucket_input_df) -> DataFrame`` once per pending
-    bucket, committing output + manifest per bucket.
+    bucket, committing output + manifest per bucket. ``build_job`` may
+    also accept ``(bucket_input_df, bucket_id)`` — useful when the job
+    must co-bucket a second table on the same key hash.
 
     ``max_buckets`` limits how many buckets run this invocation (lets
     tests simulate a crash mid-run); call again to resume. Returns the
     manifest records written this invocation.
     """
+    import inspect
+
     os.makedirs(out_dir, exist_ok=True)
     done = read_manifest(out_dir)
     written: list[dict] = []
     bucketed = input_df.withColumn("__bucket", bucket_of(key_col, n_buckets))
+    two_arg = len(inspect.signature(build_job).parameters) >= 2
     ran = 0
     for b in range(n_buckets):
         if b in done:
@@ -99,7 +104,7 @@ def run_checkpointed(
             break
         t0 = time.monotonic()
         part = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
-        out = build_job(part)
+        out = build_job(part, b) if two_arg else build_job(part)
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"bucket={b}"))
         committed = out.sparkSession.read.parquet(os.path.join(out_dir, f"bucket={b}"))
         rec = {

@@ -92,6 +92,19 @@ class TestMinhashEmbedding:
         np.testing.assert_allclose(e1[0]["embedding"], e2[0]["embedding"])
 
 
+class TestStringEmbedding:
+    def test_shape_and_partition_invariance(self, spark):
+        rows = [("t", "c", f"word {i} mixedCase!") for i in range(30)]
+        schema = "table_name string, column_name string, value string"
+        df = spark.createDataFrame(rows, schema)
+        from kgfarm_spark.functions.embeddings import string_column_embeddings
+
+        e1 = string_column_embeddings(df.repartition(1)).collect()[0]["embedding"]
+        e8 = string_column_embeddings(df.repartition(8)).collect()[0]["embedding"]
+        assert len(e1) == EMB_DIM
+        np.testing.assert_allclose(e1, e8, rtol=1e-6)
+
+
 class TestRecommenders:
     def test_deterministic_labels(self, spark, num_long):
         emb = numeric_column_embeddings(num_long)
