@@ -89,3 +89,14 @@ def test_detect_hot_keys(spark, skewed):
     # deterministic: same result twice
     keys2 = [r["conv_id"] for r in hot.collect()]
     assert keys == keys2
+
+
+def test_stage_metrics_degrades_without_ui(spark):
+    # the shared test session runs with spark.ui.enabled=false — metrics
+    # must degrade to empty, never fail the job
+    from kgfarm_spark.plans.metrics import StageMetrics
+
+    with StageMetrics(spark) as m:
+        spark.range(10).count()
+    assert m.stages == []
+    assert m.summary()["n_stages"] == 0

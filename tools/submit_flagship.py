@@ -48,6 +48,8 @@ def main() -> None:
         app_name="kgfarm_flagship",
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
+        # UI on → per-stage metrics via the REST API (plans/metrics.py)
+        extra_conf={"spark.ui.enabled": "true"},
     )
 
     def read(path: str):
@@ -76,9 +78,12 @@ def main() -> None:
         )
         stats = {"buckets_run": len(written)}
     else:
+        from kgfarm_spark.plans.metrics import StageMetrics
+
         job = backfill_asof_fused(transcripts, probes, tolerance=args.tolerance)
-        job.write.mode("overwrite").parquet(args.out)
-        stats = {}
+        with StageMetrics(spark) as m:
+            job.write.mode("overwrite").parquet(args.out)
+        stats = {"stage_metrics": m.summary(), "stages": m.stages}
 
     n_turns = transcripts.count()
     dt = time.monotonic() - t0
@@ -89,7 +94,7 @@ def main() -> None:
                 "turns": n_turns,
                 "sec": round(dt, 3),
                 "turns_per_sec": round(n_turns / dt, 1),
-                **({"checkpoint": stats} if stats else {}),
+                **({"checkpoint": stats} if "buckets_run" in stats else stats),
             }
         )
     )
