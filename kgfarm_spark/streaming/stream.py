@@ -72,6 +72,65 @@ def stream_rolling_counts(
     )
 
 
+def stream_running_features(
+    transcripts: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom STATEFUL operator via ``applyInPandasWithState`` — the
+    streaming twin of operators.windows.backfill_features: per conv_id,
+    carry (turns_so_far, tool_calls_so_far, text_len_sum) across
+    micro-batches in the state store and emit one enriched row per turn.
+
+    Kernel is vectorized (sort + cumsum over the Arrow batch, state adds
+    the carried offsets — no per-row Python arithmetic). Turns must
+    arrive in order per conversation across batches (the file source
+    test feeds ordered chunks); out-of-order turns within one batch are
+    sorted by (ts, turn_idx) before accumulation.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, turn_idx int, ts timestamp, turns_so_far long, "
+        "tool_calls_so_far long, text_len_sum long"
+    )
+    state_schema = "turns long, tools long, tlen long"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        turns, tools, tlen = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "turn_idx"])
+            out = pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].values,
+                    "turn_idx": pdf["turn_idx"].values,
+                    "ts": pdf["ts"].values,
+                    "turns_so_far": turns
+                    + pd.RangeIndex(1, len(pdf) + 1).to_numpy(),
+                    "tool_calls_so_far": tools
+                    + pdf["tool"].notna().cumsum().to_numpy(),
+                    "text_len_sum": tlen
+                    + pdf["text"].str.len().fillna(0).cumsum().astype("int64").to_numpy(),
+                }
+            )
+            turns = int(out["turns_so_far"].iloc[-1])
+            tools = int(out["tool_calls_so_far"].iloc[-1])
+            tlen = int(out["text_len_sum"].iloc[-1])
+            yield out
+        state.update((turns, tools, tlen))
+
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def stream_enrich_against_features(
     stream_probes: DataFrame,
     static_features: DataFrame,

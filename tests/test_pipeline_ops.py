@@ -194,3 +194,55 @@ class TestStreaming:
         expected_sessions = batch_sessions.select("conv_id", "session_id").distinct().count()
         assert got["s"] == 2000
         assert got["c"] == expected_sessions
+
+    def test_stateful_running_features_match_batch(self, spark, tmp_path):
+        """applyInPandasWithState custom operator: two ordered micro-batches
+        (maxFilesPerTrigger=1) must carry state across batches and reproduce
+        the batch backfill_features cumulative columns exactly."""
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from kgfarm_spark.operators.windows import backfill_features
+        from kgfarm_spark.sources.datagen import gen_transcripts
+        from kgfarm_spark.streaming.stream import stream_running_features
+
+        t = gen_transcripts(spark, n_turns=600, n_convs=8, seed=11).cache()
+        mid = 30
+        src = str(tmp_path / "state_src")
+        early = t.filter(F.col("turn_idx") < mid)
+        late = t.filter(F.col("turn_idx") >= mid)
+        early.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+        _time.sleep(1.1)  # file source orders batches by mod time
+        late.coalesce(1).write.mode("append").parquet(src + "/b1")
+
+        stream = spark.readStream.schema(t.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src + "/b1")
+        q = (
+            stream_running_features(stream, watermark="0 seconds")
+            .writeStream.format("memory")
+            .queryName("run_feat")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["conv_id"], r["turn_idx"]): (
+                r["turns_so_far"], r["tool_calls_so_far"], r["text_len_sum"]
+            )
+            for r in spark.sql("select * from run_feat").collect()
+        }
+        exp = {
+            (r["conv_id"], r["turn_idx"]): (
+                r["turns_so_far"], r["tool_calls_so_far"], r["text_len_sum"]
+            )
+            for r in backfill_features(t).select(
+                "conv_id", "turn_idx", "turns_so_far",
+                "tool_calls_so_far", "text_len_sum",
+            ).collect()
+        }
+        assert len(got) == 600
+        assert got == exp

@@ -81,3 +81,22 @@ def test_datagen_invariants(spark):
     # skew exists: hottest conv ≫ median conv
     sizes = t.groupBy("conv_id").count().toPandas()["count"]
     assert sizes.max() > 5 * sizes.median()
+
+
+def test_flagship_hash_invariant_under_partitioning(spark):
+    """North-rule determinism: the flagship result's order-insensitive
+    checksum must be identical regardless of input partitioning (proxy
+    for identical output at different cluster sizes)."""
+    from kgfarm_spark.operators.backfill import backfill_asof_fused
+    from kgfarm_spark.plans.lineage import feature_hash
+    from kgfarm_spark.sources.datagen import gen_probes, gen_transcripts
+
+    t = gen_transcripts(spark, n_turns=3000, n_convs=20, seed=13)
+    p = gen_probes(spark, t)
+    h = [
+        feature_hash(
+            backfill_asof_fused(t.repartition(n), p.repartition(m), tolerance="1 DAY")
+        )
+        for n, m in ((3, 2), (17, 9))
+    ]
+    assert h[0] == h[1]
