@@ -185,6 +185,22 @@ def pkfk_features(
     }
 
 
+def label_pkfk_candidates(
+    candidates: DataFrame, groundtruth: DataFrame
+) -> DataFrame:
+    """J7 (label join): mark each PK-FK candidate 4-tuple as has_pkfk 1/0
+    by membership in a groundtruth table — the reference loops a Python
+    membership test per row (kg_augmentor/pkfk_classification/
+    feature_generator.py:101-120); here it is one left join + when(isnull).
+    ``groundtruth`` columns: pk_table, pk_col, fk_table, fk_col."""
+    keys = ["pk_table", "pk_col", "fk_table", "fk_col"]
+    gt = groundtruth.select(*keys).distinct().withColumn("__gt", F.lit(1))
+    out = candidates.join(F.broadcast(gt), keys, "left")
+    return out.withColumn(
+        "has_pkfk", F.when(F.col("__gt").isNull(), 0).otherwise(1)
+    ).drop("__gt")
+
+
 def discover_joins(
     spark,
     tables: dict[str, DataFrame],

@@ -160,3 +160,36 @@ class TestEngineerFeatures:
         assert "wide" in tr.columns
         assert dict(tr.dtypes)["wide"] == "int"
         assert "ordinal" in report["fitted"]
+
+
+class TestOutlierFlagAndLabelJoin:
+    def test_outlier_flag_deterministic_bool(self, spark, num_long):
+        from kgfarm_spark.functions.embeddings import (
+            detect_outliers_flag,
+            numeric_column_embeddings,
+        )
+
+        emb = numeric_column_embeddings(num_long)
+        f1 = detect_outliers_flag(emb)
+        f2 = detect_outliers_flag(emb)
+        assert isinstance(f1, bool) and f1 == f2
+
+    def test_label_pkfk_candidates(self, spark):
+        from kgfarm_spark.functions.profiling import label_pkfk_candidates
+
+        cands = spark.createDataFrame(
+            [
+                ("nation", "n_nationkey", "customer", "c_nationkey", 1.0),
+                ("nation", "n_nationkey", "region", "r_regionkey", 1.0),
+            ],
+            "pk_table string, pk_col string, fk_table string, fk_col string, joinability double",
+        )
+        gt = spark.createDataFrame(
+            [("nation", "n_nationkey", "customer", "c_nationkey")],
+            "pk_table string, pk_col string, fk_table string, fk_col string",
+        )
+        out = {
+            (r["fk_table"]): r["has_pkfk"]
+            for r in label_pkfk_candidates(cands, gt).collect()
+        }
+        assert out == {"customer": 1, "region": 0}
