@@ -102,6 +102,34 @@ def q_selection_scores(spark: SparkSession, sf: str) -> DataFrame:
     return feature_selection_scores(num_emb, target_emb)
 
 
+@register("multimodal_features")  # rows-only: binary-payload UDF plumbing
+def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
+    """Opaque-binary media columns → Arrow-batched feature extraction +
+    JVM-side frame sampling (decode stubbed per task brief — the media
+    libs aren't in this container; schema/partitioning/UDF plumbing is
+    real). Deterministic synth table, independent of sf."""
+    from kgfarm_spark.operators.multimodal import (
+        extract_features,
+        sample_frames,
+        synth_media_table,
+    )
+
+    media = synth_media_table(spark, n=200, seed=42)
+    feats = extract_features(media).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.col("features")[0], 6).alias("f0"),
+        F.size("features").alias("dim"),
+    )
+    frames = (
+        sample_frames(media, every_nth=25)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled_frames"))
+    )
+    return feats.join(frames, "media_id", "left").orderBy("media_id")
+
+
 @register("engineer_features_e2e")  # rows-only: multi-stage orchestration
 def q_engineer_features(spark: SparkSession, sf: str) -> DataFrame:
     """Full §3.1 lifecycle on (orders ⋈ customer): importance → corr-prune

@@ -70,5 +70,6 @@ def test_queries_have_oracles():
         "cleaning_recommendations",
         "feature_selection_scores",
         "engineer_features_e2e",
+        "multimodal_features",
     }
     assert missing <= allowed_rows_only

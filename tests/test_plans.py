@@ -1,0 +1,88 @@
+"""Physical-plan regression tests — lock in the shuffle/window shape the
+100 TB design depends on (BENCH.md §2 derives its extrapolation from
+exactly these properties). If a refactor re-introduces a second exchange
+or splits the fused Window pass, these fail before the benchmark does.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgfarm_spark.operators.asof import asof_join
+from kgfarm_spark.operators.backfill import backfill_asof_fused
+from kgfarm_spark.operators.windows import backfill_features, rolling_aggregates
+from kgfarm_spark.sources.datagen import gen_probes, gen_transcripts
+
+
+def _counts(df) -> dict:
+    jvm = df.sparkSession._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    return {
+        "exchange": len(re.findall(r"\(\d+\) Exchange", plan)),
+        "window": len(re.findall(r"\(\d+\) Window", plan)),
+        "sort": len(re.findall(r"\(\d+\) Sort", plan)),
+        "scan": len(re.findall(r"\(\d+\) Scan", plan)),
+        "pushed": "PushedFilters: [" in plan and "PushedFilters: []" not in plan,
+    }
+
+
+@pytest.fixture(scope="module")
+def stored(spark, tmp_path_factory):
+    """Transcripts + probes as STORED tables — the production shape (the
+    sf-testdata derivation adds sandbox-only scans; see transcripts.py)."""
+    d = tmp_path_factory.mktemp("plans")
+    t = gen_transcripts(spark, n_turns=2000, n_convs=10, seed=3)
+    t.write.mode("overwrite").parquet(str(d / "t"))
+    tt = spark.read.parquet(str(d / "t"))
+    gen_probes(spark, tt).write.mode("overwrite").parquet(str(d / "p"))
+    return tt, spark.read.parquet(str(d / "p"))
+
+
+def test_fused_flagship_single_shuffle_single_window(stored):
+    t, p = stored
+    c = _counts(backfill_asof_fused(t, p, tolerance="1 DAY"))
+    assert c["exchange"] == 1, "fused flagship must shuffle exactly once"
+    assert c["window"] == 1, "all cumulative features must share ONE Window pass"
+    assert c["sort"] == 1, "one sort, reused by the window"
+    assert c["scan"] == 2
+
+
+def test_backfill_single_window(stored):
+    t, _ = stored
+    c = _counts(backfill_features(t))
+    assert (c["exchange"], c["window"], c["sort"]) == (1, 1, 1)
+
+
+def test_rolling_single_window(stored):
+    t, _ = stored
+    c = _counts(rolling_aggregates(t))
+    assert (c["exchange"], c["window"], c["sort"]) == (1, 1, 1)
+
+
+def test_asof_union_window_single_shuffle(stored):
+    t, p = stored
+    out = asof_join(
+        p, t, on="conv_id", left_ts="query_ts", right_ts="ts",
+        direction="backward", tolerance="1 DAY", right_cols=["turn_idx", "role"],
+    )
+    c = _counts(out)
+    assert c["exchange"] == 1, "union-window as-of must shuffle exactly once"
+
+
+def test_probe_scan_prunes_columns(stored):
+    t, p = stored
+    fused = backfill_asof_fused(t, p, tolerance="1 DAY")
+    jvm = fused.sparkSession._jvm
+    plan = fused._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the probe-side scan must read only its 3 columns (pruning), and the
+    # transcript text column must not survive past the projection
+    assert "ReadSchema: struct<conv_id:string,query_ts:timestamp,probe_id:string>" in plan.replace(
+        "timestamp_ntz", "timestamp"
+    )
