@@ -88,6 +88,24 @@ def prune_correlated(
     return [c for c in scores if c not in dropped]
 
 
+def f_regression_scores(
+    df: DataFrame, feature_cols: list[str], target: str
+) -> dict:
+    """Exact sklearn ``f_regression`` parity (M15 regression branch,
+    interface/apis.py:252-254): univariate F = r²·(n−2)/(1−r²) where r is
+    the Pearson correlation with the target — derived from the same
+    single-pass moment aggregate as pearson_corr_matrix (no extra scan)."""
+    cols = list(feature_cols) + [target]
+    corr = pearson_corr_matrix(df, cols)
+    n = df.count()
+    scores = {}
+    for c in feature_cols:
+        r = corr.get((c, target), corr.get((target, c), 0.0))
+        denom = 1.0 - r * r
+        scores[c] = (r * r * (n - 2) / denom) if denom > 1e-15 else float("inf")
+    return scores
+
+
 def mutual_information_binned(
     df: DataFrame, feature_cols: list[str], target: str, bins: int = 10
 ) -> dict:

@@ -1,18 +1,26 @@
 """End-to-end feature-engineering pipeline — the reference's flagship
 ``engineer_features(train, test, target)`` lifecycle (§3.1 of SURVEY.md;
-interface/apis.py:238-424) re-expressed lazily over Spark DataFrames.
+interface/apis.py:238-424) re-expressed lazily over Spark DataFrames,
+with the reference's exact thresholds, caps, and fallbacks.
 
 Stage order (reference order, apis.py:241-419):
   1. task typing from target cardinality (apis.py:118-126)
   2. dtype split (apis.py:128-137)
-  3. importance pruning — ANOVA-F (classification) / correlation-with-
-     target (regression) scores, keep-all fallback when < 10% survive
-     (apis.py:244-279)
-  4. correlation pruning — drop the lower-importance member of each pair
-     with |corr| > 0.90 (apis.py:281-304)
-  5. transforms — categorical → scaling → unary, all FIT ON TRAIN ONLY
-     (fixing the reference's fit-on-test OHE quirk, apis.py:333-345;
-     north_rule demands zero leakage)
+  3. importance pruning (apis.py:244-279): mutual information
+     (classification; binned estimator — the documented scale path for
+     sklearn's kNN-based mutual_info_classif) or f_regression
+     (regression — EXACT, derived from Pearson r), keep score > θ1
+     (default 0.00; regression uses θ1+5, apis.py:255-256), sorted desc;
+     size caps: top-20 when (≥5 MB and ≥100 numeric features) or ≥20 MB
+     (apis.py:266-267); keep-all fallback when < 10% survive or ≤ 1
+     (apis.py:268-269)
+  4. correlation pruning (apis.py:281-304): drop the lower-importance
+     member of each pair with corr > θ2 (default 0.90); keep-all fallback
+     when < 10% survive or ≤ 1 (apis.py:299-302)
+  5. transforms — categorical → scaling → unary order
+     (inference.py:218-221), all FIT ON TRAIN ONLY (fixing the
+     reference's fit-on-test OHE quirk, apis.py:333-345; north_rule
+     demands zero leakage)
 
 Returns lazy (train, test) DataFrames — nothing materializes until the
 caller acts. Every fitted statistic is a driver-side scalar broadcast
@@ -26,7 +34,8 @@ from pyspark.sql import functions as F
 
 from kgfarm_spark.functions.profiling import task_type
 from kgfarm_spark.functions.selection import (
-    anova_f_scores,
+    f_regression_scores,
+    mutual_information_binned,
     pearson_corr_matrix,
     prune_correlated,
 )
@@ -43,12 +52,23 @@ _NUM_TYPES = {"int", "bigint", "double", "float", "smallint", "tinyint"}
 _OHE_MAX_DISTINCT = 5  # operations/api.py:296-305 cardinality guard
 
 
+def _estimated_size_mb(df: DataFrame) -> float:
+    """Catalyst's size estimate for the plan — the Spark analog of the
+    reference's ``memory_usage(deep=True)`` gate (apis.py:240)."""
+    try:
+        return float(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        ) / (1024 * 1024)
+    except Exception:
+        return 0.0
+
+
 def engineer_features(
     train: DataFrame,
     test: DataFrame,
     target: str,
-    corr_threshold: float = 0.90,
-    importance_keep_frac: float = 0.10,
+    information_gain_thresh: float = 0.00,
+    correlation_thresh: float = 0.90,
     unary_log_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Returns (train, test, report). ``report`` records every decision
@@ -58,35 +78,48 @@ def engineer_features(
     categorical = [c for c, t in train.dtypes if t == "string" and c != target]
 
     task = task_type(train, target)
+    df_size = _estimated_size_mb(train)
 
-    # --- importance (classification: ANOVA F; regression: |corr|) -------
+    # --- 3. importance pruning (apis.py:244-279) -------------------------
+    theta1 = information_gain_thresh
     if numeric:
         if task in ("binary", "multiclass"):
-            scores = anova_f_scores(train, numeric, target)
+            scores = mutual_information_binned(train, numeric, target)
         else:
-            corr_t = pearson_corr_matrix(train, numeric + [target])
-            scores = {
-                c: abs(corr_t.get((c, target), corr_t.get((target, c), 0.0)))
-                for c in numeric
-            }
-        median_score = sorted(scores.values())[len(scores) // 2]
-        kept = [c for c in numeric if scores[c] >= median_score * 0.01]
-        # keep-all fallback (apis.py:266-279): if < 10% survive, keep all
-        if len(kept) < max(1, int(importance_keep_frac * len(numeric))):
-            kept = list(numeric)
+            scores = f_regression_scores(train, numeric, target)
+            theta1 = theta1 + 5  # apis.py:255-256
+        pruning_info = dict(
+            sorted(
+                ((c, s) for c, s in scores.items() if s > theta1),
+                key=lambda kv: kv[1],
+                reverse=True,
+            )
+        )
+        if (df_size >= 5 and len(numeric) >= 100) or df_size >= 20:
+            kept = list(pruning_info)[:20]  # apis.py:266-267
+        elif len(pruning_info) < int(0.1 * len(numeric)) or len(pruning_info) <= 1:
+            kept = list(numeric)  # keep-all fallback, apis.py:268-269
+        else:
+            kept = list(pruning_info)
     else:
-        scores, kept = {}, []
+        scores, pruning_info, kept = {}, {}, []
 
-    # --- correlation pruning (apis.py:281-304) ---------------------------
+    # --- 4. correlation pruning (apis.py:281-304) -------------------------
     if len(kept) > 1:
         corr = pearson_corr_matrix(train, kept)
-        kept = prune_correlated({c: scores[c] for c in kept}, corr, corr_threshold)
+        survivors = prune_correlated(
+            {c: scores.get(c, 0.0) for c in kept}, corr, correlation_thresh
+        )
+        if len(survivors) < int(0.1 * len(kept)) or len(survivors) <= 1:
+            kept = list(numeric)  # keep-all fallback, apis.py:299-302
+        else:
+            kept = survivors
 
     dropped = [c for c in numeric if c not in kept]
     train = train.drop(*dropped)
     test = test.drop(*dropped)
 
-    # --- transforms: categorical → scaling → unary (inference.py:218-221)
+    # --- 5. transforms: categorical → scaling → unary (inference.py:218-221)
     fitted: dict = {}
     low_card, high_card = [], []
     for c in categorical:
@@ -117,6 +150,7 @@ def engineer_features(
 
     report = {
         "task": task,
+        "df_size_mb": round(df_size, 3),
         "importance_scores": {c: float(s) for c, s in scores.items()},
         "kept_numeric": kept,
         "dropped_numeric": dropped,

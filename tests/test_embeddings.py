@@ -193,3 +193,49 @@ class TestOutlierFlagAndLabelJoin:
             for r in label_pkfk_candidates(cands, gt).collect()
         }
         assert out == {"customer": 1, "region": 0}
+
+
+class TestSelectionExactness:
+    def test_f_regression_matches_formula(self, spark):
+        import numpy as np
+
+        from kgfarm_spark.functions.selection import f_regression_scores
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=200)
+        noise = rng.normal(size=200)
+        y = 3.0 * x + noise
+        z = rng.normal(size=200)  # unrelated
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(c)) for a, b, c in zip(x, z, y)],
+            "x double, z double, y double",
+        )
+        got = f_regression_scores(df, ["x", "z"], "y")
+        # sklearn f_regression: F = r^2 (n-2) / (1 - r^2)
+        for c, v in zip(["x", "z"], [x, z]):
+            r = np.corrcoef(v, y)[0, 1]
+            expected = r * r * (200 - 2) / (1 - r * r)
+            assert abs(got[c] - expected) < 1e-6 * max(1.0, expected)
+        assert got["x"] > 100 > got["z"]
+
+    def test_engineer_features_regression_branch(self, spark):
+        import numpy as np
+
+        from kgfarm_spark.pipeline import engineer_features
+
+        rng = np.random.default_rng(8)
+        rows = []
+        for i in range(300):
+            x1 = float(rng.normal())
+            x2 = float(rng.normal())
+            w = float(rng.normal())  # pure noise, F ~ 0 < theta1+5
+            rows.append((x1, x2, w, 2.0 * x1 + x2 + float(rng.normal(0, 0.1))))
+        df = spark.createDataFrame(rows, "x1 double, x2 double, w double, y double")
+        train = df.limit(200)
+        test = df.subtract(train)
+        tr, te, report = engineer_features(train, test, "y")
+        assert report["task"] == "regression"
+        # w scores below theta1+5 → pruned; 2 of 3 survive (no fallback:
+        # the reference keeps all only when < 10% survive or ≤ 1 survives)
+        assert sorted(report["kept_numeric"]) == ["x1", "x2"]
+        assert report["dropped_numeric"] == ["w"]
