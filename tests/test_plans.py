@@ -86,3 +86,25 @@ def test_probe_scan_prunes_columns(stored):
     assert "ReadSchema: struct<conv_id:string,query_ts:timestamp,probe_id:string>" in plan.replace(
         "timestamp_ntz", "timestamp"
     )
+
+
+def test_bucketed_table_zero_shuffle(spark, tmp_path):
+    """Storage-layout win (100 TB design): over a table bucketed+sorted by
+    conv_id (= Iceberg `bucket(N, conv_id)` layout), per-conversation
+    window ops need ZERO exchanges — the scan's bucketing satisfies the
+    window's required distribution. This is why the production table spec
+    in BENCH.md mandates conv_id bucketing."""
+    t = gen_transcripts(spark, n_turns=2000, n_convs=10, seed=5)
+    try:
+        (
+            t.write.mode("overwrite")
+            .option("path", str(tmp_path / "tx_bucketed"))
+            .bucketBy(8, "conv_id")
+            .sortBy("conv_id", "turn_idx")
+            .saveAsTable("tx_bucketed_test")
+        )
+        c = _counts(backfill_features(spark.table("tx_bucketed_test")))
+        assert c["exchange"] == 0, "bucketed layout must eliminate the shuffle"
+        assert c["window"] == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tx_bucketed_test")
