@@ -102,6 +102,44 @@ def q_selection_scores(spark: SparkSession, sf: str) -> DataFrame:
     return feature_selection_scores(num_emb, target_emb)
 
 
+@register("quantile_transform_fitted")  # rows-only: np.interp kernel
+def q_quantile_fitted(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-free QuantileTransformer: grid fit on train (odd custkeys),
+    applied to test (even custkeys) via Arrow-batched np.interp."""
+    from kgfarm_spark.functions.transforms import (
+        apply_quantile_transformer,
+        fit_quantile_transformer,
+    )
+
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    train = cust.filter(F.col("c_custkey") % 2 == 1)
+    test = cust.filter(F.col("c_custkey") % 2 == 0)
+    params = fit_quantile_transformer(train, ["c_acctbal"])
+    out = apply_quantile_transformer(test, params)
+    return out.select("c_custkey", F.round("c_acctbal", 6).alias("bal_qtile"))
+
+
+@register("power_transform_yeo_johnson")  # rows-only: MLE fit kernel
+def q_power_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """PowerTransformer (Yeo-Johnson): λ fit on a deterministic sample,
+    applied as a pure column expression."""
+    from kgfarm_spark.functions.transforms import (
+        apply_power_transformer,
+        fit_power_transformer,
+    )
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    params = fit_power_transformer(li, ["l_extendedprice"])
+    out = apply_power_transformer(li, params)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 4).alias("price_yj"),
+    )
+
+
 @register("multimodal_features")  # rows-only: binary-payload UDF plumbing
 def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     """Opaque-binary media columns → Arrow-batched feature extraction +

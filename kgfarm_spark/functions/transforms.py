@@ -15,6 +15,8 @@ build a dictionary DataFrame and broadcast-join it.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -94,6 +96,134 @@ def quantile_rank_transform(df: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
         w = Window.partitionBy().orderBy(F.col(c).asc())
         out = out.withColumn(c, F.percent_rank().over(w))
+    return out
+
+
+def fit_quantile_transformer(
+    df: DataFrame, cols: list[str], n_quantiles: int = 100
+) -> dict:
+    """Leakage-free QuantileTransformer (M16, sklearn shape): FIT learns an
+    n_quantiles reference grid per column on the train frame (one
+    percentile_approx pass for all columns); APPLY maps any frame's values
+    to [0,1] by piecewise-linear interpolation against that grid — test
+    rows never influence the mapping (north_rule zero-leakage; fixes the
+    reference's fit-on-concat quirks, apis.py:328-331)."""
+    qs = [i / (n_quantiles - 1) for i in range(n_quantiles)]
+    qlist = "array(" + ",".join(str(q) for q in qs) + ")"
+    aggs = [
+        F.expr(f"percentile_approx(`{c}`, {qlist}, 10000)").alias(c) for c in cols
+    ]
+    row = df.agg(*aggs).first()
+    return {c: [float(v) for v in row[c]] for c in cols}
+
+
+def apply_quantile_transformer(df: DataFrame, params: dict) -> DataFrame:
+    """np.interp against the fitted grid inside an Arrow-batched pandas
+    UDF (vectorized; grids are tiny literals closed over per column)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def make_udf(grid):
+        g = np.asarray(grid, dtype=np.float64)
+        pos = np.linspace(0.0, 1.0, len(g))
+
+        @pandas_udf("double")
+        def q_map(s: pd.Series) -> pd.Series:
+            return pd.Series(np.interp(s.to_numpy(dtype=np.float64), g, pos))
+
+        return q_map
+
+    out = df
+    for c, grid in params.items():
+        out = out.withColumn(c, make_udf(grid)(F.col(c).cast("double")))
+    return out
+
+
+def _yeo_johnson_np(x, lam: float):
+    """numpy Yeo-Johnson ψ(x, λ) — used for the fit and as the test twin."""
+    import numpy as np
+
+    pos = x >= 0
+    out = np.empty_like(x, dtype=np.float64)
+    if abs(lam) > 1e-12:
+        out[pos] = ((x[pos] + 1.0) ** lam - 1.0) / lam
+    else:
+        out[pos] = np.log1p(x[pos])
+    if abs(lam - 2.0) > 1e-12:
+        out[~pos] = -(((-x[~pos] + 1.0) ** (2.0 - lam)) - 1.0) / (2.0 - lam)
+    else:
+        out[~pos] = -np.log1p(-x[~pos])
+    return out
+
+
+def fit_power_transformer(
+    df: DataFrame, cols: list[str], sample_limit: int = 100_000
+) -> dict:
+    """PowerTransformer (Yeo-Johnson) λ fit — M16's last member. λ is a
+    1-D MLE, not distributable exactly; per SURVEY §7 'what's hard' #2 the
+    fit runs driver-side on a deterministic hash-ordered sample capped at
+    ``sample_limit`` rows (the reference also samples before recommending,
+    operations/api.py:309-313). Golden-section search maximizes the
+    Yeo-Johnson profile log-likelihood LL(λ) = −n/2·log σ²(ψ) +
+    (λ−1)·Σ sign(x)·log(|x|+1). The APPLY side is a pure column
+    expression — no Python at transform time."""
+    import numpy as np
+
+    params = {}
+    for c in cols:
+        vals_df = df.select(F.col(c).cast("double").alias("v")).filter(
+            F.col("v").isNotNull()
+        )
+        sampled = (
+            vals_df.withColumn("__h", F.md5(F.col("v").cast("string")))
+            .orderBy("__h")
+            .limit(sample_limit)
+        )
+        x = np.array([r["v"] for r in sampled.collect()], dtype=np.float64)
+        if len(x) < 2:
+            params[c] = 1.0
+            continue
+
+        const = np.sum(np.sign(x) * np.log1p(np.abs(x)))
+
+        def nll(lam):
+            t = _yeo_johnson_np(x, lam)
+            var = t.var()
+            if var <= 0 or not np.isfinite(var):
+                return np.inf
+            return 0.5 * len(x) * np.log(var) - (lam - 1.0) * const
+
+        lo, hi = -5.0, 5.0
+        phi = (np.sqrt(5.0) - 1.0) / 2.0
+        a, b = lo, hi
+        c1, c2 = b - phi * (b - a), a + phi * (b - a)
+        f1, f2 = nll(c1), nll(c2)
+        for _ in range(80):
+            if f1 < f2:
+                b, c2, f2 = c2, c1, f1
+                c1 = b - phi * (b - a)
+                f1 = nll(c1)
+            else:
+                a, c1, f1 = c1, c2, f2
+                c2 = a + phi * (b - a)
+                f2 = nll(c2)
+        params[c] = round(float((a + b) / 2.0), 6)
+    return params
+
+
+def apply_power_transformer(df: DataFrame, params: dict) -> DataFrame:
+    """Yeo-Johnson with fitted λ as a codegen'd column expression."""
+    out = df
+    for c, lam in params.items():
+        x = F.col(c).cast("double")
+        if abs(lam) > 1e-12:
+            pos_expr = (F.pow(x + 1.0, F.lit(lam)) - 1.0) / F.lit(lam)
+        else:
+            pos_expr = F.log1p(x)
+        if abs(lam - 2.0) > 1e-12:
+            neg_expr = -(F.pow(-x + 1.0, F.lit(2.0 - lam)) - 1.0) / F.lit(2.0 - lam)
+        else:
+            neg_expr = -F.log1p(-x)
+        out = out.withColumn(c, F.when(x >= 0, pos_expr).otherwise(neg_expr))
     return out
 
 

@@ -145,3 +145,71 @@ def test_corr_prune_keeps_higher_scored(spark):
     assert corr[("a", "b")] > 0.99
     kept = prune_correlated({"a": 2.0, "b": 1.0, "c": 0.5}, corr)
     assert kept == ["a", "c"]
+
+
+def test_quantile_transformer_fit_apply_leakfree(spark):
+    import numpy as np
+
+    from kgfarm_spark.functions.transforms import (
+        apply_quantile_transformer,
+        fit_quantile_transformer,
+    )
+
+    train = spark.range(1000).select((F.col("id").cast("double")).alias("v"))
+    test = spark.createDataFrame(
+        [(-50.0,), (0.0,), (499.5,), (999.0,), (2000.0,)], "v double"
+    )
+    params = fit_quantile_transformer(train, ["v"], n_quantiles=101)
+    got = [r["v"] for r in apply_quantile_transformer(test, params).collect()]
+    expected = np.interp(
+        [-50.0, 0.0, 499.5, 999.0, 2000.0],
+        np.asarray(params["v"]),
+        np.linspace(0, 1, 101),
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-9)
+    assert got[0] == 0.0 and got[-1] == 1.0  # clipping outside train range
+    assert abs(got[2] - 0.5) < 0.02  # median of train maps near 0.5
+
+
+def test_power_transformer_yeo_johnson(spark):
+    import numpy as np
+
+    from kgfarm_spark.functions.transforms import (
+        _yeo_johnson_np,
+        apply_power_transformer,
+        fit_power_transformer,
+    )
+
+    # heavily right-skewed data → λ well below 1 (log-like correction)
+    rng = np.random.default_rng(3)
+    x = np.exp(rng.normal(0, 1, 800))
+    df = spark.createDataFrame([(float(v),) for v in x], "v double")
+    params = fit_power_transformer(df, ["v"])
+    lam = params["v"]
+    assert lam < 0.5
+
+    # Spark expression equals the numpy twin at the fitted λ
+    got = np.array(
+        [r["v"] for r in apply_power_transformer(df, params).orderBy("v").collect()]
+    )
+    expected = np.sort(_yeo_johnson_np(np.asarray(x, dtype=np.float64), lam))
+    np.testing.assert_allclose(got, expected, rtol=1e-9)
+
+    # the transform reduces skewness toward symmetry
+    def skew(a):
+        a = (a - a.mean()) / a.std()
+        return float((a**3).mean())
+
+    assert abs(skew(expected)) < abs(skew(x)) / 5
+
+
+def test_power_transformer_identity_on_symmetric(spark):
+    import numpy as np
+
+    from kgfarm_spark.functions.transforms import fit_power_transformer
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(0, 1, 800)
+    df = spark.createDataFrame([(float(v),) for v in x], "v double")
+    lam = fit_power_transformer(df, ["v"])["v"]
+    assert 0.7 < lam < 1.3  # near-identity for already-normal data

@@ -71,5 +71,7 @@ def test_queries_have_oracles():
         "feature_selection_scores",
         "engineer_features_e2e",
         "multimodal_features",
+        "quantile_transform_fitted",
+        "power_transform_yeo_johnson",
     }
     assert missing <= allowed_rows_only
