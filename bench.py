@@ -34,6 +34,10 @@ HEADLINE = [
     "backfill_features",
     "sessionize",
     "rolling_aggregates",
+    # training-data pipeline ops (task-brief additions)
+    "dedup_minhash_lsh",
+    "cosine_topk",
+    "text_quality",
 ]
 
 SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "16000000"))

@@ -1,0 +1,149 @@
+"""FeatureFarm — the engine's user-facing facade, mirroring the
+reference's verb surface so a KGFarm user can switch call-for-call
+(SURVEY §3.5). Reference verbs → engine ops:
+
+| Reference (operations/api.py + interface/apis.py) | Here |
+|---|---|
+| ``load_table`` (api.py:72) | ``load_table`` |
+| profiles in LiDS KG | ``profile`` (computed live) |
+| ``get_entities`` (api.py:79) | ``detect_entities`` / ``default_entities`` |
+| ``search_enrichment_options`` (api.py:189) | ``search_enrichment_options`` |
+| ``enrich(freshness=10)`` (api.py:518) | ``enrich`` (interval parity) / ``asof_enrich`` (latest) |
+| ``recommend_cleaning_operations`` (apis.py:139) | ``recommend_cleaning_operations`` |
+| ``clean`` (apis.py:185) | ``clean`` |
+| ``recommend_transformations`` (apis.py:37) | ``recommend_transformations`` |
+| ``select_features`` (api.py:592) | ``select_features`` |
+| ``engineer_features`` (apis.py:238) | ``engineer_features`` |
+| — (north_rule additions) | ``sessionize`` / ``backfill`` / ``asof_join`` |
+
+Every method returns lazy DataFrames (or small driver-side dicts for
+recommendations), never materialized pandas — the fundamental departure
+from the reference's eager single-machine design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kgfarm_spark.functions import cleaning as _cleaning
+from kgfarm_spark.functions import embeddings as _emb
+from kgfarm_spark.functions import profiling as _prof
+from kgfarm_spark.functions import selection as _sel
+from kgfarm_spark.operators import windows as _win
+from kgfarm_spark.operators.asof import asof_join as _asof
+from kgfarm_spark.operators.backfill import backfill_asof_fused
+from kgfarm_spark.pipeline import engineer_features as _engineer
+from kgfarm_spark.sources.transcripts import load_table as _load
+
+
+class FeatureFarm:
+    """Stateless facade; ``spark`` is the only held resource."""
+
+    def __init__(self, spark: SparkSession, data_dir: str | None = None):
+        self.spark = spark
+        self.data_dir = data_dir
+
+    # ---- catalog / discovery (reference §3.2 lifecycle) -----------------
+    def load_table(self, name: str, data_dir: str | None = None) -> DataFrame:
+        return _load(self.spark, data_dir or self.data_dir, name)
+
+    def profile(self, df: DataFrame, table_name: str, exact: bool = False) -> DataFrame:
+        return _prof.profile_table(df, table_name, exact=exact)
+
+    def detect_entities(self, profiles: DataFrame, uniqueness: float = 0.95) -> DataFrame:
+        return _prof.detect_entities(profiles, uniqueness)
+
+    def default_entities(self, entities: DataFrame) -> DataFrame:
+        return _prof.elect_default_entities(entities)
+
+    def search_enrichment_options(self, tables: dict[str, DataFrame]) -> DataFrame:
+        return _prof.discover_joins(self.spark, tables)
+
+    # ---- enrichment (reference enrich(), api.py:518-571) -----------------
+    def enrich(
+        self,
+        entity_df: DataFrame,
+        feature_view: DataFrame,
+        on: str,
+        entity_ts: str = "event_timestamp",
+        view_ts: str = "event_timestamp",
+        freshness_days: int = 10,
+    ) -> DataFrame:
+        """EXACT reference semantics: keep ALL feature rows inside the
+        freshness window (interval join, ties kept)."""
+        return _asof(
+            entity_df, feature_view, on=on, left_ts=entity_ts, right_ts=view_ts,
+            tolerance=f"{freshness_days} DAYS", mode="all_in_window",
+        )
+
+    def asof_enrich(
+        self,
+        entity_df: DataFrame,
+        feature_view: DataFrame,
+        on: str,
+        entity_ts: str = "event_timestamp",
+        view_ts: str = "event_timestamp",
+        freshness_days: int = 10,
+        direction: str = "backward",
+    ) -> DataFrame:
+        """Feast/north_rule semantics: latest row in the window."""
+        return _asof(
+            entity_df, feature_view, on=on, left_ts=entity_ts, right_ts=view_ts,
+            tolerance=f"{freshness_days} DAYS", direction=direction, mode="latest",
+        )
+
+    # ---- transcript feature engineering (north_rule core) ---------------
+    def sessionize(self, transcripts: DataFrame, gap: str = "30 minutes") -> DataFrame:
+        return _win.sessionize(transcripts, gap=gap)
+
+    def backfill(self, transcripts: DataFrame) -> DataFrame:
+        return _win.backfill_features(transcripts)
+
+    def asof_join(self, left, right, **kw) -> DataFrame:
+        return _asof(left, right, **kw)
+
+    def backfill_and_resolve(
+        self, transcripts: DataFrame, probes: DataFrame, tolerance: str = "1 DAY"
+    ) -> DataFrame:
+        return backfill_asof_fused(transcripts, probes, tolerance=tolerance)
+
+    # ---- cleaning (reference apis.py:139-226) -----------------------------
+    def recommend_cleaning_operations(
+        self, numeric_emb: DataFrame, string_emb: DataFrame
+    ) -> list[str]:
+        return _emb.recommend_cleaning(string_emb, numeric_emb)
+
+    def clean(
+        self,
+        df: DataFrame,
+        recommendation: str = "Fill",
+        numeric_cols: list[str] | None = None,
+        key: str | None = None,
+        order: str | None = None,
+    ) -> DataFrame:
+        """Apply a cleaning recommendation (reference clean(),
+        apis.py:185-226): Fill → mean/mode fill; Interpolate → linear +
+        ffill/bfill chain (needs key/order); Impute → median/mode."""
+        df = _cleaning.normalize_null_tokens(df)
+        if recommendation == "Interpolate":
+            num = numeric_cols or [
+                c for c, t in df.dtypes if t in ("double", "float", "bigint", "int")
+            ]
+            return _cleaning.interpolate_linear(df, num, key=key, order=order or num[0])
+        strategy = "mean" if recommendation == "Fill" else "median"
+        return _cleaning.fill_nulls(df, numeric_strategy=strategy, numeric_cols=numeric_cols)
+
+    # ---- transformations / selection -------------------------------------
+    def recommend_transformations(self, numeric_long: DataFrame) -> DataFrame:
+        emb = _emb.numeric_column_embeddings(numeric_long)
+        return _emb.recommend_unary(emb)
+
+    def select_features(
+        self, df: DataFrame, feature_cols: list[str], target: str
+    ) -> list[str]:
+        return _sel.select_features(df, feature_cols, target)
+
+    def engineer_features(
+        self, train: DataFrame, test: DataFrame, target: str, **kw
+    ) -> tuple[DataFrame, DataFrame, dict]:
+        return _engineer(train, test, target, **kw)
