@@ -100,9 +100,9 @@ def asof_join(
         raise ValueError(f"unknown strategy: {strategy!r}")
 
     if direction == "nearest":
-        back = _union_window(left, right, keys, left_ts, right_ts, "backward", tolerance, right_cols, tiebreak)
-        fwd = _union_window(left, right, keys, left_ts, right_ts, "forward", tolerance, right_cols, tiebreak)
-        return _pick_nearest(back, fwd, left, left_ts, right_cols, keys)
+        return _union_window_nearest(
+            left, right, keys, left_ts, right_ts, tolerance, right_cols, tiebreak
+        )
     return _union_window(left, right, keys, left_ts, right_ts, direction, tolerance, right_cols, tiebreak)
 
 
@@ -201,30 +201,79 @@ def _union_window(left, right, keys, left_ts, right_ts, direction, tolerance, ri
     )
 
 
-def _pick_nearest(back, fwd, left, left_ts, right_cols, keys):
-    """Combine backward+forward latest results; closer match wins, backward
-    preferred on equal distance (deterministic, oracle-checked)."""
-    out_cols = ["matched_ts"] + list(right_cols)
-    b = back.select(*left.columns, *[F.col(c).alias(f"__b_{c}") for c in out_cols])
-    f_ = fwd.select(*left.columns, *[F.col(c).alias(f"__f_{c}") for c in out_cols])
-    # join back on the full left row via the probe identity: left rows are
-    # assumed unique; join on all left columns.
-    j = b.join(f_, on=list(left.columns), how="inner")
+def _union_window_nearest(left, right, keys, left_ts, right_ts, tolerance, right_cols, tiebreak):
+    """direction='nearest' in ONE shuffle: both sides union once, the
+    backward match (last payload over ts-asc traversal) and the forward
+    match (last payload over ts-desc traversal) are computed as two window
+    columns over the same exchange — the hash partitioning on the key is
+    shared, only the intra-partition sort runs twice. Replaces the old
+    two-union + rejoin plan (3 exchanges → 1).
+
+    Closer match wins; backward preferred on equal distance
+    (deterministic, oracle-checked)."""
+    payload = F.struct(
+        F.col(right_ts).alias("matched_ts"), *[F.col(c) for c in right_cols]
+    )
+    r_side = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tb"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left.columns],
+    )
+    l_side = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(r_side.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    u = r_side.unionByName(l_side)
+
+    # same tie rules as the single-direction paths: at equal ts the right
+    # row is visible to the left row in BOTH traversals (side 0 sorts
+    # first), and among equal-ts rights max tiebreak wins
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        F.last("__payload", ignorenulls=True).over(w_back).alias("__b"),
+        F.last("__payload", ignorenulls=True).over(w_fwd).alias("__f"),
+    )
+    out = carried.filter(F.col("__side") == 1)
+
+    b, f_ = F.col("__b"), F.col("__f")
+    if tolerance is not None:
+        tol = F.expr(_tolerance_expr(tolerance))
+        b = F.when(b["matched_ts"] >= F.col("__ts") - tol, b)
+        f_ = F.when(f_["matched_ts"] <= F.col("__ts") + tol, f_)
 
     def _secs(c: Column) -> Column:
         # timestamp_ntz cannot cast straight to double in Spark 4; route via
         # ltz (session TZ pinned to UTC in session.py — deterministic).
         return c.cast("timestamp").cast("double")
 
-    bdist = _secs(F.col(left_ts)) - _secs(F.col("__b_matched_ts"))
-    fdist = _secs(F.col("__f_matched_ts")) - _secs(F.col(left_ts))
-    use_back = F.col("__f_matched_ts").isNull() | (
-        F.col("__b_matched_ts").isNotNull() & (bdist <= fdist)
+    bdist = _secs(F.col("__ts")) - _secs(b["matched_ts"])
+    fdist = _secs(f_["matched_ts"]) - _secs(F.col("__ts"))
+    use_back = f_["matched_ts"].isNull() | (
+        b["matched_ts"].isNotNull() & (bdist <= fdist)
     )
-    sel: list[Column] = [F.col(c) for c in left.columns]
-    for c in out_cols:
-        sel.append(F.when(use_back, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(c))
-    return j.select(*sel)
+    match = F.when(use_back, b).otherwise(f_)
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        match["matched_ts"].alias("matched_ts"),
+        *[match[c].alias(c) for c in right_cols],
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -108,3 +108,19 @@ def test_bucketed_table_zero_shuffle(spark, tmp_path):
         assert c["window"] == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS tx_bucketed_test")
+
+
+def test_asof_nearest_single_shuffle_no_join(stored):
+    t, p = stored
+    out = asof_join(
+        p, t, on="conv_id", left_ts="query_ts", right_ts="ts",
+        direction="nearest", tolerance="1 DAY",
+        right_cols=["turn_idx", "role"], tiebreak="turn_idx",
+    )
+    jvm = out.sparkSession._jvm
+    plan = out._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    c = _counts(out)
+    assert c["exchange"] == 1, "nearest must share ONE exchange for both directions"
+    assert "Join" not in plan, "nearest must not rejoin the two directions"
