@@ -37,25 +37,28 @@ def exact_dedup(df: DataFrame, on: list[str], order_col: str) -> DataFrame:
 
 
 def word_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
-    """Add ``shingle`` (exploded, distinct per doc) — n-word shingles."""
-    words = F.split(F.col(text_col), " ")
+    """Add ``shingle`` (exploded, distinct per doc) — n-word shingles.
+    The text is tokenized ONCE into a pre-projected array column (the
+    naive inline expression re-splits the string per sub-expression), and
+    per-doc dedup happens via array_distinct BEFORE the explode — no
+    wide dropDuplicates shuffle carrying the full text per shingle."""
+    toks = df.withColumn("__toks", F.split(F.col(text_col), " "))
     sh = F.when(
-        F.size(words) >= n,
+        F.size("__toks") >= n,
         F.expr(
-            f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
-            f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+            f"array_distinct(transform(sequence(0, size(__toks) - {n}), "
+            f"i -> concat_ws(' ', slice(__toks, i + 1, {n}))))"
         ),
     ).otherwise(F.array())
-    return df.withColumn("shingle", F.explode(sh)).dropDuplicates(
-        [c for c in df.columns] + ["shingle"]
-    )
+    return toks.withColumn("shingle", F.explode(sh)).drop("__toks")
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) distinct pairs."""
+    """(id, shingle) distinct pairs — zero shuffles (array_distinct
+    dedups within the doc; ids are unique so no cross-row dedup needed)."""
     return word_shingles(df.select(id_col, text_col), text_col, n).select(
         id_col, "shingle"
-    ).distinct()
+    )
 
 
 def jaccard_pairs(
