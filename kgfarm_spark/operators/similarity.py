@@ -45,15 +45,35 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query (self-matches excluded when ids
     collide). Deterministic tie-break: cosine desc, neighbor id asc."""
+    def _norm(col: str) -> Column:
+        v = F.col(col).cast("array<double>")
+        return F.sqrt(
+            F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        )
+
+    # norms are per-ROW, not per-pair: compute once on each side (cuts
+    # ~2/3 of the per-pair arithmetic vs naive cosine_expr per pair;
+    # arithmetic is the same sequential double sum → oracle hash unchanged)
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", _norm("__qv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", _norm("__cv"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__qv").cast("array<double>"),
+            F.col("__cv").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     sims = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr("__qv", "__cv"))
+        .withColumn("cosine", dot / (F.col("__qn") * F.col("__cn")))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
