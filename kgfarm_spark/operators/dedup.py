@@ -255,14 +255,19 @@ def embedding_neardup_pairs(
     """All pairs (a < b) with cosine ≥ threshold. Brute-force quadratic —
     correctness baseline; the scale path buckets by LSH first
     (similarity.hyperplane_lsh_bucket)."""
-    from kgfarm_spark.operators.similarity import cosine_expr
+    from kgfarm_spark.operators.similarity import dot_expr, norm_expr
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # per-row norm hoisted out of the O(n²) pair expression
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    ).withColumn("__na", norm_expr("__va"))
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    ).withColumn("__nb", norm_expr("__vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_expr("__va", "__vb"))
+        .withColumn("cosine", dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

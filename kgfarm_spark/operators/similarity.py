@@ -23,16 +23,31 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def norm_expr(col: str) -> Column:
+    """L2 norm of an array column — sequential double sum (oracle-exact)."""
+    v = F.col(col).cast("array<double>")
+    return F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Dot product of two array columns — sequential double sum."""
+    va = F.col(a).cast("array<double>")
+    vb = F.col(b).cast("array<double>")
+    return F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
 def cosine_expr(a: str, b: str) -> Column:
     """Cosine similarity of two array columns, computed in double with
     strictly sequential sums (dot/(sqrt(na)*sqrt(nb))) — the exact
-    expression shape the DuckDB oracle uses, so hashes match."""
-    va = F.col(a).cast("array<double>")
-    vb = F.col(b).cast("array<double>")
-    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.aggregate(F.transform(va, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    nb = F.aggregate(F.transform(vb, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+    expression shape the DuckDB oracle uses, so hashes match.
+
+    NOTE: recomputes both norms per PAIR — fine for one-off expressions;
+    pair-enumeration operators precompute ``norm_expr`` per row instead."""
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
 def cosine_topk(
@@ -45,35 +60,20 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query (self-matches excluded when ids
     collide). Deterministic tie-break: cosine desc, neighbor id asc."""
-    def _norm(col: str) -> Column:
-        v = F.col(col).cast("array<double>")
-        return F.sqrt(
-            F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-        )
-
     # norms are per-ROW, not per-pair: compute once on each side (cuts
     # ~2/3 of the per-pair arithmetic vs naive cosine_expr per pair;
     # arithmetic is the same sequential double sum → oracle hash unchanged)
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qv")
-    ).withColumn("__qn", _norm("__qv"))
+    ).withColumn("__qn", norm_expr("__qv"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    ).withColumn("__cn", _norm("__cv"))
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("__qv").cast("array<double>"),
-            F.col("__cv").cast("array<double>"),
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    ).withColumn("__cn", norm_expr("__cv"))
     sims = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
-        .withColumn("cosine", dot / (F.col("__qn") * F.col("__cn")))
+        .withColumn("cosine", dot_expr("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -190,14 +190,14 @@ def lsh_topk(
     c = hyperplane_lsh_bucket(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
         "__cv", n_planes,
-    )
+    ).withColumn("__cn", norm_expr("__cv"))
     q = hyperplane_lsh_bucket(
         queries.select(query_id_col, F.col(vec_col).alias("__qv")), "__qv", n_planes
-    )
+    ).withColumn("__qn", norm_expr("__qv"))
     sims = (
         q.join(c, "lsh_bucket")
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr("__qv", "__cv"))
+        .withColumn("cosine", dot_expr("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
