@@ -35,6 +35,30 @@ def bucket_of(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+def input_snapshot_id(df: DataFrame) -> str:
+    """Deterministic fingerprint of the DataFrame's physical inputs —
+    the parquet-world stand-in for an Iceberg snapshot id (north_rule:
+    manifests carry the input snapshot id; on Iceberg this would be
+    ``SELECT snapshot_id() ...``). md5 over the sorted (path, size)
+    listing: any file added/replaced/resized changes the id, so a resume
+    can detect that its checkpoint no longer matches the input."""
+    import hashlib
+
+    files = sorted(df.inputFiles())
+    h = hashlib.md5()
+    hconf = df.sparkSession.sparkContext._jsc.hadoopConfiguration()
+    jvm = df.sparkSession._jvm
+    for f in files:
+        h.update(f.encode())
+        try:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+            h.update(str(size).encode())
+        except Exception:
+            pass
+    return h.hexdigest()[:16] if files else "in-memory"
+
+
 def feature_hash(df: DataFrame) -> int:
     """Order-insensitive 64-bit checksum of the full result: xor-fold of
     xxhash64(canonical row string). Distributed, one aggregate."""

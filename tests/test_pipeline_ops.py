@@ -246,3 +246,20 @@ class TestStreaming:
         }
         assert len(got) == 600
         assert got == exp
+
+    def test_input_snapshot_id_tracks_files(self, spark, tmp_path):
+        from kgfarm_spark.plans.lineage import input_snapshot_id
+        from kgfarm_spark.sources.datagen import gen_transcripts
+
+        t = gen_transcripts(spark, n_turns=200, n_convs=4, seed=2)
+        p = str(tmp_path / "snap")
+        t.write.mode("overwrite").parquet(p)
+        df = spark.read.parquet(p)
+        s1 = input_snapshot_id(df)
+        s2 = input_snapshot_id(spark.read.parquet(p))
+        assert s1 == s2 and len(s1) == 16
+        # appending a file changes the snapshot id
+        t.limit(10).write.mode("append").parquet(p)
+        s3 = input_snapshot_id(spark.read.parquet(p))
+        assert s3 != s1
+        assert input_snapshot_id(t) == "in-memory"

@@ -64,7 +64,11 @@ def main() -> None:
     if args.checkpoint_dir:
         from pyspark.sql import functions as F
 
-        from kgfarm_spark.plans.lineage import bucket_of, run_checkpointed
+        from kgfarm_spark.plans.lineage import (
+            bucket_of,
+            input_snapshot_id,
+            run_checkpointed,
+        )
 
         def build_job(probe_bucket, b):
             # co-bucket the transcript side on the same conv_id hash so
@@ -75,6 +79,7 @@ def main() -> None:
         written = run_checkpointed(
             build_job, probes, key_col="conv_id", out_dir=args.out,
             n_buckets=args.buckets,
+            snapshot_id=input_snapshot_id(transcripts),
         )
         stats = {"buckets_run": len(written)}
     else:
