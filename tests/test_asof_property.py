@@ -90,3 +90,63 @@ def test_asof_matches_bruteforce(spark, direction, turns, probes):
         for r in got.collect()
     )
     assert got_rows == _oracle(turns, probes, direction)
+
+
+def _oracle_nearest(turns, probes):
+    out = []
+    for i, (k, qts) in enumerate(probes):
+        back = [
+            (tts, idx) for tk, tts, idx in turns
+            if tk == k and qts - TOL <= tts <= qts
+        ]
+        fwd = [
+            (tts, idx) for tk, tts, idx in turns
+            if tk == k and qts <= tts <= qts + TOL
+        ]
+        b = max(back, key=lambda c: (c[0], c[1])) if back else None
+        f = min(fwd, key=lambda c: (c[0], -c[1])) if fwd else None
+        if b is None and f is None:
+            out.append((i, None, None))
+            continue
+        if f is None:
+            best = b
+        elif b is None:
+            best = f
+        else:
+            bdist = (qts - b[0]).total_seconds()
+            fdist = (f[0] - qts).total_seconds()
+            best = b if bdist <= fdist else f  # backward wins ties
+        out.append((i, best[0], best[1]))
+    return sorted(out)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    turns=st.lists(turn, min_size=0, max_size=12),
+    probes=st.lists(probe, min_size=1, max_size=6),
+)
+def test_asof_nearest_matches_bruteforce(spark, turns, probes):
+    turns = sorted(set(turns))
+    t_df = spark.createDataFrame(
+        [(k, ts, i) for k, ts, i in turns] or [("__empty", BASE, 0)],
+        "conv_id string, ts timestamp, turn_idx int",
+    )
+    if not turns:
+        t_df = t_df.filter("conv_id <> '__empty'")
+    p_df = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(probes)],
+        "conv_id string, query_ts timestamp, probe_id int",
+    )
+    got = asof_join(
+        p_df, t_df, on="conv_id", left_ts="query_ts", right_ts="ts",
+        direction="nearest", tolerance="1 HOUR",
+        right_cols=["turn_idx"], tiebreak="turn_idx",
+    )
+    got_rows = sorted(
+        (r["probe_id"], r["matched_ts"], r["turn_idx"]) for r in got.collect()
+    )
+    assert got_rows == _oracle_nearest(turns, probes)
