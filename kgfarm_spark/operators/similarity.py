@@ -142,6 +142,118 @@ def cosine_topk_twophase(
     )
 
 
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_limit: int = 20_000,
+    iters: int = 10,
+    id_col: str = "vec_id",
+):
+    """IVF coarse quantizer: k-means centroids fit driver-side on a
+    deterministic hash-ordered sample (Lloyd, seeded init = first
+    n_cells sample rows — fully reproducible, no RNG). Returns a numpy
+    (n_cells, dim) array; broadcast it for assignment/search."""
+    import numpy as np
+
+    sampled = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(sample_limit)
+        .collect()
+    )
+    x = np.array([r[vec_col] for r in sampled], dtype=np.float64)
+    cents = x[:n_cells].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame, centroids, vec_col: str = "embedding", out_col: str = "ivf_cell"
+) -> DataFrame:
+    """Assign each row to its nearest centroid (vectorized numpy inside
+    Arrow batches; centroids broadcast)."""
+    import numpy as np
+    import pandas as pd
+
+    bc = df.sparkSession.sparkContext.broadcast(centroids)
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
+    out_schema = f"{fields}, `{out_col}` int"
+
+    def assign(batches):
+        cents = bc.value
+        for pdf in batches:
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            pdf[out_col] = d.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN top-k: corpus rows are binned by nearest centroid; each
+    query probes only its ``nprobe`` nearest cells and ranks exact cosine
+    within them. The task brief's 'IVF variant' alongside lsh_topk —
+    recall measured against the brute-force baseline in tests."""
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = fit_ivf_centroids(corpus, vec_col, n_cells, id_col=id_col)
+    n_cells = len(centroids)
+
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        centroids, "__cv", "ivf_cell",
+    ).withColumn("__cn", norm_expr("__cv"))
+
+    # per-query probe cells (small side, computed driver-side)
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        d = ((centroids - v[None, :]) ** 2).sum(axis=1)
+        for cell in np.argsort(d, kind="stable")[:nprobe]:
+            probe_rows.append((r[query_id_col], r[vec_col], int(cell)))
+    spark = corpus.sparkSession
+    q = spark.createDataFrame(
+        pd.DataFrame(probe_rows, columns=[query_id_col, "__qv", "ivf_cell"])
+    ).withColumn("__qn", norm_expr("__qv"))
+
+    sims = (
+        F.broadcast(q)
+        .join(c, "ivf_cell")
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .withColumn("cosine", dot_expr("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
 def hyperplane_lsh_bucket(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -263,3 +263,45 @@ class TestStreaming:
         s3 = input_snapshot_id(spark.read.parquet(p))
         assert s3 != s1
         assert input_snapshot_id(t) == "in-memory"
+
+
+class TestIVF:
+    def test_ivf_recall_vs_bruteforce(self, spark):
+        """IVF with nprobe=4/8 cells must recover most brute-force
+        neighbors on clustered data (deterministic fixture + quantizer)."""
+        import numpy as np
+
+        from kgfarm_spark.operators.similarity import cosine_topk, ivf_topk
+
+        rng = np.random.default_rng(17)
+        centers = rng.normal(0, 5, (8, 16))
+        rows = []
+        for i in range(400):
+            c = i % 8
+            rows.append((i, (centers[c] + rng.normal(0, 0.3, 16)).tolist()))
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = corpus.filter("vec_id % 40 = 0").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        brute = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(corpus, queries, k=5).collect()
+        }
+        ivf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(corpus, queries, k=5, n_cells=8, nprobe=4).collect()
+        }
+        recall = len(brute & ivf) / len(brute)
+        assert recall >= 0.8, f"recall {recall}"
+
+    def test_ivf_deterministic(self, spark):
+        import numpy as np
+
+        from kgfarm_spark.operators.similarity import fit_ivf_centroids
+
+        rng = np.random.default_rng(18)
+        rows = [(i, rng.normal(0, 1, 8).tolist()) for i in range(200)]
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        c1 = fit_ivf_centroids(corpus, n_cells=4)
+        c2 = fit_ivf_centroids(corpus.repartition(7), n_cells=4)
+        np.testing.assert_allclose(c1, c2)
