@@ -157,3 +157,69 @@ def engineer_features(
         "fitted": {k: sorted(v) if isinstance(v, list) else sorted(v.keys()) for k, v in fitted.items()},
     }
     return train, test, report
+
+
+def run_auto_pipeline(
+    entity_df: DataFrame,
+    feature_view: DataFrame,
+    target: str,
+    on: str,
+    entity_ts: str,
+    view_ts: str,
+    freshness_days: int = 10,
+    split_mod: int = 5,
+    split_key: str | None = None,
+    manifest_path: str | None = None,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """The reference's full-automation path (§3.3,
+    operations/pipeline_generator.py:208-221: identify → enrich → clean →
+    transform → select → split) as one lazy chain, emitting a lineage
+    manifest (stage name, params, output rows) instead of a generated
+    notebook (S8). The split is deterministic (hash of ``split_key``),
+    not randomSplit — resumable and partition-invariant.
+
+    ``train_model``/``evaluate_model`` from the reference are out of
+    engine scope (they are sklearn calls on the prepared frame); the
+    returned train/test frames are the prepared artifact.
+    """
+    import json
+
+    from kgfarm_spark.functions.cleaning import fill_nulls, normalize_null_tokens
+    from kgfarm_spark.operators.asof import asof_join
+
+    stages: list[dict] = []
+
+    def record(name: str, df: DataFrame, **params):
+        stages.append({"stage": name, "rows": df.count(), **params})
+        return df
+
+    # 1. enrich: point-in-time latest within the freshness window
+    enriched = asof_join(
+        entity_df, feature_view, on=on, left_ts=entity_ts, right_ts=view_ts,
+        tolerance=f"{freshness_days} DAYS", direction="backward", mode="latest",
+    )
+    enriched = record("enrich", enriched, freshness_days=freshness_days, on=on)
+
+    # 2. clean: null-token normalization + mean/mode fill
+    cleaned = fill_nulls(normalize_null_tokens(enriched))
+    cleaned = record("clean", cleaned, strategy="normalize+fill_mean_mode")
+
+    # 3. deterministic split (hash of the split key)
+    key = split_key or on
+    train = cleaned.filter(F.abs(F.xxhash64(F.col(key))) % split_mod != 0)
+    test = cleaned.filter(F.abs(F.xxhash64(F.col(key))) % split_mod == 0)
+    record("split_train", train, split_mod=split_mod, split_key=key)
+    record("split_test", test)
+
+    # 4. select + transform (fit on train only)
+    drop_ts = [c for c in ("matched_ts", entity_ts) if c in train.columns]
+    tr, te, report = engineer_features(
+        train.drop(*drop_ts), test.drop(*drop_ts), target
+    )
+    record("engineer_features", tr, **{k: report[k] for k in ("task", "kept_numeric", "dropped_numeric")})
+
+    manifest = {"stages": stages, "report": report}
+    if manifest_path:
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=1, default=str)
+    return tr, te, manifest

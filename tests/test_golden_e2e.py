@@ -120,3 +120,39 @@ def test_engineer_features_column_count_parity(spark, titanic_like):
     assert len(tr.columns) == len(te.columns)
     assert sorted(tr.columns) == sorted(te.columns)
     assert report["task"] == "binary"
+
+
+def test_run_auto_pipeline_e2e(spark, tmp_path):
+    """§3.3 full automation: enrich (point-in-time) → clean → split →
+    engineer, emitting a lineage manifest with per-stage rows."""
+    import json
+
+    from kgfarm_spark.pipeline import run_auto_pipeline
+    from kgfarm_spark.sources.transcripts import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").alias("event_timestamp"),
+    )
+    events = load_table(spark, SF_SMOKE, "events").select(
+        F.col("user_id").alias("o_custkey"),
+        F.col("ts").alias("fv_ts"),
+        F.col("value").alias("g_value"),
+        "event_type",
+    )
+    mpath = str(tmp_path / "manifest.json")
+    tr, te, manifest = run_auto_pipeline(
+        orders, events, target="o_orderstatus", on="o_custkey",
+        entity_ts="event_timestamp", view_ts="fv_ts",
+        freshness_days=10000, manifest_path=mpath,
+    )
+    names = [s["stage"] for s in manifest["stages"]]
+    assert names == ["enrich", "clean", "split_train", "split_test", "engineer_features"]
+    n_train = next(s["rows"] for s in manifest["stages"] if s["stage"] == "split_train")
+    n_test = next(s["rows"] for s in manifest["stages"] if s["stage"] == "split_test")
+    n_enriched = manifest["stages"][0]["rows"]
+    assert n_train + n_test == n_enriched
+    assert sorted(tr.columns) == sorted(te.columns)
+    with open(mpath) as f:
+        assert json.load(f)["report"]["task"] in ("binary", "multiclass")
