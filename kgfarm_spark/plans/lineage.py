@@ -87,12 +87,10 @@ def read_manifest(checkpoint_dir: str) -> dict[int, dict]:
 
 def _append_manifest(checkpoint_dir: str, rec: dict) -> None:
     path = _manifest_path(checkpoint_dir)
-    tmp = path + ".tmp"
     with open(path, "a" if os.path.exists(path) else "w") as f:
         f.write(json.dumps(rec) + "\n")
         f.flush()
         os.fsync(f.fileno())
-    del tmp
 
 
 def run_checkpointed(
