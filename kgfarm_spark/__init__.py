@@ -12,7 +12,9 @@ pick the physical strategy.
 """
 
 from kgfarm_spark.session import get_spark
+from kgfarm_spark.api import FeatureFarm
 from kgfarm_spark.operators.asof import asof_join
+from kgfarm_spark.operators.backfill import backfill_asof_fused
 from kgfarm_spark.operators.windows import (
     lag_lead_features,
     rolling_aggregates,
@@ -20,15 +22,20 @@ from kgfarm_spark.operators.windows import (
     role_transitions,
     backfill_features,
 )
+from kgfarm_spark.pipeline import engineer_features, run_auto_pipeline
 
 __all__ = [
     "get_spark",
+    "FeatureFarm",
     "asof_join",
+    "backfill_asof_fused",
     "lag_lead_features",
     "rolling_aggregates",
     "sessionize",
     "role_transitions",
     "backfill_features",
+    "engineer_features",
+    "run_auto_pipeline",
 ]
 
 __version__ = "0.1.0"
