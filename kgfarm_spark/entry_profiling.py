@@ -65,7 +65,7 @@ SELECT '{table}' AS table_name, '{c}' AS column_name,
        WHEN 'VARCHAR' THEN 'T' ELSE 'T_date' END AS data_type,
   count(*) AS total_count,
   count(DISTINCT {c}) AS distinct_count,
-  sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS missing_count,
+  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_count,
   CAST(min({c}) AS STRING) AS min_value,
   CAST(max({c}) AS STRING) AS max_value,
   round(CAST(count(DISTINCT {c}) AS DOUBLE) / count(*), 6) AS uniqueness
@@ -127,7 +127,7 @@ def q_elect_default_entities(spark: SparkSession, sf: str) -> DataFrame:
     oracle_ctes()
     + """
 SELECT 'tool' AS column_name,
-       sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS missing_count
+       CAST(sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_count
 FROM transcripts
 HAVING sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) > 0
 """,

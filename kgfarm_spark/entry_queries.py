@@ -244,8 +244,8 @@ SELECT conv_id, turn_idx,
        length(text) AS text_len,
        round(avg(length(text)) OVER w, 4)                 AS roll_text_len_avg,
        max(length(text)) OVER w                           AS roll_text_len_max,
-       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w AS roll_tool_calls,
-       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) OVER w    AS roll_user_turns
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w AS BIGINT) AS roll_tool_calls,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) OVER w AS BIGINT)    AS roll_user_turns
 FROM transcripts
 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
@@ -310,14 +310,14 @@ def q_role_transitions(spark: SparkSession, sf: str) -> DataFrame:
         """
 SELECT conv_id, turn_idx, ts,
        count(*) OVER w                                          AS turns_so_far,
-       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w AS tool_calls_so_far,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w AS BIGINT) AS tool_calls_so_far,
        round(CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w AS DOUBLE)
              / count(*) OVER w, 4)                              AS tool_call_rate,
-       sum(length(text)) OVER w                                 AS text_len_sum,
+       CAST(sum(length(text)) OVER w AS BIGINT)                 AS text_len_sum,
        round(avg(length(text)) OVER w, 4)                       AS text_len_avg,
        max(length(text)) OVER w                                 AS text_len_max,
-       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) OVER w    AS user_turns_so_far,
-       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) OVER w AS assistant_turns_so_far
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) OVER w AS BIGINT)    AS user_turns_so_far,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS assistant_turns_so_far
 FROM transcripts
 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -87,15 +87,64 @@ def apply_robust_scaler(df: DataFrame, params: dict) -> DataFrame:
     return out
 
 
-def quantile_rank_transform(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Scale path for the reference's QuantileTransformer (M16): map each
-    value to its quantile via percent_rank — a window over value order.
-    (Exact sklearn parity needs the full sorted reference set; SURVEY §7
-    'what's hard' #2 documents this approximation.)"""
+def _range_bucket_expr(col, boundaries: list):
+    """Monotone bucket id = number of boundaries strictly below the value.
+    Pure function of the value (deterministic across jobs; ties and equal
+    values always share a bucket). NULL compares to 0 everywhere → bucket 0,
+    matching Spark's ASC nulls-first window ordering."""
+    if not boundaries:
+        return F.lit(0)
+    arr = F.array(*[F.lit(b) for b in boundaries])
+    return F.aggregate(
+        arr, F.lit(0), lambda acc, b: acc + F.when(col > b, 1).otherwise(0)
+    )
+
+
+def quantile_rank_transform(
+    df: DataFrame, cols: list[str], n_buckets: int | None = None
+) -> DataFrame:
+    """Exact distributed percent_rank (M16 QuantileTransformer rank path).
+
+    percent_rank(v) = (min_rank(v) - 1) / (n - 1). Instead of a global
+    (partitionBy-less) window — which funnels every row through ONE task —
+    we range-bucket by value (percentile_approx boundaries, one agg pass),
+    count rows per bucket (tiny collect, ≤ n_buckets rows), and compute the
+    in-bucket rank with a window PARTITIONED by bucket plus the bucket's
+    cumulative offset. Same answer as percent_rank() OVER (ORDER BY c),
+    parallel across buckets — the shape that survives 100 TB. Nulls sort
+    first (Spark ASC default), identical to the old global window."""
+    spark = df.sparkSession
     out = df
     for c in cols:
-        w = Window.partitionBy().orderBy(F.col(c).asc())
-        out = out.withColumn(c, F.percent_rank().over(w))
+        P = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        qs = [i / P for i in range(1, P)]
+        qlist = "array(" + ",".join(str(q) for q in qs) + ")"
+        bounds = df.agg(
+            F.expr(f"percentile_approx(`{c}`, {qlist}, 10000)").alias("b")
+        ).first()["b"]
+        uniq = sorted(set(b for b in (bounds or []) if b is not None))
+        bucket = _range_bucket_expr(F.col(c), uniq)
+        tagged = out.withColumn("__qb", bucket)
+        counts = {
+            r["__qb"]: r["cnt"]
+            for r in tagged.groupBy("__qb").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        n = sum(counts.values())
+        offsets, acc = [], 0
+        for b in sorted(counts):
+            offsets.append((b, acc))
+            acc += counts[b]
+        off_df = spark.createDataFrame(offsets, "__qb INT, __qoff BIGINT")
+        w = Window.partitionBy("__qb").orderBy(F.col(c).asc())
+        out = (
+            tagged.join(F.broadcast(off_df), "__qb")
+            .withColumn(
+                c,
+                (F.col("__qoff") + F.rank().over(w) - F.lit(1))
+                / F.lit(float(max(n - 1, 1))),
+            )
+            .drop("__qb", "__qoff")
+        )
     return out
 
 
@@ -114,7 +163,13 @@ def fit_quantile_transformer(
         F.expr(f"percentile_approx(`{c}`, {qlist}, 10000)").alias(c) for c in cols
     ]
     row = df.agg(*aggs).first()
-    return {c: [float(v) for v in row[c]] for c in cols}
+    # All-null column → percentile_approx returns NULL → grid None (apply
+    # leaves the column unchanged). Constant column → degenerate one-point
+    # grid, handled explicitly in apply.
+    return {
+        c: ([float(v) for v in row[c]] if row[c] is not None else None)
+        for c in cols
+    }
 
 
 def apply_quantile_transformer(df: DataFrame, params: dict) -> DataFrame:
@@ -123,17 +178,36 @@ def apply_quantile_transformer(df: DataFrame, params: dict) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     def make_udf(grid):
-        g = np.asarray(grid, dtype=np.float64)
-        pos = np.linspace(0.0, 1.0, len(g))
+        g0 = np.asarray(grid, dtype=np.float64)
+        pos0 = np.linspace(0.0, 1.0, len(g0))
+        # np.interp needs strictly increasing x: collapse duplicate grid
+        # points (constant stretches) to their first position, then pin the
+        # endpoints so fit-min → 0.0 and fit-max → 1.0 exactly (the
+        # QuantileTransformer invariant; duplicates otherwise leave the top
+        # grid point below 1).
+        g, idx = np.unique(g0, return_index=True)
+        pos = pos0[idx].copy()
+        pos[0], pos[-1] = 0.0, 1.0
+        degenerate = len(g) == 1
+        g_lo = float(g[0])
 
         @pandas_udf("double")
         def q_map(s: pd.Series) -> pd.Series:
-            return pd.Series(np.interp(s.to_numpy(dtype=np.float64), g, pos))
+            x = s.to_numpy(dtype=np.float64)
+            if degenerate:
+                # Constant fit column: below → 0, equal → 0.5, above → 1
+                # (sklearn's two-sided interp average at the single point).
+                y = np.where(x < g_lo, 0.0, np.where(x > g_lo, 1.0, 0.5))
+                y = np.where(np.isnan(x), np.nan, y)
+                return pd.Series(y)
+            return pd.Series(np.interp(x, g, pos))
 
         return q_map
 
     out = df
     for c, grid in params.items():
+        if grid is None:  # all-null fit column — nothing to map
+            continue
         out = out.withColumn(c, make_udf(grid)(F.col(c).cast("double")))
     return out
 
@@ -269,24 +343,65 @@ def square_transform(df: DataFrame, cols: list[str]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def fit_ordinal_encoder(df: DataFrame, cols: list[str]) -> dict:
+ORDINAL_COLLECT_MAX = 1000  # above this, the dictionary stays distributed
+
+
+def _sorted_codes_df(df: DataFrame, c: str) -> DataFrame:
+    """Distributed dictionary (value, code) with code = dense ascending index
+    0..k-1. orderBy gives a range-partitioned parallel total sort;
+    zipWithIndex adds the global index with one lightweight count job — no
+    single-task global window, no driver collect. The canonical shape for a
+    multi-million-category column."""
+    spark = df.sparkSession
+    vals = df.select(c).filter(F.col(c).isNotNull()).distinct().orderBy(c)
+    value_type = vals.schema[0].dataType
+    rdd = vals.rdd.map(lambda r: r[0]).zipWithIndex().map(lambda t: (t[0], t[1]))
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("value", value_type), StructField("code", LongType())]
+    )
+    return spark.createDataFrame(rdd, schema)
+
+
+def fit_ordinal_encoder(
+    df: DataFrame, cols: list[str], max_collect: int = ORDINAL_COLLECT_MAX
+) -> dict:
     """sklearn OrdinalEncoder parity: categories sorted ascending get codes
-    0..k-1. Dictionary per column built distributed, collected (dictionaries
-    are small by definition), applied as a broadcast-join-free literal map
-    when tiny or a broadcast join otherwise."""
+    0..k-1. Small dictionaries (≤ max_collect distinct) are collected into a
+    literal map (codegen'd CASE chain, zero joins at transform time). Larger
+    ones stay DISTRIBUTED as a (value, code) DataFrame built with a parallel
+    sort + zipWithIndex — a 1M-category column never touches the driver and
+    never builds a 1M-branch expression tree."""
     params = {}
     for c in cols:
-        vals = [
-            r[c]
-            for r in df.select(c).filter(F.col(c).isNotNull()).distinct().orderBy(c).collect()
-        ]
-        params[c] = {v: i for i, v in enumerate(vals)}
+        distinct_df = df.select(c).filter(F.col(c).isNotNull()).distinct()
+        k = distinct_df.limit(max_collect + 1).count()
+        if k <= max_collect:
+            vals = [r[c] for r in distinct_df.orderBy(c).collect()]
+            params[c] = {v: i for i, v in enumerate(vals)}
+        else:
+            params[c] = _sorted_codes_df(df, c)
     return params
 
 
 def apply_ordinal_encoder(df: DataFrame, params: dict) -> DataFrame:
+    """Literal-map dictionaries become a CASE expression; DataFrame
+    dictionaries become an equi-join (AQE broadcasts it when it fits,
+    shuffle-joins otherwise — either way no driver materialization)."""
     out = df
     for c, mapping in params.items():
+        if isinstance(mapping, DataFrame):
+            vcol, ccol = f"__ord_v_{c}", f"__ord_c_{c}"
+            dict_df = mapping.select(
+                F.col("value").alias(vcol), F.col("code").alias(ccol)
+            )
+            out = (
+                out.join(dict_df, out[c] == dict_df[vcol], "left")
+                .withColumn(c, F.col(ccol).cast("long"))
+                .drop(vcol, ccol)
+            )
+            continue
         expr = None
         for v, code in mapping.items():
             cond = F.col(c) == F.lit(v)

@@ -23,10 +23,14 @@ TABLES = (
 
 
 def norm_cell(v):
+    """Strict normalization: distinguishes int 6005 from float 6005.0 and keeps
+    full float precision, so a local PASS predicts the driver's strict hash.
+    (Round 1 lesson: `{v:.6g}` masked DuckDB HUGEINT->float64 artifacts that
+    the driver caught — see VERDICT.md r01 'What's wrong' #1.)"""
     if pd.isna(v) if not isinstance(v, (list, tuple, dict)) else False:
         return "NULL"
     if isinstance(v, float):
-        return f"{v:.6g}"
+        return repr(float(v))
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     return str(v)
