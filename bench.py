@@ -9,8 +9,9 @@ Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 generate a deterministic multi-million-turn transcripts table once (so the
 job is compute-bound, not overhead-bound), run the SAME fused flagship
 job (single-shuffle backfill → as-of resolve) at two parallelism levels
-(default local[2] vs local[8] — see the effective-core note in main) in
-fresh subprocesses, and report throughput at both + scaling efficiency.
+per pair (default pairs 1v4 AND 2v8 — see the effective-core note in
+main) in fresh subprocesses, and report throughput at each level plus
+per-pair scaling efficiency.
 
 Each query is forced with a noop-format write (full computation, no
 driver-side collect — measures the distributed plan, not toPandas).
@@ -124,39 +125,58 @@ def main() -> None:
         # N vs 4N parallelism on the SAME input. NOTE: this sandbox
         # advertises 32 CPUs but delivers ~8 effective cores (a raw
         # multiprocessing burn test scales 1->8 at ~8x but 8->32 at ~1.0x).
-        # Default pair is local[1] vs local[4]: since the single-Window
-        # fusion the job is memory-bandwidth-heavy, and cores on ONE box
-        # share that bandwidth (2v8 measures 0.68, 1v4 measures 0.87) —
-        # on a real cluster each executor brings its own bandwidth, which
-        # is what the 1v4 pair approximates. Override with
-        # SPARK_GRAFT_SCALE_LEVELS. Levels are interleaved to smooth the
-        # sandbox's time-varying CPU allotment.
-        lo, hi = (
-            int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4").split(",")
-        )
+        # BOTH the 1v4 and 2v8 pairs are measured and emitted (ADVICE r01:
+        # the below-threshold 2v8 datapoint must travel with the headline):
+        # since the single-Window fusion the job is memory-bandwidth-heavy,
+        # and cores on ONE box share that bandwidth — 2v8 historically
+        # measures ~0.68 while 1v4 measures ~0.87-1.08. On a real cluster
+        # each executor brings its own memory bandwidth, which the 1v4 pair
+        # approximates; 2v8 is the pessimistic single-box bound. Override
+        # pairs with SPARK_GRAFT_SCALE_LEVELS="lo,hi[;lo,hi]". Levels are
+        # interleaved to smooth the sandbox's time-varying CPU allotment.
+        pairs_env = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4;2,8")
+        pairs = [
+            tuple(int(x) for x in p.split(",")) for p in pairs_env.split(";")
+        ]
+        levels = sorted({l for p in pairs for l in p})
         ensure_scale_data()
-        results: dict[int, list] = {lo: [], hi: []}
-        for level in (lo, hi, lo, hi):
-            out = subprocess.run(
-                [sys.executable, __file__, "--scale-one", str(level)],
-                capture_output=True, text=True, env=dict(os.environ),
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            results[level].append(json.loads(line))
-        sec_lo = min(r["sec"] for r in results[lo])
-        sec_hi = min(r["sec"] for r in results[hi])
-        n = results[hi][0]["turns"]
-        thr_lo, thr_hi = n / sec_lo, n / sec_hi
-        eff = (thr_hi / thr_lo) / (hi / lo)
+        results: dict[int, list] = {l: [] for l in levels}
+        for _rep in range(2):
+            for level in levels:
+                out = subprocess.run(
+                    [sys.executable, __file__, "--scale-one", str(level)],
+                    capture_output=True, text=True, env=dict(os.environ),
+                )
+                line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+                results[level].append(json.loads(line))
+        n = results[levels[0]][0]["turns"]
+        pair_recs = {}
+        for lo, hi in pairs:
+            sec_lo = min(r["sec"] for r in results[lo])
+            sec_hi = min(r["sec"] for r in results[hi])
+            thr_lo, thr_hi = n / sec_lo, n / sec_hi
+            pair_recs[f"{lo}v{hi}"] = {
+                f"sec_{lo}": sec_lo,
+                f"sec_{hi}": sec_hi,
+                f"turns_per_sec_{lo}": round(thr_lo, 1),
+                f"turns_per_sec_{hi}": round(thr_hi, 1),
+                "speedup": round(thr_hi / thr_lo, 3),
+                "scaling_efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
+            }
+        lo0, hi0 = pairs[0]
         rec = {
-            "metric": f"flagship backfill+asof scaling local[{lo}] vs local[{hi}], same input",
+            "metric": (
+                f"flagship backfill+asof scaling, same input; headline pair "
+                f"local[{lo0}] vs local[{hi0}], all measured pairs under 'pairs'"
+            ),
             "turns": n,
-            f"sec_{lo}": sec_lo,
-            f"sec_{hi}": sec_hi,
-            f"turns_per_sec_{lo}": round(thr_lo, 1),
-            f"turns_per_sec_{hi}": round(thr_hi, 1),
-            "speedup": round(thr_hi / thr_lo, 3),
-            "scaling_efficiency": round(eff, 3),
+            "scaling_efficiency": pair_recs[f"{lo0}v{hi0}"]["scaling_efficiency"],
+            "pairs": pair_recs,
+            "note": (
+                "single box, ~8 effective cores shared memory bandwidth; "
+                "2v8 is the pessimistic single-box bound, 1v4 approximates "
+                "per-executor bandwidth on a real cluster"
+            ),
         }
         # cache for the default-mode JSON line (driver records that one)
         with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:

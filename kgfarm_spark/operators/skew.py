@@ -115,7 +115,18 @@ def salted_fanout_join(
     """Equi-join where ``big`` is skewed on ``key``: replicate ``small``
     n_salt× and scatter ``big`` rows deterministically over the salt
     space, so a hot key's rows land on n_salt different reducers.
-    Result is exactly ``big.join(small, key, how)``."""
+    Result is exactly ``big.join(small, key, how)`` — for the supported
+    ``how`` values only. right/full outer would emit every unmatched
+    small-side row once PER REPLICA (n_salt duplicates), so they are
+    rejected rather than silently wrong."""
+    supported = {"inner", "left", "left_outer", "leftouter", "left_semi",
+                 "leftsemi", "left_anti", "leftanti"}
+    if how not in supported:
+        raise ValueError(
+            f"salted_fanout_join supports {sorted(supported)}; got {how!r}. "
+            "right/full outer joins would duplicate unmatched small-side "
+            "rows n_salt times — use AQE skew-join or swap the sides."
+        )
     scatter_cols = [c for c in big.columns]
     big_s = big.withColumn("__salt", _row_salt(scatter_cols, n_salt))
     small_s = small.withColumn(

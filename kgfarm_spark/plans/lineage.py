@@ -101,6 +101,7 @@ def run_checkpointed(
     n_buckets: int = 8,
     snapshot_id: str = "static",
     max_buckets: int | None = None,
+    on_snapshot_mismatch: str = "recompute",
 ) -> list[dict]:
     """Run ``build_job(bucket_input_df) -> DataFrame`` once per pending
     bucket, committing output + manifest per bucket. ``build_job`` may
@@ -110,9 +111,18 @@ def run_checkpointed(
     ``max_buckets`` limits how many buckets run this invocation (lets
     tests simulate a crash mid-run); call again to resume. Returns the
     manifest records written this invocation.
+
+    Resume compares each completed bucket's manifest ``snapshot_id``
+    against the current one: a mismatch means the input changed under the
+    checkpoint. ``on_snapshot_mismatch='recompute'`` (default) invalidates
+    and re-runs those buckets (the manifest is append-only; the newest
+    line per bucket wins on read); ``'fail'`` raises instead — no mode
+    silently mixes stale and fresh bucket outputs.
     """
     import inspect
 
+    if on_snapshot_mismatch not in ("recompute", "fail"):
+        raise ValueError(f"on_snapshot_mismatch must be 'recompute' or 'fail', got {on_snapshot_mismatch!r}")
     os.makedirs(out_dir, exist_ok=True)
     done = read_manifest(out_dir)
     written: list[dict] = []
@@ -121,7 +131,16 @@ def run_checkpointed(
     ran = 0
     for b in range(n_buckets):
         if b in done:
-            continue
+            if done[b].get("snapshot_id") == snapshot_id:
+                continue
+            if on_snapshot_mismatch == "fail":
+                raise RuntimeError(
+                    f"bucket {b} was checkpointed against snapshot "
+                    f"{done[b].get('snapshot_id')!r} but the input is now "
+                    f"{snapshot_id!r}; pass on_snapshot_mismatch='recompute' "
+                    "to invalidate and re-run it"
+                )
+            # 'recompute': fall through and overwrite the stale bucket
         if max_buckets is not None and ran >= max_buckets:
             break
         t0 = time.monotonic()

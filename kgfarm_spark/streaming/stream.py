@@ -72,9 +72,22 @@ def stream_rolling_counts(
     )
 
 
+def _interval_ms(interval: str) -> int:
+    """Parse 'N unit' (seconds/minutes/hours/days) to milliseconds."""
+    n, unit = interval.strip().split()
+    mult = {
+        "second": 1_000, "seconds": 1_000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit.lower()]
+    return int(float(n) * mult)
+
+
 def stream_running_features(
     transcripts: DataFrame,
     watermark: str = "1 hour",
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Custom STATEFUL operator via ``applyInPandasWithState`` — the
     streaming twin of operators.windows.backfill_features: per conv_id,
@@ -86,6 +99,14 @@ def stream_running_features(
     arrive in order per conversation across batches (the file source
     test feeds ordered chunks); out-of-order turns within one batch are
     sorted by (ts, turn_idx) before accumulation.
+
+    State lifetime: running counters are cumulative over the WHOLE
+    conversation, so by default state is permanent BY DESIGN (the
+    watermark only bounds late data, not state) — on long-running streams
+    with unbounded conversation cardinality set ``state_ttl`` (e.g.
+    ``'7 days'``): conversations idle past watermark+ttl are evicted via
+    an event-time timeout, trading bounded state for counters that restart
+    from zero if such a conversation ever resumes.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -94,9 +115,14 @@ def stream_running_features(
         "tool_calls_so_far long, text_len_sum long"
     )
     state_schema = "turns long, tools long, tlen long"
+    ttl_ms = _interval_ms(state_ttl) if state_ttl else None
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
 
         turns, tools, tlen = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
@@ -121,13 +147,18 @@ def stream_running_features(
             tlen = int(out["text_len_sum"].iloc[-1])
             yield out
         state.update((turns, tools, tlen))
+        if ttl_ms is not None:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
 
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         transcripts.withWatermark("ts", watermark)
         .groupBy("conv_id")
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout)
     )
 
 

@@ -167,6 +167,37 @@ class TestLineageResume:
             assert r["snapshot_id"] == "snap-42"
         assert sum(r["rows"] for r in recs) == 500
 
+    def test_resume_detects_snapshot_mismatch(self, spark, tmp_path):
+        """ADVICE r01: a resume against a changed input snapshot must not
+        silently mix stale bucket outputs with fresh ones — it either
+        recomputes the stale buckets (default) or fails fast."""
+        from kgfarm_spark.sources.datagen import gen_transcripts
+
+        t1 = gen_transcripts(spark, n_turns=400, n_convs=8, seed=7)
+        t2 = gen_transcripts(spark, n_turns=600, n_convs=8, seed=8)
+        out = str(tmp_path / "snap")
+        run_checkpointed(lambda d: d, t1, "conv_id", out, n_buckets=2, snapshot_id="snap-A")
+
+        with pytest.raises(RuntimeError, match="snapshot"):
+            run_checkpointed(
+                lambda d: d, t2, "conv_id", out, n_buckets=2,
+                snapshot_id="snap-B", on_snapshot_mismatch="fail",
+            )
+
+        # default: every stale bucket recomputes against the new input
+        recs = run_checkpointed(
+            lambda d: d, t2, "conv_id", out, n_buckets=2, snapshot_id="snap-B"
+        )
+        assert len(recs) == 2 and all(r["snapshot_id"] == "snap-B" for r in recs)
+        manifest = read_manifest(out)
+        assert all(m["snapshot_id"] == "snap-B" for m in manifest.values())
+        assert read_checkpointed_output(spark, out, 2).count() == 600
+
+        # matching snapshot resumes as a no-op
+        assert run_checkpointed(
+            lambda d: d, t2, "conv_id", out, n_buckets=2, snapshot_id="snap-B"
+        ) == []
+
 
 class TestStreaming:
     def test_stream_session_counts_match_batch(self, spark, tmp_path):
@@ -246,6 +277,55 @@ class TestStreaming:
         }
         assert len(got) == 600
         assert got == exp
+
+    def test_stateful_running_features_ttl_evicts_idle_state(self, spark, tmp_path):
+        """ADVICE r01: with state_ttl set, per-conversation state uses an
+        event-time timeout — a conversation idle past watermark+ttl is
+        evicted (counters restart if it resumes); active conversations are
+        unaffected."""
+        import time as _time
+
+        from kgfarm_spark.streaming.stream import stream_running_features
+
+        base = 1_700_000_000  # epoch seconds
+        def rows(conv, idxs, t0):
+            return [
+                (conv, i, __import__("datetime").datetime.utcfromtimestamp(t0 + i * 60),
+                 "user", f"text-{conv}-{i}", None)
+                for i in idxs
+            ]
+
+        schema = "conv_id string, turn_idx int, ts timestamp, role string, text string, tool string"
+        b1 = spark.createDataFrame(rows("X", [0, 1, 2], base) + rows("Y", [0], base), schema)
+        b2 = spark.createDataFrame(rows("Y", [1], base + 3600), schema)      # wm advances, X idle
+        b3 = spark.createDataFrame(rows("Y", [2], base + 7200), schema)      # X's timeout fires
+        b4 = spark.createDataFrame(rows("X", [3, 4], base + 10800) + rows("Y", [3], base + 10800), schema)
+
+        src = str(tmp_path / "ttl_src")
+        for i, b in enumerate([b1, b2, b3, b4]):
+            b.coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(1.1)  # file source orders batches by mod time
+
+        stream = spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            stream_running_features(stream, watermark="0 seconds", state_ttl="1 minute")
+            .writeStream.format("memory")
+            .queryName("ttl_feat")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["conv_id"], r["turn_idx"]): r["turns_so_far"]
+            for r in spark.sql("select * from ttl_feat").collect()
+        }
+        # X was evicted while idle → its counters restart at batch 4
+        assert got[("X", 0)] == 1 and got[("X", 2)] == 3
+        assert got[("X", 3)] == 1 and got[("X", 4)] == 2
+        # Y stayed active every batch → counters carry across all batches
+        assert got[("Y", 3)] == 4
 
     def test_input_snapshot_id_tracks_files(self, spark, tmp_path):
         from kgfarm_spark.plans.lineage import input_snapshot_id
