@@ -493,3 +493,59 @@ LIMIT 100
 def q_det_sample(spark: SparkSession, sf: str) -> DataFrame:
     cust = load_table(spark, sf, "customer").select("c_custkey")
     return deterministic_sample(cust, ["c_custkey"], 100)
+
+
+# ---------------------------------------------------------------------------
+# M10 completion: KNN imputation (interface/apis.py:218-224). The
+# reference calls KNNImputer().fit_transform on ONE column reshaped to
+# (-1, 1) — in 1-D every NaN row has zero observed features, so sklearn's
+# documented fallback makes it EXACTLY mean imputation; the oracle pins
+# that degenerate parity. The general multi-column kernel is
+# pytest-twinned (tests/test_cleaning_transforms.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_impute_1d",
+    """
+WITH base AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 17 = 0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer
+), m AS (SELECT avg(bal) AS mean_bal FROM base)
+SELECT c_custkey, round(coalesce(bal, m.mean_bal), 4) AS bal_imputed
+FROM base, m
+""",
+)
+def q_knn_impute_1d(spark: SparkSession, sf: str) -> DataFrame:
+    from kgfarm_spark.functions.cleaning import knn_impute
+
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 17 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    out = knn_impute(cust, ["bal"], key=None, max_group_rows=200_000)
+    return out.select("c_custkey", F.round("bal", 4).alias("bal_imputed"))
+
+
+# ---------------------------------------------------------------------------
+# M9 completion: LOF outlier masking (interface/apis.py:187-192) —
+# non-SQL kernel, rows-only gate; exact-parity pytest twin lives in
+# tests/test_cleaning_transforms.py.
+# ---------------------------------------------------------------------------
+
+
+@register("lof_outliers")
+def q_lof_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    from kgfarm_spark.functions.cleaning import lof_mask
+
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    out = lof_mask(
+        cust, ["c_acctbal"], n_neighbors=10, key="c_nationkey",
+        max_group_rows=50_000,
+    )
+    return out.filter(F.col("is_outlier")).select("c_custkey").orderBy("c_custkey")

@@ -192,8 +192,8 @@ def drop_outlier_rows_iqr(
     SURVEY §7 'what's hard' #2): Tukey-fence outlier filter using
     percentile bounds computed in one pass (``exact`` uses interpolated
     exact percentiles for parity tests; the sketch is the scale path).
-    Exact LOF parity for small frames lives in the pandas-UDF path (see
-    transforms.lof_mask)."""
+    Exact LOF semantics live in ``cleaning.lof_mask`` below (grouped
+    pandas-UDF kernel, size-guarded)."""
     pctl = "percentile" if exact else "percentile_approx"
     aggs = []
     for c in cols:
@@ -211,3 +211,204 @@ def drop_outlier_rows_iqr(
             | F.col(c).between(q1 - k * iqr, q3 + k * iqr)
         )
     return df.filter(cond)
+
+
+# ---------------------------------------------------------------------------
+# M9 completion: LOF outlier masking (reference interface/apis.py:187-192,
+# LocalOutlierFactor(contamination=0.05).fit_predict on numeric features)
+# ---------------------------------------------------------------------------
+
+
+def _lof_scores_np(X, k: int):
+    """Vectorized LOF scores (numpy; sklearn formulae): k-distance →
+    reachability → local reachability density lrd = 1/(mean reach + 1e-10)
+    → LOF = mean(lrd of neighbors)/lrd. Returns scores ≥ ~1 (higher =
+    more outlying)."""
+    import numpy as np
+
+    n = len(X)
+    if n < 2:
+        return np.ones(n)
+    k = min(k, n - 1)
+    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(D, np.inf)
+    idx = np.argsort(D, axis=1, kind="stable")[:, :k]
+    rows = np.arange(n)[:, None]
+    kdist = D[np.arange(n), idx[:, -1]]
+    reach = np.maximum(kdist[idx], D[rows, idx])
+    lrd = 1.0 / (reach.mean(axis=1) + 1e-10)
+    return lrd[idx].mean(axis=1) / lrd
+
+
+def lof_mask(
+    df: DataFrame,
+    cols: list[str],
+    n_neighbors: int = 20,
+    contamination: float = 0.05,
+    key: str | None = None,
+    max_group_rows: int = 5000,
+) -> DataFrame:
+    """M9 at reference fidelity: Local Outlier Factor over the numeric
+    columns, flagging the top ``contamination`` fraction as outliers
+    (reference: LocalOutlierFactor(contamination=0.05).fit_predict,
+    interface/apis.py:187-192; sklearn has no container build here, so the
+    kernel is a from-scratch numpy LOF following the published formulae,
+    pytest-twinned against an independent loop implementation).
+
+    Scale contract: LOF is O(n²) in group size and NOT exactly
+    distributable (SURVEY §7 'what's hard' #2) — supply ``key`` so each
+    group fits ``max_group_rows`` (an Arrow-batched applyInPandas kernel
+    per group, groups run in parallel); unkeyed frames are size-guarded
+    with a hard error rather than a silent driver blowup. Adds
+    ``lof_score`` (double) and ``is_outlier`` (boolean); rows with nulls
+    in ``cols`` get score null / is_outlier false."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if key is None:
+        n = df.count()
+        if n > max_group_rows:
+            raise ValueError(
+                f"lof_mask without a key computes one O(n²) group; input has "
+                f"{n} rows > max_group_rows={max_group_rows}. Pass key= to "
+                "bound group size, or raise max_group_rows explicitly."
+            )
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("lof_score", T.DoubleType()),
+            T.StructField("is_outlier", T.BooleanType()),
+        ]
+    )
+    in_cols = list(df.columns)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_group_rows:
+            raise ValueError(
+                f"lof_mask group exceeds max_group_rows={max_group_rows} "
+                f"({len(pdf)} rows); use more/finer keys"
+            )
+        pdf = pdf.sort_values(in_cols, kind="mergesort").reset_index(drop=True)
+        X = pdf[cols].to_numpy(dtype=np.float64)
+        valid = ~np.isnan(X).any(axis=1)
+        scores = np.full(len(pdf), np.nan)
+        if valid.sum() >= 2:
+            scores[valid] = _lof_scores_np(X[valid], n_neighbors)
+        pdf["lof_score"] = scores
+        v = scores[valid]
+        if len(v):
+            # sklearn: offset_ = percentile(negative_outlier_factor_,
+            # 100*contamination) → outlier iff score > that cut (sign-flipped)
+            cut = float(np.percentile(v, 100.0 * (1.0 - contamination)))
+            pdf["is_outlier"] = (scores > cut) & valid
+        else:
+            pdf["is_outlier"] = False
+        pdf["is_outlier"] = pdf["is_outlier"].fillna(False).astype(bool)
+        return pdf
+
+    grouped = df.groupBy(key) if key else df.groupBy(F.lit(1).alias("__g"))
+    out = grouped.applyInPandas(kernel, out_schema)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# M10 completion: KNN imputation (reference interface/apis.py:218-224,
+# KNNImputer().fit_transform per feature)
+# ---------------------------------------------------------------------------
+
+
+def _knn_impute_np(X, k: int):
+    """numpy twin of sklearn KNNImputer (uniform weights, nan-euclidean
+    distance d(x,y) = sqrt(n_features/|overlap| · Σ_overlap (x−y)²)).
+    Donors for column j are rows with j observed; a receiver with no
+    valid donor distance falls back to the column mean — which makes the
+    reference's single-column usage (apis.py:218-224: every NaN row has
+    zero observed features) EXACTLY mean imputation. Ties broken by donor
+    position (deterministic after the caller's canonical sort)."""
+    import numpy as np
+
+    X = X.astype(np.float64, copy=True)
+    mask = np.isnan(X)
+    n, d = X.shape
+    with np.errstate(all="ignore"):
+        col_means = np.nanmean(X, axis=0)
+    out = X.copy()
+    for j in range(d):
+        miss = np.flatnonzero(mask[:, j])
+        if not len(miss):
+            continue
+        donors = np.flatnonzero(~mask[:, j])
+        if not len(donors):
+            continue  # nothing observed in this column at all
+        Xd = X[donors]
+        donor_nan = np.isnan(Xd)
+        for i in miss:
+            xi = X[i]
+            xi_nan = np.isnan(xi)
+            overlap = ~(xi_nan[None, :] | donor_nan)
+            cnt = overlap.sum(axis=1)
+            diff = np.where(overlap, Xd - xi[None, :], 0.0)
+            with np.errstate(all="ignore"):
+                dist = np.sqrt(d / np.maximum(cnt, 1) * (diff**2).sum(axis=1))
+            valid = cnt > 0
+            if not valid.any():
+                if np.isfinite(col_means[j]):
+                    out[i, j] = col_means[j]
+                continue
+            order = np.lexsort((np.arange(len(donors)), np.where(valid, dist, np.inf)))
+            nearest = order[: min(k, int(valid.sum()))]
+            out[i, j] = X[donors[nearest], j].mean()
+    return out
+
+
+def knn_impute(
+    df: DataFrame,
+    cols: list[str],
+    n_neighbors: int = 5,
+    key: str | None = None,
+    max_group_rows: int = 20000,
+) -> DataFrame:
+    """M10 completion: KNN imputation of numeric columns (reference
+    interface/apis.py:218-224). Same scale contract as lof_mask: kNN is
+    O(n_missing·n) per group, so supply ``key`` to cap group size (groups
+    impute in parallel via applyInPandas); unkeyed inputs are size-guarded.
+    Imputed columns come back as double (sklearn returns float arrays)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if key is None:
+        n = df.count()
+        if n > max_group_rows:
+            raise ValueError(
+                f"knn_impute without a key runs as one group; input has "
+                f"{n} rows > max_group_rows={max_group_rows}. Pass key= to "
+                "bound group size, or raise max_group_rows explicitly."
+            )
+
+    fields = [
+        T.StructField(f.name, T.DoubleType()) if f.name in cols else f
+        for f in df.schema.fields
+    ]
+    out_schema = T.StructType(fields)
+    in_cols = list(df.columns)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_group_rows:
+            raise ValueError(
+                f"knn_impute group exceeds max_group_rows={max_group_rows} "
+                f"({len(pdf)} rows); use more/finer keys"
+            )
+        pdf = pdf.sort_values(in_cols, kind="mergesort").reset_index(drop=True)
+        X = pdf[cols].to_numpy(dtype=np.float64)
+        filled = _knn_impute_np(X, n_neighbors)
+        for jj, c in enumerate(cols):
+            pdf[c] = filled[:, jj]
+        return pdf
+
+    grouped = df.groupBy(key) if key else df.groupBy(F.lit(1).alias("__g"))
+    return grouped.applyInPandas(kernel, out_schema)

@@ -331,3 +331,129 @@ def test_ordinal_encoder_small_and_large_paths_agree(spark):
     out_small = sorted(r["c"] for r in apply_ordinal_encoder(test, small).collect())
     out_large = sorted(r["c"] for r in apply_ordinal_encoder(test, large).collect())
     assert out_small == out_large
+
+
+# ---------------------------------------------------------------------------
+# M9/M10 completion: LOF + KNN imputation kernels (VERDICT r01 missing #3/#4)
+# ---------------------------------------------------------------------------
+
+
+def _lof_reference_loops(X, k):
+    """Independent O(n²) loop implementation of LOF (published formulae),
+    used as the in-test oracle for the vectorized kernel."""
+    n = len(X)
+    k = min(k, n - 1)
+    D = [[math.dist(X[i], X[j]) if i != j else float("inf") for j in range(n)] for i in range(n)]
+    neigh = [sorted(range(n), key=lambda j: (D[i][j], j))[:k] for i in range(n)]
+    kdist = [D[i][neigh[i][-1]] for i in range(n)]
+    def lrd(i):
+        reach = [max(kdist[j], D[i][j]) for j in neigh[i]]
+        return 1.0 / (sum(reach) / k + 1e-10)
+    lrds = [lrd(i) for i in range(n)]
+    return [sum(lrds[j] for j in neigh[i]) / k / lrds[i] for i in range(n)]
+
+
+def test_lof_kernel_matches_loop_reference():
+    from kgfarm_spark.functions.cleaning import _lof_scores_np
+
+    rng = np.random.RandomState(21)
+    X = np.vstack([rng.randn(60, 2), [[8.0, 8.0], [-9.0, 7.5]]])  # 2 clear outliers
+    got = _lof_scores_np(X, 10)
+    exp = _lof_reference_loops(X.tolist(), 10)
+    assert np.allclose(got, exp, rtol=1e-9)
+    # the two planted outliers carry the top scores
+    assert set(np.argsort(got)[-2:]) == {60, 61}
+
+
+def test_lof_mask_flags_contamination_fraction(spark):
+    from kgfarm_spark.functions.cleaning import lof_mask
+
+    rng = np.random.RandomState(5)
+    rows = [("g1", float(i), float(v)) for i, v in enumerate(rng.randn(100))]
+    rows += [("g1", 100.0, 50.0), ("g1", 101.0, -60.0)]  # planted outliers
+    df = spark.createDataFrame(rows, "k string, id double, x double")
+    out = lof_mask(df, ["x"], n_neighbors=10, contamination=0.05, key="k")
+    flagged = {r["id"] for r in out.filter("is_outlier").collect()}
+    assert {100.0, 101.0} <= flagged
+    n_flagged = out.filter("is_outlier").count()
+    assert n_flagged <= int(0.05 * 102) + 1  # strict-> cut keeps ~contamination
+
+
+def test_lof_mask_unkeyed_size_guard(spark):
+    from kgfarm_spark.functions.cleaning import lof_mask
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("x"))
+    with pytest.raises(ValueError, match="max_group_rows"):
+        lof_mask(df, ["x"], key=None, max_group_rows=10)
+
+
+def _knn_impute_reference_loops(X, k):
+    """Independent loop twin of sklearn KNNImputer (uniform weights,
+    nan-euclidean distances, column-mean fallback)."""
+    import math as _m
+
+    n, d = len(X), len(X[0])
+    out = [row[:] for row in X]
+    for j in range(d):
+        observed = [v[j] for v in X if v[j] == v[j]]  # not-NaN
+        col_mean = sum(observed) / len(observed) if observed else float("nan")
+        donors = [i for i in range(n) if X[i][j] == X[i][j]]
+        for i in range(n):
+            if X[i][j] == X[i][j]:
+                continue
+            cands = []
+            for di in donors:
+                sq, cnt = 0.0, 0
+                for jj in range(d):
+                    a, b = X[i][jj], X[di][jj]
+                    if a == a and b == b:
+                        sq += (a - b) ** 2
+                        cnt += 1
+                if cnt:
+                    cands.append((_m.sqrt(d / cnt * sq), di))
+            if not cands:
+                out[i][j] = col_mean
+                continue
+            cands.sort(key=lambda t: (t[0], t[1]))
+            near = [X[di][j] for _, di in cands[:k]]
+            out[i][j] = sum(near) / len(near)
+    return out
+
+
+def test_knn_impute_matches_loop_reference(spark):
+    from kgfarm_spark.functions.cleaning import knn_impute
+
+    rng = np.random.RandomState(9)
+    X = rng.randn(40, 3)
+    X[rng.rand(40, 3) < 0.2] = np.nan
+    X[5] = [np.nan, np.nan, np.nan]  # fully-missing row → column means
+    rows = [("g", i, *[None if v != v else float(v) for v in X[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, id long, a double, b double, c double")
+    got = {
+        r["id"]: (r["a"], r["b"], r["c"])
+        for r in knn_impute(df, ["a", "b", "c"], n_neighbors=5, key="k").collect()
+    }
+    exp = _knn_impute_reference_loops(X.tolist(), 5)
+    for i in range(40):
+        assert np.allclose(got[i], exp[i], rtol=1e-9, equal_nan=True), i
+
+
+def test_knn_impute_1d_degenerates_to_mean(spark):
+    """Reference usage (apis.py:218-224) imputes ONE column: every NaN row
+    has no observed features, so the result must equal mean imputation."""
+    from kgfarm_spark.functions.cleaning import knn_impute
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 20.0), (4, None), (5, 60.0)], "id long, x double"
+    )
+    got = {r["id"]: r["x"] for r in knn_impute(df, ["x"], key=None).collect()}
+    assert got[2] == got[4] == 30.0
+    assert got[1] == 10.0 and got[5] == 60.0
+
+
+def test_knn_impute_unkeyed_size_guard(spark):
+    from kgfarm_spark.functions.cleaning import knn_impute
+
+    df = spark.range(50).select(F.col("id").cast("double").alias("x"))
+    with pytest.raises(ValueError, match="max_group_rows"):
+        knn_impute(df, ["x"], key=None, max_group_rows=10)
