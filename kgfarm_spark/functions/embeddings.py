@@ -10,7 +10,7 @@ Reference semantics:
   inference.py:65-66).
 - M2 categorical column embedding: MinHash signature over the column's
   lowercased utf-8 values (inference.py:76-81; datasketch num_perm=512 —
-  here 128 perms via the same universal-hash construction).
+  here the same 512 perms via the universal-hash construction).
 - M4-M8 recommenders: sklearn heads over the aggregated embedding with
   probability thresholds 0.60 (unary/categorical) and 0.50 (numerical)
   (inference.py:46-48,169-212,223-255).
@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 EMB_DIM = 300  # column_embeddings.py:4
 BIT_DIM = 32  # float32 bit decomposition (inference.py:65-66)
-MINHASH_PERMS = 128  # reference uses 512 (inference.py:22); 128 here
+MINHASH_PERMS = 512  # reference fidelity (inference.py:22); chunked kernel bounds memory
 _MERSENNE = (1 << 61) - 1
 
 #: recommendation label spaces (inference.py:169-173,196-212,223-247)

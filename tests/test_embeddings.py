@@ -239,3 +239,27 @@ class TestSelectionExactness:
         # the reference keeps all only when < 10% survive or ≤ 1 survives)
         assert sorted(report["kept_numeric"]) == ["x1", "x2"]
         assert report["dropped_numeric"] == ["w"]
+
+
+def test_ann_query_collect_guard(spark):
+    """VERDICT r01 #6: the driver-side query collect in the ANN paths must
+    fail loudly above the cap, not OOM the driver silently."""
+    import pytest
+
+    from kgfarm_spark.operators import similarity as sim
+
+    corpus = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=1) for _ in range(4)]).alias("embedding"),
+    )
+    queries = spark.range(50).select(
+        F.col("id").alias("query_id"),
+        F.array(*[F.lit(0.1)] * 4).alias("embedding"),
+    )
+    old = sim.MAX_DRIVER_QUERIES
+    sim.MAX_DRIVER_QUERIES = 10
+    try:
+        with pytest.raises(ValueError, match="driver-side cap"):
+            sim.cosine_topk_twophase(corpus, queries, k=2).collect()
+    finally:
+        sim.MAX_DRIVER_QUERIES = old
