@@ -87,9 +87,11 @@ def q_transform_recs(spark: SparkSession, sf: str) -> DataFrame:
 
 @register("cleaning_recommendations")  # rows-only: learned head
 def q_cleaning_recs(spark: SparkSession, sf: str) -> DataFrame:
+    from kgfarm_spark.functions.embeddings import string_column_embeddings
+
     num_emb = numeric_column_embeddings(_numeric_long(spark, sf))
-    cat_emb = minhash_column_embeddings(_string_long(spark, sf))
-    ranked = recommend_cleaning(cat_emb, num_emb)
+    str_emb = string_column_embeddings(_string_long(spark, sf))
+    ranked = recommend_cleaning(str_emb, num_emb)
     return spark.createDataFrame(
         [(i, op) for i, op in enumerate(ranked)], "rank int, operation string"
     )

@@ -19,12 +19,16 @@ Reference semantics:
 
 The reference ships ~20 pickled proprietary-trained models
 (inference_manager/inference.py:17-43). This repo does NOT copy them:
-model weights here are deterministic seeded stand-ins with the same
-shapes, demonstrating the full distributed pattern (driver builds
-weights once → sparkContext.broadcast → executors run the kernel inside
+the EMBEDDING networks are deterministic seeded stand-ins with the
+reference's shapes, and the recommendation HEADS are tiny logistic
+regressions trained by tools/train_heads.py on a seeded synthetic
+column corpus (public data only) and frozen to head_weights.json — the
+same train → freeze → load → predict lifecycle as the reference, so
+recommendations are stable, asserted ranked lists, not random argmaxes.
+The distributed pattern matches the reference's split: driver loads
+weights once → sparkContext.broadcast → executors run kernels inside
 Arrow-batched pandas UDFs → driver-side single-row predict on the
-aggregated embedding, exactly the reference's split). Swapping in real
-trained weights is a one-line change (load instead of seed).
+aggregated embedding.
 
 Scale notes: embeddings are computed by ``applyInPandas`` grouped on
 (table, column) — one shuffle on the column key; each group's kernel is
@@ -36,6 +40,8 @@ results.
 
 from __future__ import annotations
 
+import json
+import os
 import zlib
 
 import numpy as np
@@ -80,16 +86,53 @@ def _mlp_weights(seed: int, in_dim: int, hidden: int = EMB_DIM, layers: int = 3)
     return ws
 
 
-def _head_weights(seed: int, in_dim: int, n_classes: int, gain: float = 6.0) -> tuple:
-    """Softmax head. ``gain`` sets logit scale so the stand-in heads emit
-    calibrated-looking confidences (trained heads are naturally sharp;
-    a unit-variance random head would be near-uniform over classes and
-    the reference's 0.50/0.60 probability gates would never trigger)."""
-    rng = np.random.default_rng(seed)
-    return (
-        rng.normal(0, gain / np.sqrt(in_dim), size=(in_dim, n_classes)).astype(np.float32),
-        np.zeros(n_classes, dtype=np.float32),
-    )
+_HEADS_FILE = os.path.join(os.path.dirname(__file__), "head_weights.json")
+_HEADS_CACHE: dict | None = None
+
+
+def _trained_heads() -> dict:
+    """Load the frozen recommendation heads (tools/train_heads.py writes
+    them). The reference ships ~20 proprietary-trained pickles
+    (inference.py:17-43) which must not be copied; these heads are tiny
+    multinomial logistic regressions TRAINED on the repo's own seeded
+    synthetic column corpus — same lifecycle as the reference
+    (train → freeze → load → predict), public data only. Retrain with
+    ``python tools/train_heads.py`` (fully deterministic)."""
+    global _HEADS_CACHE
+    if _HEADS_CACHE is None:
+        if not os.path.exists(_HEADS_FILE):
+            raise FileNotFoundError(
+                f"{_HEADS_FILE} missing — run `python tools/train_heads.py` "
+                "to (re)train the recommendation heads"
+            )
+        with open(_HEADS_FILE) as f:
+            raw = json.load(f)
+        _HEADS_CACHE = {
+            name: {
+                "W": np.asarray(h["W"], dtype=np.float64),
+                "b": np.asarray(h["b"], dtype=np.float64),
+                "mu": np.asarray(h["mu"], dtype=np.float64),
+                "sd": np.asarray(h["sd"], dtype=np.float64),
+                "labels": list(h["labels"]),
+            }
+            for name, h in raw["heads"].items()
+        }
+    return _HEADS_CACHE
+
+
+def _head_probs(name: str, emb: np.ndarray) -> np.ndarray:
+    """Probability vector from a frozen trained head (features are
+    standardized with the mu/sd frozen at train time)."""
+    h = _trained_heads()[name]
+    x = (np.asarray(emb, dtype=np.float64) - h["mu"]) / h["sd"]
+    return _softmax(x @ h["W"] + h["b"])
+
+
+def _predict_head(name: str, emb: np.ndarray):
+    """(top_label, top_prob, full prob vector) from a frozen trained head."""
+    p = _head_probs(name, emb)
+    i = int(np.argmax(p))
+    return _trained_heads()[name]["labels"][i], float(p[i]), p
 
 
 def _minhash_params(seed: int, k: int = MINHASH_PERMS) -> tuple:
@@ -131,6 +174,58 @@ def _crc_hashes(values) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Pure-numpy embedding twins — shared by the Spark kernels below AND by
+# tools/train_heads.py (the offline head trainer), so training and serving
+# use bit-identical featurization.
+# ---------------------------------------------------------------------------
+
+
+def numeric_embed_np(vals: np.ndarray, weights: list) -> np.ndarray:
+    """DDE column embedding: sort (partition invariance) → bit-decompose →
+    MLP → float64 mean-pool."""
+    vals = np.sort(np.asarray(vals, dtype=np.float32))
+    if len(vals) == 0:
+        return np.zeros(EMB_DIM, dtype=np.float64)
+    return _mlp_forward(_bit_decompose(vals), weights).astype(np.float64).mean(axis=0)
+
+
+def minhash_embed_np(values, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature over unique values, scaled to [0,1] float64."""
+    values = np.asarray(values)
+    if len(values) == 0:
+        return np.full(MINHASH_PERMS, 1.0, dtype=np.float64)
+    h = _crc_hashes(values)
+    sig = np.full(MINHASH_PERMS, np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(0, len(h), 65536):
+        hh = h[i : i + 65536, None]
+        sig = np.minimum(sig, ((hh * a + b) % _MERSENNE).min(axis=0))
+    return sig.astype(np.float64) / float(_MERSENNE)
+
+
+def char_featurize_np(vals) -> np.ndarray:
+    """Deterministic 50-bin hashed character histogram (chars2vec
+    stand-in — the real model is proprietary-trained)."""
+    out = np.zeros((len(vals), CHAR_DIM), dtype=np.float32)
+    for i, v in enumerate(vals):
+        s = str(v).lower()
+        if not s:
+            continue
+        for ch in s:
+            out[i, ord(ch) % CHAR_DIM] += 1.0
+        out[i] /= len(s)
+    return out
+
+
+def string_embed_np(vals, weights: list) -> np.ndarray:
+    """String-cleaning embedding: sorted unique values → char features →
+    MLP → float64 mean-pool."""
+    vals = np.sort(np.asarray(vals))
+    if len(vals) == 0:
+        return np.zeros(EMB_DIM, dtype=np.float64)
+    return _mlp_forward(char_featurize_np(vals), weights).astype(np.float64).mean(axis=0)
+
+
+# ---------------------------------------------------------------------------
 # M1/M2/M3: distributed column embeddings (applyInPandas, broadcast weights)
 # ---------------------------------------------------------------------------
 
@@ -149,13 +244,9 @@ def numeric_column_embeddings(
     def kernel(pdf):
         import pandas as pd
 
-        # sort + float64 pooling → result invariant to partitioning /
+        # twin sorts + pools in float64 → result invariant to partitioning /
         # arrival order (test_partitioning_invariant)
-        vals = np.sort(pdf[value_col].dropna().to_numpy(dtype=np.float32))
-        if len(vals) == 0:
-            emb = np.zeros(EMB_DIM, dtype=np.float64)
-        else:
-            emb = _mlp_forward(_bit_decompose(vals), bc.value).astype(np.float64).mean(axis=0)
+        emb = numeric_embed_np(pdf[value_col].dropna().to_numpy(dtype=np.float32), bc.value)
         return pd.DataFrame(
             [[pdf["table_name"].iloc[0], pdf["column_name"].iloc[0],
               emb.astype(float).tolist()]],
@@ -181,19 +272,10 @@ def minhash_column_embeddings(
     def kernel(pdf):
         import pandas as pd
 
-        vals = pdf[value_col].dropna().unique()
         aa, bb = bc.value
-        if len(vals) == 0:
-            sig = np.full(MINHASH_PERMS, float(_MERSENNE), dtype=np.float64)
-        else:
-            h = _crc_hashes(vals)
-            # (n, k) universal hashes, min over n — chunked to bound memory
-            sig = np.full(MINHASH_PERMS, np.iinfo(np.int64).max, dtype=np.int64)
-            for i in range(0, len(h), 65536):
-                hh = h[i : i + 65536, None]
-                sig = np.minimum(sig, ((hh * aa + bb) % _MERSENNE).min(axis=0))
-            sig = sig.astype(np.float64)
-        emb = (sig / float(_MERSENNE)).astype(np.float32)
+        emb = minhash_embed_np(pdf[value_col].dropna().unique(), aa, bb).astype(
+            np.float32
+        )
         return pd.DataFrame(
             [[pdf["table_name"].iloc[0], pdf["column_name"].iloc[0],
               emb.astype(float).tolist()]],
@@ -221,25 +303,10 @@ def string_column_embeddings(
     sc = long_df.sparkSession.sparkContext
     bc = sc.broadcast(_mlp_weights(seed, CHAR_DIM))
 
-    def featurize(vals: np.ndarray) -> np.ndarray:
-        out = np.zeros((len(vals), CHAR_DIM), dtype=np.float32)
-        for i, v in enumerate(vals):
-            s = str(v).lower()
-            if not s:
-                continue
-            for ch in s:
-                out[i, ord(ch) % CHAR_DIM] += 1.0
-            out[i] /= len(s)
-        return out
-
     def kernel(pdf):
         import pandas as pd
 
-        vals = np.sort(pdf[value_col].dropna().unique())
-        if len(vals) == 0:
-            emb = np.zeros(EMB_DIM, dtype=np.float64)
-        else:
-            emb = _mlp_forward(featurize(vals), bc.value).astype(np.float64).mean(axis=0)
+        emb = string_embed_np(pdf[value_col].dropna().unique(), bc.value)
         return pd.DataFrame(
             [[pdf["table_name"].iloc[0], pdf["column_name"].iloc[0],
               emb.astype(float).tolist()]],
@@ -273,19 +340,13 @@ def melt_strings(df: DataFrame, table_name: str, cols: list[str]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _predict(emb: np.ndarray, seed: int, labels: list[str]) -> tuple[str, float]:
-    w, b = _head_weights(seed, len(emb), len(labels))
-    p = _softmax(emb @ w + b)
-    i = int(np.argmax(p))
-    return labels[i], float(p[i])
-
-
 def recommend_scaling(embeddings: DataFrame, seed: int = 7) -> str:
     """M4: average numeric embedding → one scaler for the whole frame
-    (inference.py:169-173)."""
+    (inference.py:169-173). ``seed`` kept for API compatibility; heads
+    are frozen trained weights now (see _trained_heads)."""
     rows = embeddings.select("embedding").collect()
     avg = np.mean([r["embedding"] for r in rows], axis=0)
-    label, _ = _predict(avg, seed, SCALERS)
+    label, _, _ = _predict_head("scaling", avg)
     return label
 
 
@@ -296,7 +357,7 @@ def recommend_unary(embeddings: DataFrame, seed: int = 1) -> DataFrame:
     spark = embeddings.sparkSession
     recs = []
     for r in embeddings.collect():
-        label, p = _predict(np.asarray(r["embedding"]), seed, UNARY)
+        label, p, _ = _predict_head("unary", np.asarray(r["embedding"]))
         if p >= THETA_UNARY and label != "NoTransform":
             recs.append((label, r["column_name"], round(p, 4)))
     out = spark.createDataFrame(
@@ -313,7 +374,7 @@ def recommend_categorical(embeddings: DataFrame, seed: int = 1) -> DataFrame:
     spark = embeddings.sparkSession
     recs = []
     for r in embeddings.collect():
-        label, p = _predict(np.asarray(r["embedding"]), seed, CATEGORICAL)
+        label, p, _ = _predict_head("categorical", np.asarray(r["embedding"]))
         if p >= THETA_CATEGORICAL:
             recs.append((label, r["column_name"], round(p, 4)))
     out = spark.createDataFrame(
@@ -328,15 +389,19 @@ def recommend_cleaning(
     string_emb: DataFrame, numeric_emb: DataFrame, seed: int = 10
 ) -> list[str]:
     """M7: concat(avg string emb, avg numeric emb) → ranked cleaning ops
-    (inference.py:223-247; the reference CI expects a ranked list)."""
+    (inference.py:223-247; the reference CI expects a ranked list —
+    tests/test_apis.py:16-24). Deterministic: frozen head + argsort with
+    index tiebreak."""
     s_rows = [r["embedding"] for r in string_emb.select("embedding").collect()]
     n_rows = [r["embedding"] for r in numeric_emb.select("embedding").collect()]
-    s_avg = np.mean(s_rows, axis=0) if s_rows else np.zeros(MINHASH_PERMS)
+    # reference inference.py:230-238: both sides default to zeros(300);
+    # string side is the M3 string-cleaning embedding (not MinHash)
+    s_avg = np.mean(s_rows, axis=0) if s_rows else np.zeros(EMB_DIM)
     n_avg = np.mean(n_rows, axis=0) if n_rows else np.zeros(EMB_DIM)
     emb = np.concatenate([s_avg, n_avg])
-    w, b = _head_weights(seed, len(emb), len(CLEANING))
-    p = _softmax(emb @ w + b)
-    return [CLEANING[i] for i in np.argsort(-p)]
+    _, _, p = _predict_head("cleaning", emb)
+    labels = _trained_heads()["cleaning"]["labels"]
+    return [labels[i] for i in np.argsort(-p, kind="stable")]
 
 
 def detect_outliers_flag(numeric_emb: DataFrame, seed: int = 11) -> bool:
@@ -346,7 +411,7 @@ def detect_outliers_flag(numeric_emb: DataFrame, seed: int = 11) -> bool:
     if not rows:
         return False
     avg = np.mean(rows, axis=0)
-    label, _ = _predict(avg, seed, ["keep", "clean"])
+    label, _, _ = _predict_head("outlier", avg)
     return label == "clean"
 
 
@@ -357,11 +422,11 @@ def feature_selection_scores(
     max-normalized (inference.py:257-310 + A8). Returns
     (feature, score) rows sorted desc."""
     spark = feature_emb.sparkSession
+    sel_idx = _trained_heads()["selection"]["labels"].index("select")
     scored = []
     for r in feature_emb.collect():
         emb = np.concatenate([np.asarray(r["embedding"]), target_emb])
-        w, b = _head_weights(seed, len(emb), 2)
-        p = _softmax(emb @ w + b)[1]
+        p = _head_probs("selection", emb)[sel_idx]
         scored.append((r["column_name"], float(p)))
     mx = max((s for _, s in scored), default=1.0) or 1.0
     return spark.createDataFrame(

@@ -114,9 +114,17 @@ class TestRecommenders:
         assert sorted(map(str, u1)) == sorted(map(str, u2))
 
     def test_cleaning_rank_is_permutation(self, spark, num_long):
-        emb = numeric_column_embeddings(num_long)
-        ranked = recommend_cleaning(emb, emb)
+        from kgfarm_spark.functions.embeddings import string_column_embeddings
+
+        num_emb = numeric_column_embeddings(num_long)
+        str_long = spark.createDataFrame(
+            [("t", "s", f"tok_{i % 9}") for i in range(50)],
+            "table_name string, column_name string, value string",
+        )
+        str_emb = string_column_embeddings(str_long)
+        ranked = recommend_cleaning(str_emb, num_emb)
         assert sorted(ranked) == ["Fill", "Impute", "Interpolate"]
+        assert ranked == recommend_cleaning(str_emb, num_emb)  # frozen head
 
 
 class TestEngineerFeatures:

@@ -88,25 +88,50 @@ def test_entity_detection_on_fixture(spark, titanic_like):
     assert rows["passenger_id"]["value_type"] == "INT64"
 
 
-def test_cleaning_recommendation_rank_shape(spark, titanic_like):
-    # reference CI: recommend_cleaning_operations → exact ranked 3-list
+def test_cleaning_recommendation_exact_ranked_list(spark, titanic_like):
+    # Reference CI pins an exact ranked list (tests/test_apis.py:16-24:
+    # ['Fill','Interpolate','Impute']). The heads here are trained on the
+    # repo's own synthetic corpus (tools/train_heads.py), frozen in
+    # head_weights.json — so this fixture's ranking is pinned EXACTLY:
+    # Fill first (random missingness frame), same spirit as the reference.
     farm = FeatureFarm(spark)
     num_long = melt_numeric(titanic_like, "titanic", ["age", "fare", "sibsp"])
     str_long = melt_strings(titanic_like, "titanic", ["sex", "embarked"])
     ranked = farm.recommend_cleaning_operations(
         numeric_column_embeddings(num_long), string_column_embeddings(str_long)
     )
-    assert sorted(ranked) == ["Fill", "Impute", "Interpolate"]
-    assert len(ranked) == 3  # a full ranking, like the reference CI list
+    assert ranked == ["Fill", "Impute", "Interpolate"]
 
 
-def test_transformation_recommendation_shape(spark, titanic_like):
+def test_transformation_recommendation_exact(spark, titanic_like):
+    # frozen heads → exact pinned recommendation groups (reference CI
+    # spirit: tests/test_apis.py:27-32 pins the transformation list)
     farm = FeatureFarm(spark)
     num_long = melt_numeric(titanic_like, "titanic", ["age", "fare", "sibsp", "parch"])
     recs = farm.recommend_transformations(num_long)
     assert recs.columns == ["recommended_transformation", "features"]
-    for r in recs.collect():
-        assert r["recommended_transformation"] in ("Log", "Sqrt", "Square")
+    got = {
+        r["recommended_transformation"]: list(r["features"]) for r in recs.collect()
+    }
+    assert got == {"Log": ["age", "fare"]}  # skewed columns → Log, pinned
+
+
+def test_categorical_and_outlier_recommendations_exact(spark, titanic_like):
+    from kgfarm_spark.functions.embeddings import (
+        detect_outliers_flag,
+        minhash_column_embeddings,
+        recommend_categorical,
+    )
+
+    str_long = melt_strings(titanic_like, "titanic", ["sex", "embarked"])
+    cat = recommend_categorical(minhash_column_embeddings(str_long))
+    got = {r["recommended_transformation"]: list(r["features"]) for r in cat.collect()}
+    # 2-3 distinct values per column → OneHot, matching the reference's
+    # ≤5-distinct OHE guard the head was trained to reproduce
+    assert got == {"OneHotEncoder": ["embarked", "sex"]}
+
+    num_long = melt_numeric(titanic_like, "titanic", ["age", "fare", "sibsp"])
+    assert detect_outliers_flag(numeric_column_embeddings(num_long)) is True
 
 
 def test_engineer_features_column_count_parity(spark, titanic_like):
