@@ -195,3 +195,18 @@ def q_engineer_features(spark: SparkSession, sf: str) -> DataFrame:
             for c in cols
         ],
     )
+
+
+@register("pkfk_classified")  # rows-only: trained classifier head (M12)
+def q_pkfk_classified(spark: SparkSession, sf: str) -> DataFrame:
+    """Join discovery gated on the TRAINED PK-FK head (reference
+    lifecycle: primary_key_foreign_key_classifier.py) — predicted FK
+    relations over the TPC-H tables with classifier probability."""
+    from kgfarm_spark.functions.pkfk_model import discover_joins_classified
+    from kgfarm_spark.sources.transcripts import load_table
+
+    tables = {
+        t: load_table(spark, sf, t)
+        for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+    }
+    return discover_joins_classified(spark, tables)

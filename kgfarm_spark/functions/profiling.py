@@ -201,6 +201,116 @@ def label_pkfk_candidates(
     ).drop("__gt")
 
 
+_CAST = {"N_int": "long", "N_float": "double", "N_bool": "boolean"}
+
+
+def _melt_columns(
+    tables: dict[str, DataFrame], colset: set[tuple[str, str]], cast_type: str
+) -> DataFrame:
+    """One scan per table covering all its needed columns → distinct
+    (tbl, col, value) long frame (shared by discover_joins and the PKFK
+    classifier's feature builder)."""
+    by_table: dict[str, list[str]] = {}
+    for t, c in colset:
+        by_table.setdefault(t, []).append(c)
+    frames = []
+    for t, cs in by_table.items():
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col"),
+                    F.col(c).try_cast(cast_type).alias("value"),
+                )
+                for c in cs
+            ]
+        )
+        frames.append(
+            tables[t]
+            .select(F.explode(arr).alias("e"))
+            .select(
+                F.lit(t).alias("tbl"),
+                F.col("e.col").alias("col"),
+                F.col("e.value").alias("value"),
+            )
+            .filter(F.col("value").isNotNull())
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.distinct()
+
+
+def containment_frame(
+    spark,
+    tables: dict[str, DataFrame],
+    pairs: list[tuple],
+    types: dict[str, dict[str, str]],
+) -> DataFrame:
+    """Containment |FK∩PK| / |FK distinct| for EVERY candidate pair in one
+    distributed pass per reference type (melt → distinct → value join →
+    groupBy; the SINDY/SPIDER inclusion-dependency shape). Pairs with no
+    intersection simply don't appear (callers left-join + fillna 0)."""
+    by_rt: dict[str, list[tuple]] = {}
+    for pk_t, pk_c, fk_t, fk_c in pairs:
+        by_rt.setdefault(types[pk_t][pk_c], []).append((pk_t, pk_c, fk_t, fk_c))
+
+    result = None
+    for rt, rt_pairs in by_rt.items():
+        cast_type = _CAST.get(rt, "string")
+        fk_cols = {(t, c) for _, _, t, c in rt_pairs}
+        pk_cols = {(t, c) for t, c, _, _ in rt_pairs}
+        fkm = _melt_columns(tables, fk_cols, cast_type)
+        pkm = _melt_columns(tables, pk_cols, cast_type).select(
+            F.col("tbl").alias("pk_tbl"), F.col("col").alias("pk_colname"), "value"
+        )
+        pair_df = spark.createDataFrame(
+            rt_pairs,
+            "pk_table string, pk_col string, fk_table string, fk_col string",
+        )
+        d_fk = fkm.groupBy("tbl", "col").agg(F.count(F.lit(1)).alias("__d"))
+        inter = (
+            fkm.join(pkm, "value")
+            .join(
+                F.broadcast(pair_df),
+                (F.col("tbl") == F.col("fk_table"))
+                & (F.col("col") == F.col("fk_col"))
+                & (F.col("pk_tbl") == F.col("pk_table"))
+                & (F.col("pk_colname") == F.col("pk_col")),
+            )
+            .groupBy("pk_table", "pk_col", "fk_table", "fk_col")
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
+        res = (
+            inter.join(
+                F.broadcast(d_fk),
+                (inter["fk_table"] == d_fk["tbl"]) & (inter["fk_col"] == d_fk["col"]),
+            )
+            .withColumn("containment", F.col("__inter") / F.col("__d"))
+            .select("pk_table", "pk_col", "fk_table", "fk_col", "containment")
+        )
+        result = res if result is None else result.unionByName(res)
+    return result
+
+
+def candidate_pairs(
+    tables: dict[str, DataFrame],
+    ents: dict[str, set],
+    types: dict[str, dict[str, str]],
+) -> list[tuple]:
+    """(pk_table, pk_col, fk_table, fk_col) metadata enumeration: entity
+    PK side, same reference type, cross-table."""
+    pairs = []
+    for pk_t in tables:
+        for pk_c in sorted(ents[pk_t]):
+            for fk_t, fk_df in tables.items():
+                if fk_t == pk_t:
+                    continue
+                for fk_c in fk_df.columns:
+                    if types[fk_t][fk_c] == types[pk_t][pk_c]:
+                        pairs.append((pk_t, pk_c, fk_t, fk_c))
+    return pairs
+
+
 def discover_joins(
     spark,
     tables: dict[str, DataFrame],
@@ -236,98 +346,18 @@ def discover_joins(
     }
 
     # --- candidate pairs (pure metadata, driver-side)
-    pairs = []
-    for pk_t in tables:
-        for pk_c in ents[pk_t]:
-            for fk_t, fk_df in tables.items():
-                if fk_t == pk_t:
-                    continue
-                for fk_c in fk_df.columns:
-                    if types[fk_t][fk_c] == types[pk_t][pk_c]:
-                        pairs.append((pk_t, pk_c, fk_t, fk_c))
-    empty = spark.createDataFrame(
-        [],
-        "pk_table string, pk_col string, fk_table string, fk_col string, joinability double",
-    )
+    pairs = candidate_pairs(tables, ents, types)
     if not pairs:
-        return empty
-
-    _CAST = {"N_int": "long", "N_float": "double", "N_bool": "boolean"}
-
-    def _melt(colset: set[tuple[str, str]], cast_type: str) -> DataFrame:
-        """One scan per table covering all its needed columns → distinct
-        (tbl, col, value) long frame."""
-        by_table: dict[str, list[str]] = {}
-        for t, c in colset:
-            by_table.setdefault(t, []).append(c)
-        frames = []
-        for t, cs in by_table.items():
-            arr = F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("col"),
-                        F.col(c).try_cast(cast_type).alias("value"),
-                    )
-                    for c in cs
-                ]
-            )
-            frames.append(
-                tables[t]
-                .select(F.explode(arr).alias("e"))
-                .select(
-                    F.lit(t).alias("tbl"),
-                    F.col("e.col").alias("col"),
-                    F.col("e.value").alias("value"),
-                )
-                .filter(F.col("value").isNotNull())
-            )
-        out = frames[0]
-        for fr in frames[1:]:
-            out = out.unionByName(fr)
-        return out.distinct()
-
-    by_rt: dict[str, list[tuple]] = {}
-    for pk_t, pk_c, fk_t, fk_c in pairs:
-        by_rt.setdefault(types[pk_t][pk_c], []).append((pk_t, pk_c, fk_t, fk_c))
-
-    result = None
-    for rt, rt_pairs in by_rt.items():
-        cast_type = _CAST.get(rt, "string")
-        fk_cols = {(t, c) for _, _, t, c in rt_pairs}
-        pk_cols = {(t, c) for t, c, _, _ in rt_pairs}
-        fkm = _melt(fk_cols, cast_type)
-        pkm = _melt(pk_cols, cast_type).select(
-            F.col("tbl").alias("pk_tbl"), F.col("col").alias("pk_colname"), "value"
+        return spark.createDataFrame(
+            [],
+            "pk_table string, pk_col string, fk_table string, fk_col string, joinability double",
         )
-        pair_df = spark.createDataFrame(
-            rt_pairs,
-            "pk_table string, pk_col string, fk_table string, fk_col string",
-        )
-        d_fk = fkm.groupBy("tbl", "col").agg(F.count(F.lit(1)).alias("__d"))
-        inter = (
-            fkm.join(pkm, "value")
-            .join(
-                F.broadcast(pair_df),
-                (F.col("tbl") == F.col("fk_table"))
-                & (F.col("col") == F.col("fk_col"))
-                & (F.col("pk_tbl") == F.col("pk_table"))
-                & (F.col("pk_colname") == F.col("pk_col")),
-            )
-            .groupBy("pk_table", "pk_col", "fk_table", "fk_col")
-            .agg(F.count(F.lit(1)).alias("__inter"))
-        )
-        res = (
-            inter.join(
-                F.broadcast(d_fk),
-                (inter["fk_table"] == d_fk["tbl"]) & (inter["fk_col"] == d_fk["col"]),
-            )
-            .withColumn(
-                "joinability", F.round(F.col("__inter") / F.col("__d"), 6)
-            )
-            .filter(F.col("joinability") >= containment_threshold)
-            .select("pk_table", "pk_col", "fk_table", "fk_col", "joinability")
-        )
-        result = res if result is None else result.unionByName(res)
+    result = (
+        containment_frame(spark, tables, pairs, types)
+        .withColumn("joinability", F.round("containment", 6))
+        .filter(F.col("joinability") >= containment_threshold)
+        .select("pk_table", "pk_col", "fk_table", "fk_col", "joinability")
+    )
     return result.orderBy(
         F.col("joinability").desc(), "pk_table", "pk_col", "fk_table", "fk_col"
     )
