@@ -127,8 +127,92 @@ def _order_window(key: str | None, order: str):
     return Window.partitionBy().orderBy(order)
 
 
+def _order_buckets(df: DataFrame, order: str, n_buckets: int | None = None):
+    """Range-bucket rows by the order column (percentile_approx boundaries;
+    pure function of the value, so deterministic across jobs). Returns
+    (tagged_df_with___ob, sorted bucket ids present). The scale device that
+    replaces every unkeyed global window in this module: per-bucket windows
+    run in parallel, cross-bucket state is a ≤n_buckets-row driver scan."""
+    from kgfarm_spark.functions.transforms import _range_bucket_expr
+
+    spark = df.sparkSession
+    P = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    qs = [i / P for i in range(1, P)]
+    qlist = "array(" + ",".join(str(q) for q in qs) + ")"
+    bounds = df.agg(
+        F.expr(f"percentile_approx(`{order}`, {qlist}, 10000)").alias("b")
+    ).first()["b"]
+    uniq = sorted(set(b for b in (bounds or []) if b is not None))
+    return df.withColumn("__ob", _range_bucket_expr(F.col(order), uniq))
+
+
+def _unkeyed_fill(df: DataFrame, cols: list[str], order: str, forward: bool) -> DataFrame:
+    """Distributed whole-frame ffill/bfill (VERDICT r01: the unkeyed
+    `Window.partitionBy()` funnels the frame through one task). Shape:
+    per-ORDER-RANGE-bucket window fill (parallel) + a tiny per-bucket
+    carry aggregate; the carry-in for bucket b is the last (first) non-null
+    across all preceding (following) buckets, resolved driver-side from
+    ≤n_buckets rows and broadcast back. Identical to the global window
+    when order values are unique."""
+    spark = df.sparkSession
+    tagged = _order_buckets(df, order)
+    agg_fn = "max_by" if forward else "min_by"
+    carry_rows = (
+        tagged.groupBy("__ob")
+        .agg(
+            *[
+                F.expr(
+                    f"{agg_fn}(`{c}`, `{order}`) FILTER (WHERE `{c}` IS NOT NULL)"
+                ).alias(c)
+                for c in cols
+            ]
+        )
+        .collect()
+    )
+    by_bucket = {r["__ob"]: r for r in sorted(carry_rows, key=lambda r: r["__ob"])}
+    buckets = sorted(by_bucket)
+    order_iter = buckets if forward else list(reversed(buckets))
+    carry_in: dict[int, list] = {}
+    state = [None] * len(cols)
+    for b in order_iter:
+        carry_in[b] = list(state)
+        for i, c in enumerate(cols):
+            v = by_bucket[b][c]
+            if v is not None:
+                state[i] = v
+    fields = ", ".join(
+        f"`__carry_{c}` {dict(df.dtypes)[c]}" for c in cols
+    )
+    carry_df = spark.createDataFrame(
+        [(b, *carry_in[b]) for b in buckets], f"__ob int, {fields}"
+    )
+    w = Window.partitionBy("__ob").orderBy(order)
+    w = (
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        if forward
+        else w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = tagged.join(F.broadcast(carry_df), "__ob")
+    in_bucket = F.last if forward else F.first
+    out = out.select(
+        *[c for c in df.columns if c not in cols],
+        *[
+            F.coalesce(
+                in_bucket(F.col(c), ignorenulls=True).over(w), F.col(f"__carry_{c}")
+            ).alias(c)
+            for c in cols
+        ],
+        "__ob",
+    )
+    return out.drop("__ob").select(df.columns)
+
+
 def ffill(df: DataFrame, cols: list[str], key: str | None, order: str) -> DataFrame:
-    """W2: last(ignorenulls) over unbounded-preceding frame."""
+    """W2: last(ignorenulls) over unbounded-preceding frame. Keyed frames
+    use one partitioned window; unkeyed frames use the distributed
+    range-bucket + carry path (no single-task global window)."""
+    if key is None:
+        return _unkeyed_fill(df, cols, order, forward=True)
     w = _order_window(key, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     out = df
     for c in cols:
@@ -137,7 +221,10 @@ def ffill(df: DataFrame, cols: list[str], key: str | None, order: str) -> DataFr
 
 
 def bfill(df: DataFrame, cols: list[str], key: str | None, order: str) -> DataFrame:
-    """W2 symmetric: first(ignorenulls) over unbounded-following frame."""
+    """W2 symmetric: first(ignorenulls) over unbounded-following frame;
+    unkeyed frames take the distributed carry path like ffill."""
+    if key is None:
+        return _unkeyed_fill(df, cols, order, forward=False)
     w = _order_window(key, order).rowsBetween(Window.currentRow, Window.unboundedFollowing)
     out = df
     for c in cols:
@@ -160,7 +247,12 @@ def interpolate_linear(
     Window algebra: for each null row locate (prev value, prev position)
     and (next value, next position) via last/first(ignorenulls) over
     one-sided frames, then blend linearly on position distance.
+
+    Unkeyed frames route through the distributed range-bucket + carry
+    path (_unkeyed_interpolate) instead of a single-task global window.
     """
+    if key is None:
+        return _unkeyed_interpolate(df, cols, order, then_ffill_bfill)
     wb = _order_window(key, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wf = _order_window(key, order).rowsBetween(Window.currentRow, Window.unboundedFollowing)
     wn = _order_window(key, order)
@@ -182,6 +274,93 @@ def interpolate_linear(
             filled = F.coalesce(filled, next_v)  # leading → bfill (apis.py:216)
         out = out.withColumn(c, filled)
     return out.drop("__pos")
+
+
+def _unkeyed_interpolate(
+    df: DataFrame, cols: list[str], order: str, then_ffill_bfill: bool = True
+) -> DataFrame:
+    """Distributed whole-frame linear interpolation: the keyed algorithm's
+    window algebra per ORDER-RANGE bucket (parallel), with cross-bucket
+    (prev/next value, GLOBAL position) carried via a ≤n_buckets-row
+    aggregate resolved driver-side and broadcast back. Global positions =
+    in-bucket row_number + bucket count offsets. Identical to the global
+    window result when order values are unique."""
+    spark = df.sparkSession
+    tagged = _order_buckets(df, order)
+    w_in = Window.partitionBy("__ob").orderBy(order)
+    pos_df = tagged.withColumn("__ipos", F.row_number().over(w_in).cast("double"))
+
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    for c in cols:
+        nn = f"FILTER (WHERE `{c}` IS NOT NULL)"
+        aggs.append(F.expr(f"max_by(CAST(`{c}` AS DOUBLE), __ipos) {nn}").alias(f"lv_{c}"))
+        aggs.append(F.expr(f"max_by(__ipos, __ipos) {nn}").alias(f"lp_{c}"))
+        aggs.append(F.expr(f"min_by(CAST(`{c}` AS DOUBLE), __ipos) {nn}").alias(f"fv_{c}"))
+        aggs.append(F.expr(f"min_by(__ipos, __ipos) {nn}").alias(f"fp_{c}"))
+    rows = {r["__ob"]: r for r in pos_df.groupBy("__ob").agg(*aggs).collect()}
+    buckets = sorted(rows)
+
+    offsets, acc = {}, 0.0
+    for b in buckets:
+        offsets[b] = acc
+        acc += rows[b]["__cnt"]
+
+    # carry-in (value, global pos) per column, forward and backward
+    carry = {b: {} for b in buckets}
+    state = {c: (None, None) for c in cols}
+    for b in buckets:
+        for c in cols:
+            carry[b][f"pv_{c}"], carry[b][f"pp_{c}"] = state[c]
+        for c in cols:
+            if rows[b][f"lv_{c}"] is not None:
+                state[c] = (rows[b][f"lv_{c}"], rows[b][f"lp_{c}"] + offsets[b])
+    state = {c: (None, None) for c in cols}
+    for b in reversed(buckets):
+        for c in cols:
+            carry[b][f"nv_{c}"], carry[b][f"np_{c}"] = state[c]
+        for c in cols:
+            if rows[b][f"fv_{c}"] is not None:
+                state[c] = (rows[b][f"fv_{c}"], rows[b][f"fp_{c}"] + offsets[b])
+
+    carry_cols = []
+    for c in cols:
+        carry_cols += [f"pv_{c}", f"pp_{c}", f"nv_{c}", f"np_{c}"]
+    carry_df = spark.createDataFrame(
+        [
+            (b, float(offsets[b]), *[carry[b][k] for k in carry_cols])
+            for b in buckets
+        ],
+        "__ob int, __off double, " + ", ".join(f"`__{k}` double" for k in carry_cols),
+    )
+
+    wb = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w_in.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    out = pos_df.join(F.broadcast(carry_df), "__ob").withColumn(
+        "__gpos", F.col("__ipos") + F.col("__off")
+    )
+    for c in cols:
+        val = F.col(c).cast("double")
+        prev_v = F.coalesce(F.last(val, ignorenulls=True).over(wb), F.col(f"__pv_{c}"))
+        prev_p = F.coalesce(
+            F.last(F.when(val.isNotNull(), F.col("__gpos")), ignorenulls=True).over(wb),
+            F.col(f"__pp_{c}"),
+        )
+        next_v = F.coalesce(F.first(val, ignorenulls=True).over(wf), F.col(f"__nv_{c}"))
+        next_p = F.coalesce(
+            F.first(F.when(val.isNotNull(), F.col("__gpos")), ignorenulls=True).over(wf),
+            F.col(f"__np_{c}"),
+        )
+        interior = prev_v + (next_v - prev_v) * (F.col("__gpos") - prev_p) / (next_p - prev_p)
+        filled = (
+            F.when(val.isNotNull(), val)
+            .when(prev_v.isNotNull() & next_v.isNotNull(), interior)
+            .when(prev_v.isNotNull(), prev_v)
+        )
+        if then_ffill_bfill:
+            filled = F.coalesce(filled, next_v)
+        out = out.withColumn(c, filled)
+    drop = ["__ipos", "__off", "__gpos", "__ob"] + [f"__{k}" for k in carry_cols]
+    return out.drop(*drop).select(df.columns)
 
 
 def drop_outlier_rows_iqr(

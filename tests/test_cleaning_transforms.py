@@ -457,3 +457,58 @@ def test_knn_impute_unkeyed_size_guard(spark):
     df = spark.range(50).select(F.col("id").cast("double").alias("x"))
     with pytest.raises(ValueError, match="max_group_rows"):
         knn_impute(df, ["x"], key=None, max_group_rows=10)
+
+
+def test_unkeyed_fills_match_global_window_across_buckets(spark):
+    """VERDICT r01 #2 (tail): unkeyed ffill/bfill/interpolate must not use
+    a single-task global window. The distributed range-bucket + carry path
+    must equal the global-window result on a frame large enough to span
+    many buckets, including long null runs crossing bucket boundaries."""
+    from pyspark.sql import Window
+
+    from kgfarm_spark.functions.cleaning import bfill, ffill, interpolate_linear
+
+    rng = np.random.RandomState(3)
+    n = 4000
+    vals = rng.randn(n)
+    mask = rng.rand(n) < 0.4
+    vals_list = [None if m else float(v) for v, m in zip(vals, mask)]
+    # long null run crossing bucket boundaries + null head and tail
+    vals_list[:30] = [None] * 30
+    vals_list[1800:2300] = [None] * 500
+    vals_list[-25:] = [None] * 25
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals_list)], "i long, x double"
+    ).repartition(16)
+
+    w_fwd = Window.partitionBy().orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    w_bwd = Window.partitionBy().orderBy("i").rowsBetween(0, Window.unboundedFollowing)
+    exp_f = {r["i"]: r["e"] for r in df.select("i", F.last("x", ignorenulls=True).over(w_fwd).alias("e")).collect()}
+    exp_b = {r["i"]: r["e"] for r in df.select("i", F.first("x", ignorenulls=True).over(w_bwd).alias("e")).collect()}
+
+    got_f = {r["i"]: r["x"] for r in ffill(df, ["x"], key=None, order="i").collect()}
+    got_b = {r["i"]: r["x"] for r in bfill(df, ["x"], key=None, order="i").collect()}
+    assert got_f == exp_f
+    assert got_b == exp_b
+
+    # interpolation equals the pandas chain on the same frame
+    pdf = pd.DataFrame({"x": vals_list}, dtype="float64")
+    exp_i = pdf["x"].interpolate().ffill().bfill().tolist()
+    got_i = interpolate_linear(df, ["x"], key=None, order="i")
+    got_i = [r["x"] for r in got_i.orderBy("i").collect()]
+    assert np.allclose(got_i, exp_i, equal_nan=True)
+
+
+def test_unkeyed_fill_plan_has_no_global_window(spark):
+    from kgfarm_spark.functions.cleaning import ffill, interpolate_linear
+
+    df = spark.range(500).select(
+        F.col("id").alias("i"),
+        F.when(F.col("id") % 3 == 0, None).otherwise(F.col("id").cast("double")).alias("x"),
+    )
+    for out in (
+        ffill(df, ["x"], key=None, order="i"),
+        interpolate_linear(df, ["x"], key=None, order="i"),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__ob" in plan  # windows partition by the order bucket

@@ -73,5 +73,7 @@ def test_queries_have_oracles():
         "multimodal_features",
         "quantile_transform_fitted",
         "power_transform_yeo_johnson",
+        "lof_outliers",      # LOF kernel — loop-twin tested in test_cleaning_transforms
+        "pkfk_classified",   # trained classifier head — tested in test_pkfk_model
     }
     assert missing <= allowed_rows_only
