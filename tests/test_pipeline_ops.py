@@ -492,3 +492,23 @@ def test_discover_joins_job_count_scales_with_tables_not_pairs(spark):
     # stage-jobs for the single final pass) must stay below one job per pair.
     assert n_pairs_possible >= 50
     assert len(jobs) < n_pairs_possible, (len(jobs), n_pairs_possible)
+
+
+def test_csv_sink_feature_export_roundtrip(spark, tmp_path):
+    """S3 (CSV sink): the reference exports feature frames with to_csv
+    (feature_generator.py:123-125); here df.write.csv with header —
+    round-trips schema'd content exactly."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("nation", "n_nationkey", 1.0, 0.04), ("orders", "o_orderkey", 1.0, 1.0)],
+        "pk_table string, pk_col string, containment double, coverage double",
+    )
+    out = str(tmp_path / "features_csv")
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.option("header", True).csv(out).select(
+        "pk_table", "pk_col",
+        F.col("containment").cast("double").alias("containment"),
+        F.col("coverage").cast("double").alias("coverage"),
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
