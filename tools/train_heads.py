@@ -68,7 +68,7 @@ OUT = os.path.join(
     "kgfarm_spark", "functions", "head_weights.json",
 )
 
-N_PER_CLASS = 60
+N_PER_CLASS = 200
 COL_LEN = 400
 
 _DDE_W = _mlp_weights(42, BIT_DIM)          # same seed as numeric_column_embeddings
@@ -138,10 +138,11 @@ def gen_scaling(rng):
         y.append("MinMaxScaler")
         base = rng.normal(0, 1, COL_LEN)
         out_idx = rng.integers(0, COL_LEN, COL_LEN // 20)
-        base[out_idx] *= rng.uniform(15, 40)
+        base[out_idx] *= rng.uniform(20, 50)
         X.append(_num_emb(base))
         y.append("RobustScaler")
-        X.append(_num_emb(rng.standard_t(2, COL_LEN) * rng.uniform(1, 5)))
+        # strongly right-skewed heavy tail (archetypal PowerTransformer case)
+        X.append(_num_emb(rng.lognormal(rng.uniform(0, 1), rng.uniform(1.2, 2.0), COL_LEN)))
         y.append("PowerTransformer")
         m1, m2 = rng.uniform(-10, -2), rng.uniform(2, 10)
         bim = np.concatenate(
@@ -167,8 +168,18 @@ def _frame_emb(rng, kind: str) -> np.ndarray:
     2 numeric cols) — exactly the recommend_cleaning input shape
     (reference inference.py:223-240: both sides 300-dim)."""
     if kind == "Fill":
-        nums = [rng.normal(rng.uniform(-3, 3), rng.uniform(0.5, 2), COL_LEN) for _ in range(2)]
-        cats = [_tokens(rng, int(rng.integers(3, 30)), COL_LEN) for _ in range(2)]
+        # iid frames of varied marginal shapes (normal / skewed / uniform /
+        # counts) — the archetype must cover skewed real-world columns
+        # (fares, incomes), not just gaussians
+        makers = [
+            lambda: rng.normal(rng.uniform(-3, 3), rng.uniform(0.5, 2), COL_LEN),
+            lambda: rng.lognormal(rng.uniform(0, 2), rng.uniform(0.6, 1.4), COL_LEN),
+            lambda: rng.uniform(0, rng.uniform(5, 100), COL_LEN),
+            lambda: rng.poisson(rng.uniform(1, 6), COL_LEN).astype(float),
+        ]
+        picks = rng.choice(len(makers), 2, replace=False)
+        nums = [makers[i]() for i in picks]
+        cats = [_tokens(rng, int(rng.integers(2, 30)), COL_LEN) for _ in range(2)]
     elif kind == "Interpolate":
         nums = [np.cumsum(rng.normal(0, rng.uniform(0.05, 0.3), COL_LEN)) for _ in range(2)]
         cats = [_tokens(rng, int(rng.integers(2, 8)), COL_LEN) for _ in range(2)]
@@ -231,7 +242,7 @@ def gen_selection(rng):
 
 
 def train_logreg(X: np.ndarray, y: list[str], labels: list[str],
-                 lr: float = 1.0, iters: int = 3000, l2: float = 1e-4):
+                 lr: float = 1.0, iters: int = 6000, l2: float = 3e-4):
     X = np.asarray(X, dtype=np.float64)
     # per-feature standardization: the class signal is a small direction in
     # a mean-pooled embedding; GD on raw features stalls (outlier head sat
@@ -269,10 +280,20 @@ def main():
         ("selection", gen_selection, ["drop", "select"]),
     ]
     for name, gen, labels in specs:
-        # per-head deterministic seed derived from the head name
+        # per-head deterministic seeds derived from the head name; the
+        # held-out split is generated with a DIFFERENT seed so val_acc
+        # measures generalization to unseen synthetic columns, not memorization
         X, y = gen(np.random.default_rng(sum(ord(c) for c in name) * 1000 + 7))
+        Xv, yv = gen(np.random.default_rng(sum(ord(c) for c in name) * 1000 + 7919))
         W, b, mu, sd, acc = train_logreg(X, y, labels)
-        print(f"{name}: n={len(y)} dim={X.shape[1]} classes={len(labels)} train_acc={acc:.3f}")
+        Xvs = (np.asarray(Xv, dtype=np.float64) - mu) / sd
+        pred = np.argmax(Xvs @ W + b, axis=1)
+        truth = np.array([labels.index(l) for l in yv])
+        val_acc = float((pred == truth).mean())
+        print(
+            f"{name}: n={len(y)} dim={X.shape[1]} classes={len(labels)} "
+            f"train_acc={acc:.3f} val_acc={val_acc:.3f}"
+        )
         heads[name] = {
             "labels": labels,
             "W": [[round(float(v), 8) for v in row] for row in W],
@@ -280,6 +301,7 @@ def main():
             "mu": [round(float(v), 8) for v in mu],
             "sd": [round(float(v), 8) for v in sd],
             "train_acc": round(acc, 4),
+            "val_acc": round(val_acc, 4),
             "n_train": len(y),
         }
     meta = {
