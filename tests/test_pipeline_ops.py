@@ -512,3 +512,50 @@ def test_csv_sink_feature_export_roundtrip(spark, tmp_path):
         F.col("coverage").cast("double").alias("coverage"),
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_ivf_distributed_fit_matches_numpy_lloyd(spark):
+    """fit_ivf_centroids_distributed (whole-corpus mapInPandas partials)
+    must match a single-process numpy Lloyd run from the same init, and
+    plug into ivf_topk with recall >= the sampled fit."""
+    from kgfarm_spark.operators.similarity import (
+        cosine_topk,
+        fit_ivf_centroids_distributed,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(17)
+    centers = rng.randn(6, 8) * 4
+    rows = []
+    for i in range(600):
+        c = i % 6
+        rows.append((i, (centers[c] + rng.randn(8) * 0.3).astype("float32").tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(8)
+
+    got = fit_ivf_centroids_distributed(corpus, n_cells=6, iters=8)
+
+    # numpy twin from the same deterministic init
+    import hashlib
+
+    ordered = sorted(rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    cents = np.array([r[1] for r in ordered[:6]], dtype=np.float64)
+    for _ in range(8):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(6):
+            m = x[a == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    np.testing.assert_allclose(np.sort(got, axis=0), np.sort(cents, axis=0), rtol=1e-9)
+
+    # end-to-end: distributed centroids drive ivf_topk with high recall
+    q = corpus.filter(F.col("vec_id") % 60 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(corpus, q, k=5).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(corpus, q, k=5, centroids=got, nprobe=2).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.8
