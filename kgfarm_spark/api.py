@@ -120,18 +120,36 @@ class FeatureFarm:
         numeric_cols: list[str] | None = None,
         key: str | None = None,
         order: str | None = None,
+        handle_outliers: bool = False,
     ) -> DataFrame:
         """Apply a cleaning recommendation (reference clean(),
         apis.py:185-226): Fill → mean/mode fill; Interpolate → linear +
-        ffill/bfill chain (needs key/order); Impute → median/mode."""
+        ffill/bfill chain (needs key/order); Impute → KNN imputation of
+        numeric columns + mode fill of categoricals (the reference's
+        KNNImputer/SimpleImputer split, apis.py:218-224).
+        ``handle_outliers`` first nulls numeric values on LOF-flagged
+        rows (reference: LocalOutlierFactor(contamination=0.05) masking,
+        apis.py:187-192) so the chosen imputation refills them; pass
+        ``key`` to bound the O(n²) LOF groups at scale."""
         df = _cleaning.normalize_null_tokens(df)
+        num = numeric_cols or [
+            c for c, t in df.dtypes if t in ("double", "float", "bigint", "int")
+        ]
+        if handle_outliers and num:
+            from pyspark.sql import functions as F
+
+            masked = _cleaning.lof_mask(df, num, key=key)
+            for c in num:
+                masked = masked.withColumn(
+                    c, F.when(F.col("is_outlier"), None).otherwise(F.col(c))
+                )
+            df = masked.drop("lof_score", "is_outlier")
         if recommendation == "Interpolate":
-            num = numeric_cols or [
-                c for c, t in df.dtypes if t in ("double", "float", "bigint", "int")
-            ]
             return _cleaning.interpolate_linear(df, num, key=key, order=order or num[0])
-        strategy = "mean" if recommendation == "Fill" else "median"
-        return _cleaning.fill_nulls(df, numeric_strategy=strategy, numeric_cols=numeric_cols)
+        if recommendation == "Impute":
+            out = _cleaning.knn_impute(df, num, key=key) if num else df
+            return _cleaning.fill_nulls(out, numeric_cols=[], categorical_cols=None)
+        return _cleaning.fill_nulls(df, numeric_strategy="mean", numeric_cols=numeric_cols)
 
     # ---- transformations / selection -------------------------------------
     def recommend_transformations(self, numeric_long: DataFrame) -> DataFrame:

@@ -62,3 +62,26 @@ def test_clean_and_engineer(farm, spark):
     tr, te, report = farm.engineer_features(train, test, "o_orderstatus")
     assert report["task"] in ("binary", "multiclass")
     assert set(tr.columns) == set(te.columns)
+
+
+def test_facade_clean_impute_and_outlier_paths(spark):
+    """Reference clean() lifecycle: LOF-mask outliers then impute
+    (apis.py:185-226) — numeric outliers are nulled and refilled by KNN
+    (degenerate 1-D == mean of inliers), categoricals mode-filled."""
+    from kgfarm_spark.api import FeatureFarm
+
+    farm = FeatureFarm(spark)
+    rows = [(i, float(v), "a" if i % 3 else None)
+            for i, v in enumerate([10.0] * 30 + [10.2] * 30 + [500.0])]
+    rows[5] = (5, None, "b")  # a plain missing value too
+    df = spark.createDataFrame(rows, "id long, x double, c string")
+
+    out = farm.clean(df, "Impute", numeric_cols=["x"], handle_outliers=True).collect()
+    got = {r["id"]: (r["x"], r["c"]) for r in out}
+    inlier_mean = (10.0 * 29 + 10.2 * 30) / 59  # id 5 (a 10.0) null, id 60 masked
+    assert abs(got[60][0] - inlier_mean) < 1e-9   # outlier masked + refilled
+    assert abs(got[5][0] - inlier_mean) < 1e-9    # missing value imputed
+    assert all(v[1] in ("a", "b") for v in got.values())  # mode fill
+
+    out2 = {r["id"]: r["x"] for r in farm.clean(df, "Impute", numeric_cols=["x"]).collect()}
+    assert out2[60] == 500.0  # no outlier handling unless asked
