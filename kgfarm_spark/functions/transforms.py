@@ -421,12 +421,12 @@ def one_hot_encode(
     out = df
     for c in cols:
         if c not in cats:
-            vals = [
-                r[c]
-                for r in df.select(c).filter(F.col(c).isNotNull()).distinct().orderBy(c).collect()
-            ]
-            if len(vals) > max_distinct:
+            distinct_df = df.select(c).filter(F.col(c).isNotNull()).distinct()
+            # count-first guard: never collect a high-cardinality column's
+            # dictionary just to discover it fails the ≤max_distinct gate
+            if distinct_df.limit(max_distinct + 1).count() > max_distinct:
                 continue
+            vals = [r[c] for r in distinct_df.orderBy(c).collect()]
             cats[c] = vals
         for v in cats[c]:
             out = out.withColumn(
