@@ -327,6 +327,91 @@ class TestStreaming:
         # Y stayed active every batch → counters carry across all batches
         assert got[("Y", 3)] == 4
 
+    def test_stream_rolling_counts_match_batch(self, spark, tmp_path):
+        """Sliding-window streaming counts equal the batch window() groupBy
+        on the same input."""
+        from kgfarm_spark.sources.datagen import gen_transcripts
+        from kgfarm_spark.streaming.stream import stream_rolling_counts
+
+        t = gen_transcripts(spark, n_turns=1500, n_convs=10, seed=13)
+        src = str(tmp_path / "roll_src")
+        t.write.mode("overwrite").parquet(src)
+
+        stream = spark.readStream.schema(t.schema).parquet(src)
+        q = (
+            stream_rolling_counts(stream, size="10 minutes", slide="5 minutes")
+            .writeStream.format("memory")
+            .queryName("roll_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "roll_ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["conv_id"], r["window_start"], r["window_end"]): (r["n_turns"], r["text_len_sum"])
+            for r in spark.sql("select * from roll_out").collect()
+        }
+        batch = (
+            spark.read.parquet(src)
+            .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "conv_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("s"))
+        )
+        exp = {
+            (r["conv_id"], r["w"]["start"], r["w"]["end"]): (r["n"], r["s"])
+            for r in batch.collect()
+        }
+        # append mode emits a window only once the watermark passes its end;
+        # windows ending within the 1h watermark delay of max(ts) stay in
+        # state when the stream drains — every emitted window must match the
+        # batch, and every batch window older than the final watermark must
+        # have been emitted.
+        import datetime
+
+        max_ts = spark.read.parquet(src).agg(F.max("ts")).first()[0]
+        wm = max_ts - datetime.timedelta(hours=1)
+        assert got.items() <= exp.items()
+        closed = {k: v for k, v in exp.items() if k[2] <= wm}
+        assert closed.items() <= got.items()
+        assert len(got) >= len(closed) > 0
+
+    def test_stream_enrich_against_static_features(self, spark, tmp_path):
+        """Stream-static point-in-time enrichment equals the batch join with
+        the same freshness predicate."""
+        from kgfarm_spark.sources.datagen import gen_probes, gen_transcripts
+        from kgfarm_spark.streaming.stream import stream_enrich_against_features
+
+        t = gen_transcripts(spark, n_turns=800, n_convs=8, seed=14)
+        features = t.select("conv_id", "ts", F.length("text").alias("text_len"))
+        probes = gen_probes(spark, t)
+        src = str(tmp_path / "probe_src")
+        probes.write.mode("overwrite").parquet(src)
+
+        stream = spark.readStream.schema(probes.schema).parquet(src)
+        q = (
+            stream_enrich_against_features(stream, features, tolerance="1 DAY")
+            .writeStream.format("memory")
+            .queryName("enrich_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from enrich_out")
+
+        f = features.select(
+            F.col("conv_id").alias("__c"), F.col("ts").alias("matched_ts"), "text_len"
+        )
+        cond = (
+            (probes["conv_id"] == f["__c"])
+            & (f["matched_ts"] <= probes["query_ts"])
+            & (f["matched_ts"] >= probes["query_ts"] - F.expr("INTERVAL 1 DAY"))
+        )
+        exp = probes.join(f, cond, "left").drop("__c")
+        key = lambda r: (r["conv_id"], r["query_ts"], r["probe_id"], r["matched_ts"], r["text_len"])
+        assert sorted(map(key, got.collect())) == sorted(map(key, exp.collect()))
+
     def test_input_snapshot_id_tracks_files(self, spark, tmp_path):
         from kgfarm_spark.plans.lineage import input_snapshot_id
         from kgfarm_spark.sources.datagen import gen_transcripts
