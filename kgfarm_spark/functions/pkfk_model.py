@@ -75,15 +75,17 @@ def pkfk_candidate_features(
     spark,
     tables: dict[str, DataFrame],
     uniqueness_threshold: float = 0.95,
+    exact: bool = True,
 ) -> DataFrame:
-    """Per-candidate-pair feature frame, fully distributed. One exact
-    profile pass per table (metadata-scale collect), one melted
-    containment pass for ALL pairs; the per-pair scalar features are
-    derived from profile stats driver-side (pairs are metadata) and the
-    result stays a DataFrame."""
+    """Per-candidate-pair feature frame, fully distributed. One profile
+    pass per table (metadata-scale collect; ``exact=False`` switches to
+    one-pass HLL distinct counts for the 100 TB mode — pair with a lower
+    uniqueness_threshold), one melted containment pass for ALL pairs; the
+    per-pair scalar features are derived from profile stats driver-side
+    (pairs are metadata) and the result stays a DataFrame."""
     import re
 
-    profs = {n: profile_table(df, n, exact=True) for n, df in tables.items()}
+    profs = {n: profile_table(df, n, exact=exact) for n, df in tables.items()}
     stats: dict[tuple[str, str], dict] = {}
     for n, p in profs.items():
         for r in p.collect():

@@ -316,6 +316,7 @@ def discover_joins(
     tables: dict[str, DataFrame],
     uniqueness_threshold: float = 0.95,
     containment_threshold: float = 0.9,
+    exact: bool = True,
 ) -> DataFrame:
     """search_enrichment_options replacement (J4, template.py:126-172):
     enumerate (pk_table.pk_col ← fk_table.fk_col) candidates where the PK
@@ -330,9 +331,15 @@ def discover_joins(
     groupBy pass (the SINDY/SPIDER inclusion-dependency shape). Job count
     grows with the number of TABLES (metadata profiling), never with the
     number of candidate pairs — a catalog with hundreds of pairs costs the
-    same two shuffles as one with three."""
+    same two shuffles as one with three.
+
+    ``exact=False`` is the 100 TB profiling mode: entity detection runs on
+    one-pass HLL distinct counts (approx_count_distinct, ~5% rsd) instead
+    of exact count_distinct; pair a slightly lower uniqueness_threshold
+    (e.g. 0.90) with it so HLL noise doesn't drop truly-unique columns.
+    The containment pass itself is unchanged."""
     # --- metadata phase (profiles are column-count-sized; collects are tiny)
-    profs = {name: profile_table(df, name, exact=True) for name, df in tables.items()}
+    profs = {name: profile_table(df, name, exact=exact) for name, df in tables.items()}
     ents = {
         name: {
             r["column_name"]

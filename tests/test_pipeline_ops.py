@@ -644,3 +644,27 @@ def test_ivf_distributed_fit_matches_numpy_lloyd(spark):
         for r in ivf_topk(corpus, q, k=5, centroids=got, nprobe=2).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_discover_joins_approx_profile_mode(spark):
+    """exact=False (HLL distinct counts) finds the same relations on the
+    TPC-H fixture with a threshold that absorbs HLL noise."""
+    from kgfarm_spark.functions.profiling import discover_joins
+
+    tables = {
+        t: spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        for t in ["nation", "customer", "supplier"]
+    }
+    exact = {
+        tuple(r[:4])
+        for r in discover_joins(spark, tables, containment_threshold=0.9).collect()
+    }
+    approx = {
+        tuple(r[:4])
+        for r in discover_joins(
+            spark, tables, uniqueness_threshold=0.9,
+            containment_threshold=0.9, exact=False,
+        ).collect()
+    }
+    assert ("nation", "n_nationkey", "customer", "c_nationkey") in approx
+    assert exact <= approx  # HLL slack may admit extra entity cols, never lose relations
