@@ -134,3 +134,30 @@ def salted_fanout_join(
     )
     out = big_s.join(small_s, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def hybrid_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    hot_keys: DataFrame,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """The hybrid plan the module docstring promises: salt ONLY the hot
+    keys, leave the long tail on the direct join path.
+
+    ``hot_keys`` is a one-column frame of skewed key values (typically
+    ``detect_hot_keys(...)`` output). The big side splits into hot/cold by
+    a broadcast semi/anti join; the hot slice goes through
+    salted_fanout_join (per-key fan-out bounded by n_salt reducers), the
+    cold slice through a plain equi-join, and the union is exactly
+    ``big.join(small, key, how)`` for the supported join types. Cost: the
+    small side is replicated n_salt× only against the hot slice, not the
+    whole table."""
+    hk = F.broadcast(hot_keys.select(F.col(hot_keys.columns[0]).alias(key)).distinct())
+    big_hot = big.join(hk, key, "left_semi")
+    big_cold = big.join(hk, key, "left_anti")
+    hot_out = salted_fanout_join(big_hot, small, key, n_salt=n_salt, how=how)
+    cold_out = big_cold.join(small, key, how)
+    return hot_out.unionByName(cold_out)

@@ -100,3 +100,26 @@ def test_stage_metrics_degrades_without_ui(spark):
         spark.range(10).count()
     assert m.stages == []
     assert m.summary()["n_stages"] == 0
+
+
+def test_hybrid_skew_join_exact_parity(spark):
+    """hybrid_skew_join (salt only detected hot keys, direct path for the
+    tail) must equal the plain join for inner and left, with hot keys from
+    detect_hot_keys feeding it end-to-end."""
+    from kgfarm_spark.operators.skew import detect_hot_keys, hybrid_skew_join
+
+    rows = [(f"k{i % 50}" if i % 4 else "HOT", i, float(i)) for i in range(20_000)]
+    big = spark.createDataFrame(rows, "k string, i long, v double")
+    small = spark.createDataFrame(
+        [(f"k{i}", f"dim{i}") for i in range(40)] + [("HOT", "dimhot")],
+        "k string, d string",
+    )
+
+    hot = detect_hot_keys(big, "k", ["i"], threshold_rows=1000)
+    assert "HOT" in {r["k"] for r in hot.collect()}
+
+    for how in ("inner", "left"):
+        exp = big.join(small, "k", how)
+        got = hybrid_skew_join(big, small, "k", hot, n_salt=8, how=how)
+        key = lambda r: (r["k"], r["i"], r["v"], r["d"])
+        assert sorted(map(key, got.collect())) == sorted(map(key, exp.collect()))
