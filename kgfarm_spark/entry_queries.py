@@ -416,3 +416,79 @@ import kgfarm_spark.entry_profiling  # noqa: E402,F401
 import kgfarm_spark.entry_pipeline  # noqa: E402,F401
 import kgfarm_spark.entry_cleaning  # noqa: E402,F401
 import kgfarm_spark.entry_ml  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# §2.12 skew operators — driver-oracle-gated (they must EQUAL the plain
+# groupBy/join, so the oracle is the plain SQL; the salted construction is
+# the thing under test)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_agg_per_conv",
+    _cte(
+        """
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tool_calls,
+       round(avg(length(text)), 4) AS avg_text_len
+FROM transcripts
+GROUP BY conv_id
+"""
+    ),
+)
+def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """salted_two_phase_agg == direct groupBy (hot-key-safe aggregation)."""
+    from kgfarm_spark.operators.skew import salted_two_phase_agg
+
+    t = transcripts(spark, sf).select(
+        "conv_id",
+        "turn_idx",
+        F.col("tool").isNotNull().cast("long").alias("__is_tool"),
+        F.length("text").cast("double").alias("__tlen"),
+    )
+    out = salted_two_phase_agg(
+        t,
+        "conv_id",
+        {
+            "n_turns": ("count", "turn_idx"),
+            "tool_calls": ("sum", "__is_tool"),
+            "avg_text_len": ("avg", "__tlen"),
+        },
+        n_salt=8,
+    )
+    return out.select(
+        "conv_id", "n_turns", "tool_calls", F.round("avg_text_len", 4).alias("avg_text_len")
+    )
+
+
+@register(
+    "hybrid_skew_join_enrich",
+    _cte(
+        """
+, dim AS (
+  SELECT conv_id, min(role) AS first_role FROM transcripts WHERE turn_idx = 0 GROUP BY conv_id
+)
+SELECT t.conv_id, t.turn_idx, d.first_role
+FROM transcripts t JOIN dim d ON t.conv_id = d.conv_id
+"""
+    ),
+)
+def q_hybrid_skew_join(spark: SparkSession, sf: str) -> DataFrame:
+    """hybrid_skew_join (salt only detected hot conversations) == plain
+    equi-join against a per-conversation dim."""
+    from kgfarm_spark.operators.skew import detect_hot_keys, hybrid_skew_join
+
+    t = transcripts(spark, sf).select("conv_id", "turn_idx")
+    dim = (
+        transcripts(spark, sf)
+        .filter(F.col("turn_idx") == 0)
+        .groupBy("conv_id")
+        .agg(F.min("role").alias("first_role"))
+    )
+    hot = detect_hot_keys(
+        transcripts(spark, sf), "conv_id", ["turn_idx"], threshold_rows=50, sample_mod=10
+    )
+    out = hybrid_skew_join(t, dim, "conv_id", hot, n_salt=8, how="inner")
+    return out.select("conv_id", "turn_idx", "first_role")
