@@ -183,3 +183,38 @@ def stream_enrich_against_features(
         & (F.col("matched_ts") >= F.col("query_ts") - F.expr(f"INTERVAL {tolerance}"))
     )
     return stream_probes.join(f, cond, "left").drop("__f_conv_id")
+
+
+def stream_stream_asof_interval(
+    stream_probes: DataFrame,
+    stream_transcripts: DataFrame,
+    tolerance: str = "4 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAM-STREAM twin of the flagship's all_in_window as-of join
+    (operators/asof.py mode='all_in_window'): probes and transcripts both
+    arrive as streams; each probe matches every transcript turn of its
+    conversation inside the freshness window. The event-time bound
+    (query_ts - tolerance ≤ ts ≤ query_ts) plus watermarks on BOTH sides
+    is exactly what Structured Streaming needs to evict join state — state
+    per key is bounded by tolerance + watermark, not by stream length.
+
+    ``latest``-mode (one row per probe) is not exactly expressible in a
+    pure stream-stream join (a later batch can always deliver a fresher
+    match within tolerance); run this interval join and reduce to latest
+    downstream once the window is watermark-closed, or use the
+    stream-static path (stream_enrich_against_features) when the feature
+    side is a table."""
+    p = stream_probes.withWatermark("query_ts", watermark)
+    t = stream_transcripts.withWatermark("ts", watermark).select(
+        F.col("conv_id").alias("__t_conv_id"),
+        F.col("ts").alias("matched_ts"),
+        F.col("turn_idx").alias("matched_turn_idx"),
+        F.col("role").alias("matched_role"),
+    )
+    cond = (
+        (F.col("conv_id") == F.col("__t_conv_id"))
+        & (F.col("matched_ts") <= F.col("query_ts"))
+        & (F.col("matched_ts") >= F.col("query_ts") - F.expr(f"INTERVAL {tolerance}"))
+    )
+    return p.join(t, cond, "inner").drop("__t_conv_id")

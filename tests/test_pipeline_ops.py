@@ -668,3 +668,43 @@ def test_discover_joins_approx_profile_mode(spark):
     }
     assert ("nation", "n_nationkey", "customer", "c_nationkey") in approx
     assert exact <= approx  # HLL slack may admit extra entity cols, never lose relations
+
+
+def test_stream_stream_asof_interval_matches_batch(spark, tmp_path):
+    """Both sides streaming: the event-time-bounded stream-stream join must
+    emit exactly the batch all_in_window as-of rows."""
+    from kgfarm_spark.operators.asof import asof_join
+    from kgfarm_spark.sources.datagen import gen_probes, gen_transcripts
+    from kgfarm_spark.streaming.stream import stream_stream_asof_interval
+
+    t = gen_transcripts(spark, n_turns=800, n_convs=8, seed=15)
+    probes = gen_probes(spark, t)
+    t_src, p_src = str(tmp_path / "t_src"), str(tmp_path / "p_src")
+    t.write.mode("overwrite").parquet(t_src)
+    probes.write.mode("overwrite").parquet(p_src)
+
+    st_t = spark.readStream.schema(t.schema).parquet(t_src)
+    st_p = spark.readStream.schema(probes.schema).parquet(p_src)
+    q = (
+        stream_stream_asof_interval(st_p, st_t, tolerance="4 hours")
+        .writeStream.format("memory")
+        .queryName("ss_asof")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from ss_asof")
+
+    exp = asof_join(
+        probes, t, on="conv_id", left_ts="query_ts", right_ts="ts",
+        tolerance="4 HOUR", mode="all_in_window", right_cols=["turn_idx", "role"],
+    ).select(
+        "probe_id", "conv_id", "query_ts", "matched_ts",
+        F.col("turn_idx").alias("matched_turn_idx"),
+        F.col("role").alias("matched_role"),
+    )
+    key = lambda r: (r["probe_id"], r["matched_ts"], r["matched_turn_idx"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, exp.collect()))
+    assert got.count() > 0
