@@ -107,24 +107,35 @@ def _trained_heads() -> dict:
             )
         with open(_HEADS_FILE) as f:
             raw = json.load(f)
-        _HEADS_CACHE = {
-            name: {
-                "W": np.asarray(h["W"], dtype=np.float64),
-                "b": np.asarray(h["b"], dtype=np.float64),
+        def _load(h):
+            out = {
+                "kind": h.get("kind", "linear"),
                 "mu": np.asarray(h["mu"], dtype=np.float64),
                 "sd": np.asarray(h["sd"], dtype=np.float64),
                 "labels": list(h["labels"]),
             }
-            for name, h in raw["heads"].items()
-        }
+            if out["kind"] == "mlp":
+                for k in ("W1", "b1", "W2", "b2"):
+                    out[k] = np.asarray(h[k], dtype=np.float64)
+            else:
+                out["W"] = np.asarray(h["W"], dtype=np.float64)
+                out["b"] = np.asarray(h["b"], dtype=np.float64)
+            return out
+
+        _HEADS_CACHE = {name: _load(h) for name, h in raw["heads"].items()}
     return _HEADS_CACHE
 
 
 def _head_probs(name: str, emb: np.ndarray) -> np.ndarray:
     """Probability vector from a frozen trained head (features are
-    standardized with the mu/sd frozen at train time)."""
+    standardized with the mu/sd frozen at train time; the head is either
+    the linear softmax or a one-hidden-layer tanh MLP — whichever
+    generalized better on the held-out corpus, recorded as 'kind')."""
     h = _trained_heads()[name]
     x = (np.asarray(emb, dtype=np.float64) - h["mu"]) / h["sd"]
+    if h["kind"] == "mlp":
+        hid = np.tanh(x @ h["W1"] + h["b1"])
+        return _softmax(hid @ h["W2"] + h["b2"])
     return _softmax(x @ h["W"] + h["b"])
 
 

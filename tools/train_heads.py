@@ -241,6 +241,49 @@ def gen_selection(rng):
 # ---------------------------------------------------------------------------
 
 
+def train_mlp(X, y, labels, hidden=32, lr=0.3, iters=6000, l2=1e-3, seed=99):
+    """One-hidden-layer tanh MLP head (seeded, deterministic full-batch GD)
+    for the heads whose classes are not linearly separable in the
+    embedding space (unary/scaling). Returns (params_dict, mu, sd, acc)."""
+    rng = np.random.default_rng(seed)
+    X = np.asarray(X, dtype=np.float64)
+    mu = X.mean(axis=0)
+    sd = X.std(axis=0) + 1e-9
+    Xs = (X - mu) / sd
+    n, d = Xs.shape
+    k = len(labels)
+    Y = np.zeros((n, k))
+    for i, lab in enumerate(y):
+        Y[i, labels.index(lab)] = 1.0
+    W1 = rng.normal(0, 1.0 / np.sqrt(d), (d, hidden))
+    b1 = np.zeros(hidden)
+    W2 = rng.normal(0, 1.0 / np.sqrt(hidden), (hidden, k))
+    b2 = np.zeros(k)
+    for _ in range(iters):
+        H = np.tanh(Xs @ W1 + b1)
+        z = H @ W2 + b2
+        z -= z.max(axis=1, keepdims=True)
+        P = np.exp(z)
+        P /= P.sum(axis=1, keepdims=True)
+        G = (P - Y) / n
+        gW2 = H.T @ G + l2 * W2
+        gH = G @ W2.T * (1 - H * H)
+        gW1 = Xs.T @ gH + l2 * W1
+        W2 -= lr * gW2
+        b2 -= lr * G.sum(axis=0)
+        W1 -= lr * gW1
+        b1 -= lr * gH.sum(axis=0)
+    H = np.tanh(Xs @ W1 + b1)
+    acc = float((np.argmax(H @ W2 + b2, axis=1) == np.argmax(Y, axis=1)).mean())
+    return {"W1": W1, "b1": b1, "W2": W2, "b2": b2}, mu, sd, acc
+
+
+def mlp_predict(params, mu, sd, X, labels=None):
+    Xs = (np.asarray(X, dtype=np.float64) - mu) / sd
+    H = np.tanh(Xs @ np.asarray(params["W1"]) + np.asarray(params["b1"]))
+    return H @ np.asarray(params["W2"]) + np.asarray(params["b2"])
+
+
 def train_logreg(X: np.ndarray, y: list[str], labels: list[str],
                  lr: float = 1.0, iters: int = 6000, l2: float = 3e-4):
     X = np.asarray(X, dtype=np.float64)
@@ -279,31 +322,51 @@ def main():
         ("outlier", gen_outlier, ["keep", "clean"]),
         ("selection", gen_selection, ["drop", "select"]),
     ]
+    def _r(a):
+        a = np.asarray(a, dtype=np.float64)
+        if a.ndim == 1:
+            return [round(float(v), 8) for v in a]
+        return [[round(float(v), 8) for v in row] for row in a]
+
     for name, gen, labels in specs:
         # per-head deterministic seeds derived from the head name; the
         # held-out split is generated with a DIFFERENT seed so val_acc
         # measures generalization to unseen synthetic columns, not memorization
         X, y = gen(np.random.default_rng(sum(ord(c) for c in name) * 1000 + 7))
         Xv, yv = gen(np.random.default_rng(sum(ord(c) for c in name) * 1000 + 7919))
-        W, b, mu, sd, acc = train_logreg(X, y, labels)
-        Xvs = (np.asarray(Xv, dtype=np.float64) - mu) / sd
-        pred = np.argmax(Xvs @ W + b, axis=1)
         truth = np.array([labels.index(l) for l in yv])
-        val_acc = float((pred == truth).mean())
-        print(
-            f"{name}: n={len(y)} dim={X.shape[1]} classes={len(labels)} "
-            f"train_acc={acc:.3f} val_acc={val_acc:.3f}"
+
+        # train BOTH architectures, freeze whichever generalizes better
+        W, b, mu, sd, lin_acc = train_logreg(X, y, labels)
+        Xvs = (np.asarray(Xv, dtype=np.float64) - mu) / sd
+        lin_val = float((np.argmax(Xvs @ W + b, axis=1) == truth).mean())
+
+        mparams, mmu, msd, mlp_acc = train_mlp(X, y, labels)
+        mlp_val = float(
+            (np.argmax(mlp_predict(mparams, mmu, msd, Xv), axis=1) == truth).mean()
         )
-        heads[name] = {
-            "labels": labels,
-            "W": [[round(float(v), 8) for v in row] for row in W],
-            "b": [round(float(v), 8) for v in b],
-            "mu": [round(float(v), 8) for v in mu],
-            "sd": [round(float(v), 8) for v in sd],
-            "train_acc": round(acc, 4),
-            "val_acc": round(val_acc, 4),
-            "n_train": len(y),
-        }
+
+        if mlp_val > lin_val:
+            kind, acc, val_acc = "mlp", mlp_acc, mlp_val
+            rec = {
+                "kind": "mlp",
+                "W1": _r(mparams["W1"]), "b1": _r(mparams["b1"]),
+                "W2": _r(mparams["W2"]), "b2": _r(mparams["b2"]),
+                "mu": _r(mmu), "sd": _r(msd),
+            }
+        else:
+            kind, acc, val_acc = "linear", lin_acc, lin_val
+            rec = {"kind": "linear", "W": _r(W), "b": _r(b), "mu": _r(mu), "sd": _r(sd)}
+        print(
+            f"{name}: n={len(y)} dim={X.shape[1]} classes={len(labels)} kind={kind} "
+            f"train_acc={acc:.3f} val_acc={val_acc:.3f} "
+            f"(linear val {lin_val:.3f} / mlp val {mlp_val:.3f})"
+        )
+        rec.update(
+            labels=labels, train_acc=round(acc, 4), val_acc=round(val_acc, 4),
+            n_train=len(y),
+        )
+        heads[name] = rec
     meta = {
         "note": (
             "Tiny multinomial logistic-regression heads trained on a seeded "
