@@ -278,7 +278,7 @@ def train_mlp(X, y, labels, hidden=32, lr=0.3, iters=6000, l2=1e-3, seed=99):
     return {"W1": W1, "b1": b1, "W2": W2, "b2": b2}, mu, sd, acc
 
 
-def mlp_predict(params, mu, sd, X, labels=None):
+def mlp_predict(params, mu, sd, X):
     Xs = (np.asarray(X, dtype=np.float64) - mu) / sd
     H = np.tanh(Xs @ np.asarray(params["W1"]) + np.asarray(params["b1"]))
     return H @ np.asarray(params["W2"]) + np.asarray(params["b2"])
