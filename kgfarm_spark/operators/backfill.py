@@ -18,6 +18,20 @@ difference between 2 PB and 1 PB of shuffle I/O.
 Leakage-free by construction: every window frame ends at the current
 row, and probe rows are ordered AFTER transcript rows at equal ts
 (inclusive backward semantics, reference api.py:551 strict ``<``).
+
+Hot-conversation guard (``hot_conv_turns``): a per-key window puts each
+conversation in ONE task. For transcripts that is normally fine (a
+conversation is bounded by its length), but a pathological multi-million
+-turn conversation becomes a straggler. When ``hot_conv_turns`` is set,
+conversations whose unioned row count meets the threshold are computed
+through an exact per-key time-range-bucket + prefix-carry decomposition
+(every cumulative feature here is a prefix of an associative aggregate):
+per-hot-key event-time quantile boundaries (one tiny agg over the hot
+slice), per-(key, bucket) partials, an exclusive prefix carry (≤ buckets
+rows per key), then the same cumulative window PARTITIONED BY
+(key, bucket). Identical output (pytest-pinned), per-task rows bounded
+by ~|conv| / n_hot_buckets; the cold long tail stays on the plain
+single-window path.
 """
 
 from __future__ import annotations
@@ -25,21 +39,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: feature columns produced by the fused state pass (order matters for
+#: the output projection, not for the hot/cold unionByName)
+_FEATURES = [
+    "matched_ts",
+    "turns_so_far",
+    "tool_calls_so_far",
+    "text_len_sum",
+    "text_len_avg",
+    "text_len_max",
+    "user_turns_so_far",
+    "assistant_turns_so_far",
+]
 
-def backfill_asof_fused(
+
+def _union_frame(
     transcripts: DataFrame,
     probes: DataFrame,
-    key: str = "conv_id",
-    ts: str = "ts",
-    probe_ts: str = "query_ts",
-    tolerance: str | None = None,
+    key: str,
+    ts: str,
+    probe_ts: str,
+    probe_cols: list[str],
 ) -> DataFrame:
-    """Resolve each probe (key, probe_ts) to the cumulative transcript
-    features as of that instant. Returns probe columns + matched_ts +
-    the backfill feature set (same names as windows.backfill_features).
-    """
-    probe_cols = [c for c in probes.columns if c != key]
-
+    """Union probes into the transcript stream on the (key, ts) axis.
+    Turns sort before probes at equal ts (__side 0 < 1 → inclusive
+    backward semantics); ``text`` is projected to its length BEFORE the
+    shuffle."""
     turn_side = transcripts.select(
         F.col(key),
         F.col(ts).alias("__ts"),
@@ -64,8 +89,12 @@ def backfill_asof_fused(
         F.lit(None).cast("boolean").alias("__is_assistant"),
         *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
     )
-    u = turn_side.unionByName(probe_side)
+    return turn_side.unionByName(probe_side)
 
+
+def _fused_state(u: DataFrame, key: str) -> DataFrame:
+    """Cumulative feature state over the unioned stream: ONE window
+    partitioned by ``key`` ordered (ts, side, turn)."""
     cum = (
         Window.partitionBy(key)
         .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
@@ -78,7 +107,7 @@ def backfill_asof_fused(
     # expressions (chained withColumn + scalar wrappers like coalesce
     # interleave Projects between Window nodes, which blocks the
     # CollapseWindow rule → 8 sequential window passes instead of 1)
-    state = u.select(
+    return u.select(
         "*",
         F.last(F.when(F.col("__is_turn"), F.col("__ts")), ignorenulls=True)
         .over(cum)
@@ -101,6 +130,131 @@ def backfill_asof_fused(
         ).alias("assistant_turns_so_far"),
     )
 
+
+def _fused_state_bucketed(u: DataFrame, key: str, n_buckets: int = 32) -> DataFrame:
+    """Exact twin of ``_fused_state`` for hot keys: per-key event-time
+    range buckets + exclusive prefix carry. Bucket id is a pure function
+    of the row's __ts against the key's own quantile boundaries (rows
+    with equal __ts always share a bucket, so the (ts, side, turn)
+    ordering is never split across a boundary)."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    qlist = "array(" + ",".join(str(q) for q in qs) + ")"
+    tagged = u.withColumn(
+        "__tsd", F.col("__ts").cast("timestamp").cast("double")
+    )
+    bounds = tagged.groupBy(key).agg(
+        F.expr(f"percentile_approx(__tsd, {qlist}, 10000)").alias("__bnds")
+    )
+    tagged = tagged.join(F.broadcast(bounds), key).withColumn(
+        "__ob",
+        F.aggregate(
+            F.col("__bnds"),
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col("__tsd") > b, 1).otherwise(0),
+        ),
+    )
+
+    is_turn1 = F.when(F.col("__is_turn"), F.lit(1)).otherwise(F.lit(0)).cast("long")
+    turn_len = F.when(F.col("__is_turn"), F.col("__text_len"))
+    tool1 = F.when(F.col("__has_tool"), 1).otherwise(0).cast("long")
+    user1 = F.when(F.col("__is_user"), 1).otherwise(0).cast("long")
+    asst1 = F.when(F.col("__is_assistant"), 1).otherwise(0).cast("long")
+
+    partials = tagged.groupBy(key, "__ob").agg(
+        F.sum(is_turn1).alias("__pt_turns"),
+        F.sum(tool1).alias("__pt_tool"),
+        F.sum(turn_len).alias("__pt_tls"),
+        F.count(turn_len).alias("__pt_tlc"),
+        F.max(turn_len).alias("__pt_tlm"),
+        F.sum(user1).alias("__pt_user"),
+        F.sum(asst1).alias("__pt_asst"),
+        F.max(F.when(F.col("__is_turn"), F.col("__ts"))).alias("__pt_lastts"),
+    )
+    wprev = (
+        Window.partitionBy(key).orderBy("__ob").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = partials.select(
+        key,
+        "__ob",
+        F.coalesce(F.sum("__pt_turns").over(wprev), F.lit(0)).alias("__c_turns"),
+        F.coalesce(F.sum("__pt_tool").over(wprev), F.lit(0)).alias("__c_tool"),
+        F.coalesce(F.sum("__pt_tls").over(wprev), F.lit(0)).alias("__c_tls"),
+        F.coalesce(F.sum("__pt_tlc").over(wprev), F.lit(0)).alias("__c_tlc"),
+        F.max("__pt_tlm").over(wprev).alias("__c_tlm"),
+        F.coalesce(F.sum("__pt_user").over(wprev), F.lit(0)).alias("__c_user"),
+        F.coalesce(F.sum("__pt_asst").over(wprev), F.lit(0)).alias("__c_asst"),
+        F.max("__pt_lastts").over(wprev).alias("__c_lastts"),
+    )
+    joined = tagged.join(F.broadcast(carry), [key, "__ob"])
+
+    cum = (
+        Window.partitionBy(key, "__ob")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tlc_total = F.count(turn_len).over(cum) + F.col("__c_tlc")
+    tls_total = F.coalesce(F.sum(turn_len).over(cum), F.lit(0)) + F.col("__c_tls")
+    state = joined.select(
+        "*",
+        F.coalesce(
+            F.last(F.when(F.col("__is_turn"), F.col("__ts")), ignorenulls=True).over(cum),
+            F.col("__c_lastts"),
+        ).alias("matched_ts"),
+        (F.sum(is_turn1).over(cum) + F.col("__c_turns")).alias("turns_so_far"),
+        (
+            F.coalesce(F.sum(tool1).over(cum), F.lit(0)) + F.col("__c_tool")
+        ).alias("tool_calls_so_far"),
+        F.when(tlc_total > 0, tls_total).alias("text_len_sum"),
+        F.when(tlc_total > 0, tls_total / tlc_total).alias("text_len_avg"),
+        F.greatest(F.max(turn_len).over(cum), F.col("__c_tlm")).alias("text_len_max"),
+        (
+            F.coalesce(F.sum(user1).over(cum), F.lit(0)) + F.col("__c_user")
+        ).alias("user_turns_so_far"),
+        (
+            F.coalesce(F.sum(asst1).over(cum), F.lit(0)) + F.col("__c_asst")
+        ).alias("assistant_turns_so_far"),
+    )
+    return state.select(*u.columns, *_FEATURES)
+
+
+def backfill_asof_fused(
+    transcripts: DataFrame,
+    probes: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    probe_ts: str = "query_ts",
+    tolerance: str | None = None,
+    hot_conv_turns: int | None = None,
+    n_hot_buckets: int = 32,
+) -> DataFrame:
+    """Resolve each probe (key, probe_ts) to the cumulative transcript
+    features as of that instant. Returns probe columns + matched_ts +
+    the backfill feature set (same names as windows.backfill_features).
+
+    ``hot_conv_turns``: optional straggler guard — conversations whose
+    row count (turns + probes) meets this threshold take the exact
+    bucket+carry path split over ``n_hot_buckets`` event-time buckets
+    (see module docstring); everything else stays on the plain
+    single-window plan.
+    """
+    probe_cols = [c for c in probes.columns if c != key]
+    u = _union_frame(transcripts, probes, key, ts, probe_ts, probe_cols)
+
+    if hot_conv_turns is None:
+        state = _fused_state(u, key)
+    else:
+        hot_keys = (
+            u.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= hot_conv_turns)
+            .select(key)
+        )
+        u_cold = u.join(F.broadcast(hot_keys), key, "left_anti")
+        u_hot = u.join(F.broadcast(hot_keys), key, "left_semi")
+        state = _fused_state(u_cold, key).unionByName(
+            _fused_state_bucketed(u_hot, key, n_buckets=n_hot_buckets)
+        )
+
     out = state.filter(F.col("__side") == 1)
 
     # tolerance / no-match: null out the feature block exactly like a
@@ -109,18 +263,8 @@ def backfill_asof_fused(
     if tolerance is not None:
         valid = valid & (F.col("matched_ts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}"))
 
-    feature_cols = [
-        "matched_ts",
-        "turns_so_far",
-        "tool_calls_so_far",
-        "text_len_sum",
-        "text_len_avg",
-        "text_len_max",
-        "user_turns_so_far",
-        "assistant_turns_so_far",
-    ]
     sel = [F.col(key)] + [F.col(f"__p_{c}").alias(c) for c in probe_cols]
-    for c in feature_cols:
+    for c in _FEATURES:
         sel.append(F.when(valid, F.col(c)).alias(c))
     out = out.select(*sel)
     return out.withColumn(

@@ -1,0 +1,117 @@
+"""Hot-conversation scale path (VERDICT r02 'Wrong #2'): the per-key
+order-bucket + prefix-carry decomposition must EQUAL the plain per-key
+window output — including on a synthetic 100k-turn single conversation
+(the pathological case the plain window serializes into one task)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgfarm_spark.operators.backfill import backfill_asof_fused
+from kgfarm_spark.operators.windows import (
+    backfill_features,
+    backfill_features_bucketed,
+)
+from kgfarm_spark.sources.datagen import gen_probes, gen_transcripts
+
+
+def _frames_equal(a, b) -> bool:
+    assert a.columns == sorted(a.columns) or set(a.columns) == set(b.columns)
+    b = b.select(a.columns)
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_bucketed_backfill_equals_plain_on_100k_turn_conversation(spark):
+    # skew=3 concentrates mass on conv 0: one conversation carries a large
+    # share of the 100k turns — the exact straggler scenario
+    t = gen_transcripts(spark, n_turns=100_000, n_convs=50, seed=7, skew=3.0)
+    hottest = t.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+    assert hottest["count"] > 20_000  # the scenario is real
+
+    plain = backfill_features(t)
+    bucketed = backfill_features(t, max_turns_per_task=5_000)
+    assert plain.columns == bucketed.columns
+    assert _frames_equal(plain, bucketed)
+
+
+def test_bucketed_backfill_null_text_and_tool_carry(spark):
+    # Nulls crossing bucket boundaries: text_len_sum/avg/max must stay
+    # NULL until the first non-null text, exactly like the window twin —
+    # including when the whole FIRST bucket of a conversation is null text.
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(10):
+        rows.append(
+            (
+                "c1",
+                i,
+                "user" if i % 2 == 0 else "assistant",
+                None if i < 4 else f"text {i} {'x' * i}",
+                "search" if i % 3 == 0 else None,
+                base + dt.timedelta(minutes=i),
+            )
+        )
+    rows.append(("c2", 0, "user", None, None, base))
+    rows.append(("c2", 1, "assistant", "hi", None, base + dt.timedelta(minutes=1)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    plain = backfill_features(df)
+    bucketed = backfill_features_bucketed(df, bucket_turns=3)
+    assert _frames_equal(plain, bucketed)
+    # spot-check: the all-null prefix really is NULL, not 0
+    r = (
+        bucketed.filter((F.col("conv_id") == "c1") & (F.col("turn_idx") == 3))
+        .select("text_len_sum", "text_len_avg", "text_len_max")
+        .first()
+    )
+    assert r["text_len_sum"] is None and r["text_len_avg"] is None and r["text_len_max"] is None
+
+
+def test_fused_hot_guard_equals_plain(spark):
+    t = gen_transcripts(spark, n_turns=40_000, n_convs=40, seed=11, skew=3.0)
+    probes = gen_probes(spark, t)
+    plain = backfill_asof_fused(t, probes, tolerance="1 DAY")
+    guarded = backfill_asof_fused(
+        t, probes, tolerance="1 DAY", hot_conv_turns=2_000, n_hot_buckets=16
+    )
+    assert plain.columns == guarded.columns
+    assert _frames_equal(plain, guarded)
+    # the guard actually engaged: at skew=3 some conversation exceeds the
+    # threshold (otherwise this test degenerates to plain == plain)
+    n_hot = (
+        t.groupBy("conv_id").count().filter(F.col("count") >= 2_000).count()
+    )
+    assert n_hot >= 1
+
+
+def test_fused_hot_guard_no_hot_keys_is_identity(spark):
+    t = gen_transcripts(spark, n_turns=2_000, n_convs=100, seed=3, skew=1.0)
+    probes = gen_probes(spark, t)
+    plain = backfill_asof_fused(t, probes, tolerance="1 DAY")
+    guarded = backfill_asof_fused(t, probes, tolerance="1 DAY", hot_conv_turns=10**9)
+    assert _frames_equal(plain, guarded)
+
+
+def test_bucketed_max_task_rows_bounded(spark):
+    """The point of the decomposition: no task sees more than ~bucket_turns
+    rows of one conversation. Verified structurally — the cumulative window
+    partitions by (key, bucket) and every (key, bucket) group is ≤
+    bucket_turns rows because turn_idx is dense per key."""
+    t = gen_transcripts(spark, n_turns=50_000, n_convs=20, seed=5, skew=3.0)
+    tagged = t.withColumn("__ob", F.floor(F.col("turn_idx") / F.lit(2_000)).cast("int"))
+    biggest_group = (
+        tagged.groupBy("conv_id", "__ob").count().agg(F.max("count")).first()[0]
+    )
+    assert biggest_group <= 2_000
+    # and the hot conversation did split into many buckets
+    n_buckets_hot = (
+        tagged.groupBy("conv_id")
+        .agg(F.countDistinct("__ob").alias("nb"))
+        .agg(F.max("nb"))
+        .first()[0]
+    )
+    assert n_buckets_hot >= 5
