@@ -44,6 +44,9 @@ HEADLINE = [
 SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "16000000"))
 SCALE_DIR = os.path.join(REPO, ".bench", f"transcripts_{SCALE_TURNS}")
 
+SKEW_TURNS = int(os.environ.get("SPARK_GRAFT_SKEW_TURNS", "8000000"))
+SKEW_DIR = os.path.join(REPO, ".bench", f"transcripts_skew_{SKEW_TURNS}")
+
 
 def run_once(sf_dir: str, cpus: int, names: list[str]) -> dict:
     from kgfarm_spark.session import get_spark
@@ -112,9 +115,141 @@ def run_scale_job(cpus: int) -> dict:
     return {"cpus": cpus, "sec": round(dt, 3), "runs": [round(x, 3) for x in runs], "turns": n}
 
 
+def ensure_skew_data() -> None:
+    """Zipf-hot transcripts, two severities: 'moderate' (skew=3.0 → the
+    hottest conversation holds ≈4.6% of ALL rows — the north_rule's 1-5%
+    scenario) and 'pathological' (skew=6.6 → ≈25%, where the straggler
+    binds wall time even at 8 cores; on a 1000-executor cluster the
+    crossover is hot_share ≈ 1/n_cores ≈ 0.1%)."""
+    from kgfarm_spark.session import get_spark
+    from kgfarm_spark.sources.datagen import gen_transcripts
+
+    todo = [
+        (SKEW_DIR, 3.0),
+        (SKEW_DIR + "_patho", 6.6),
+    ]
+    todo = [(d, s) for d, s in todo if not os.path.exists(os.path.join(d, "_SUCCESS"))]
+    if not todo:
+        return
+    spark = get_spark(app_name="kgfarm_skew_gen", master="local[32]")
+    for d, s in todo:
+        gen_transcripts(
+            spark, n_turns=SKEW_TURNS, n_convs=10_000, seed=42, skew=s
+        ).write.mode("overwrite").parquet(d)
+    spark.stop()
+
+
+def _measure_straggler(job_df, spark, runs: int = 2) -> dict:
+    """Wall time + slowest-task time (the straggler number a skewed key
+    moves even when total work is unchanged). Min over ``runs``."""
+    from kgfarm_spark.plans.metrics import StageMetrics
+
+    job_df.write.format("noop").mode("overwrite").save()  # warm
+    best = None
+    for _ in range(runs):
+        with StageMetrics(spark, task_summaries=True) as m:
+            t0 = time.monotonic()
+            job_df.write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+        s = m.summary()
+        rec = {
+            "sec": round(dt, 3),
+            "max_task_ms": s.get("max_task_ms"),
+            "n_tasks": s.get("n_tasks"),
+            "shuffle_read_mb": round(s.get("shuffle_read_bytes", 0) / 1e6, 1),
+        }
+        if best is None or rec["sec"] < best["sec"]:
+            best = rec
+    return best
+
+
+def run_skew_bench() -> dict:
+    """Straggler bench on the Zipf-hot table (VERDICT r02 next-step #1):
+    flagship plain vs hot-conversation guard, and per-conv dim join plain
+    vs hybrid_skew_join vs AQE skew-join. autoBroadcastJoinThreshold=-1
+    because the scenario being modeled is a 10^9-conversation dim that
+    cannot broadcast at 10^12-turn scale; AQE off in the first session so
+    the measurement isolates the PLANNED skew handling (AQE's runtime
+    skew-split is measured separately as its own baseline)."""
+    from pyspark.sql import functions as F
+
+    from kgfarm_spark.operators.backfill import backfill_asof_fused
+    from kgfarm_spark.operators.skew import detect_hot_keys, hybrid_skew_join
+    from kgfarm_spark.session import get_spark
+    from kgfarm_spark.sources.datagen import gen_probes
+
+    ensure_skew_data()
+    out: dict = {"metric": "zipf-skew straggler bench (local[8], 64 shuffle partitions)"}
+    conf = {
+        "spark.ui.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    spark = get_spark(
+        app_name="kgfarm_skew", master="local[8]", shuffle_partitions=64, extra_conf=conf
+    )
+    for label, d in (("moderate", SKEW_DIR), ("pathological", SKEW_DIR + "_patho")):
+        t = spark.read.parquet(d)
+        n = t.count()
+        top = t.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+        rec = {
+            "turns": n,
+            "hottest_conv_rows": top["count"],
+            "hot_share": round(top["count"] / n, 4),
+        }
+        probes = gen_probes(spark, t)
+        rec["flagship_plain"] = _measure_straggler(
+            backfill_asof_fused(t, probes, tolerance="1 DAY"), spark
+        )
+        rec["flagship_hot_guard"] = _measure_straggler(
+            backfill_asof_fused(
+                t, probes, tolerance="1 DAY", hot_conv_turns=100_000, n_hot_buckets=32
+            ),
+            spark,
+        )
+        out[label] = rec
+
+    t = spark.read.parquet(SKEW_DIR)
+    dim_dir = SKEW_DIR + "_dim"
+    if not os.path.exists(os.path.join(dim_dir, "_SUCCESS")):
+        t.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("conv_turns"), F.min("role").alias("first_role")
+        ).write.mode("overwrite").parquet(dim_dir)
+    dim = spark.read.parquet(dim_dir)
+    big = t.select("conv_id", "turn_idx")
+    out["join_plain_noaqe"] = _measure_straggler(big.join(dim, "conv_id"), spark)
+    hot = detect_hot_keys(t, "conv_id", ["turn_idx"], threshold_rows=100_000)
+    out["join_hybrid"] = _measure_straggler(
+        hybrid_skew_join(big, dim, "conv_id", hot, n_salt=8), spark
+    )
+    spark.stop()
+
+    # AQE runtime skew-split baseline (Spark's own answer to join skew)
+    spark = get_spark(
+        app_name="kgfarm_skew_aqe",
+        master="local[8]",
+        shuffle_partitions=64,
+        extra_conf={"spark.ui.enabled": "true", "spark.sql.autoBroadcastJoinThreshold": "-1"},
+    )
+    t = spark.read.parquet(SKEW_DIR)
+    dim = spark.read.parquet(dim_dir)
+    out["join_plain_aqe_skewsplit"] = _measure_straggler(
+        t.select("conv_id", "turn_idx").join(dim, "conv_id"), spark
+    )
+    spark.stop()
+
+    with open(os.path.join(REPO, "BENCH_SKEW.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    if "--skew" in sys.argv:
+        print(json.dumps(run_skew_bench()))
+        return
 
     if "--scale-one" in sys.argv:
         level = int(sys.argv[sys.argv.index("--scale-one") + 1])

@@ -23,15 +23,15 @@ Hot-conversation guard (``hot_conv_turns``): a per-key window puts each
 conversation in ONE task. For transcripts that is normally fine (a
 conversation is bounded by its length), but a pathological multi-million
 -turn conversation becomes a straggler. When ``hot_conv_turns`` is set,
-conversations whose unioned row count meets the threshold are computed
-through an exact per-key time-range-bucket + prefix-carry decomposition
-(every cumulative feature here is a prefix of an associative aggregate):
-per-hot-key event-time quantile boundaries (one tiny agg over the hot
-slice), per-(key, bucket) partials, an exclusive prefix carry (≤ buckets
-rows per key), then the same cumulative window PARTITIONED BY
-(key, bucket). Identical output (pytest-pinned), per-task rows bounded
-by ~|conv| / n_hot_buckets; the cold long tail stays on the plain
-single-window path.
+conversations whose unioned row count meets the threshold are split into
+event-time range buckets against their own quantile boundaries and the
+cumulative window partitions by (key, bucket) with an exclusive prefix
+carry (every cumulative feature here is a prefix of an associative
+aggregate, so the decomposition is exact — pytest-pinned). Cold keys take
+bucket 0 and zero carries, so hot and cold share ONE window pass; the
+guard costs two extra passes over the union (per-key stats, hot-slice
+partials), both with tiny broadcastable outputs. Per-task rows for a hot
+conversation drop to ~|conv| / n_hot_buckets.
 """
 
 from __future__ import annotations
@@ -131,49 +131,90 @@ def _fused_state(u: DataFrame, key: str) -> DataFrame:
     )
 
 
-def _fused_state_bucketed(u: DataFrame, key: str, n_buckets: int = 32) -> DataFrame:
-    """Exact twin of ``_fused_state`` for hot keys: per-key event-time
-    range buckets + exclusive prefix carry. Bucket id is a pure function
-    of the row's __ts against the key's own quantile boundaries (rows
-    with equal __ts always share a bucket, so the (ts, side, turn)
-    ordering is never split across a boundary)."""
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    qlist = "array(" + ",".join(str(q) for q in qs) + ")"
-    tagged = u.withColumn(
-        "__tsd", F.col("__ts").cast("timestamp").cast("double")
+def _hot_bounds(
+    transcripts: DataFrame, key: str, ts: str, hot_conv_turns: int, n_buckets: int
+) -> DataFrame:
+    """ONE aggregate pass over (key, ts) — column-pruned at the scan —
+    computing both hot-key detection (turn count ≥ threshold) and a
+    per-key FIXED-WIDTH event-time bucket grid (min ts + bucket width).
+    Only hot keys survive, so the result is tiny and broadcastable.
+
+    Fixed-width beats quantile boundaries here twice over: the fit is a
+    plain min/max (no percentile sketch merge), and the per-row bucket
+    lookup is pure codegen arithmetic — a quantile-array search is an
+    interpreted higher-order function costing ~µs/row, which at millions
+    of hot rows × three passes dominated the whole guard. Bucket balance
+    now depends on the key's event-time uniformity instead of exact row
+    quantiles; that only affects parallelism, never correctness (any
+    monotone pure-function-of-ts cut gives an exact decomposition)."""
+    tsd = F.col(ts).cast("timestamp").cast("double")
+    stats = (
+        transcripts.select(F.col(key), tsd.alias("__tsd"))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("__tsd").alias("__lo"),
+            F.max("__tsd").alias("__hi"),
+        )
+        .filter(F.col("__n") >= hot_conv_turns)
     )
-    bounds = tagged.groupBy(key).agg(
-        F.expr(f"percentile_approx(__tsd, {qlist}, 10000)").alias("__bnds")
-    )
-    tagged = tagged.join(F.broadcast(bounds), key).withColumn(
-        "__ob",
-        F.aggregate(
-            F.col("__bnds"),
-            F.lit(0),
-            lambda acc, b: acc + F.when(F.col("__tsd") > b, 1).otherwise(0),
-        ),
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    return stats.select(
+        key,
+        F.col("__lo"),
+        F.when(width > 0, width).alias("__w"),  # degenerate span → bucket 0
+        F.lit(n_buckets).alias("__nb"),
     )
 
-    is_turn1 = F.when(F.col("__is_turn"), F.lit(1)).otherwise(F.lit(0)).cast("long")
-    turn_len = F.when(F.col("__is_turn"), F.col("__text_len"))
-    tool1 = F.when(F.col("__has_tool"), 1).otherwise(0).cast("long")
-    user1 = F.when(F.col("__is_user"), 1).otherwise(0).cast("long")
-    asst1 = F.when(F.col("__is_assistant"), 1).otherwise(0).cast("long")
 
+def _bucket_col(tsd, nb_lit: bool = False):
+    """Clamped fixed-width time slot against the broadcast grid columns
+    (__lo, __w, __nb) — pure codegen arithmetic, monotone in ts, equal ts
+    always shares a bucket. Rows outside the key's turn span clamp to the
+    first/last bucket — still monotone, so still exact."""
+    return F.when(F.col("__w").isNull(), F.lit(0)).otherwise(
+        F.least(
+            F.greatest(F.floor((tsd - F.col("__lo")) / F.col("__w")), F.lit(0)),
+            (F.col("__nb") - 1).cast("long"),
+        ).cast("int")
+    )
+
+
+def _hot_carry(
+    transcripts: DataFrame, key: str, ts: str, hot_bounds: DataFrame
+) -> DataFrame:
+    """Exclusive prefix carry per (hot key, bucket). Computed from the
+    TRANSCRIPTS side only: probe rows contribute zero/null to every
+    cumulative feature, so they cannot change any partial. The inner
+    broadcast join keeps only hot keys; output is |hot keys| · n_buckets
+    rows — tiny and broadcastable."""
+    tsd = F.col(ts).cast("timestamp").cast("double")
+    base = transcripts.select(
+        F.col(key),
+        F.col(ts).alias("__t_ts"),
+        F.length("text").cast("long").alias("__tl"),
+        F.col("tool").isNotNull().alias("__ht"),
+        (F.col("role") == "user").alias("__iu"),
+        (F.col("role") == "assistant").alias("__ia"),
+        tsd.alias("__tsd"),
+    )
+    tagged = base.join(F.broadcast(hot_bounds), key).withColumn(
+        "__ob", _bucket_col(F.col("__tsd"))
+    )
     partials = tagged.groupBy(key, "__ob").agg(
-        F.sum(is_turn1).alias("__pt_turns"),
-        F.sum(tool1).alias("__pt_tool"),
-        F.sum(turn_len).alias("__pt_tls"),
-        F.count(turn_len).alias("__pt_tlc"),
-        F.max(turn_len).alias("__pt_tlm"),
-        F.sum(user1).alias("__pt_user"),
-        F.sum(asst1).alias("__pt_asst"),
-        F.max(F.when(F.col("__is_turn"), F.col("__ts"))).alias("__pt_lastts"),
+        F.count(F.lit(1)).cast("long").alias("__pt_turns"),
+        F.sum(F.col("__ht").cast("long")).alias("__pt_tool"),
+        F.sum("__tl").alias("__pt_tls"),
+        F.count("__tl").alias("__pt_tlc"),
+        F.max("__tl").alias("__pt_tlm"),
+        F.sum(F.col("__iu").cast("long")).alias("__pt_user"),
+        F.sum(F.col("__ia").cast("long")).alias("__pt_asst"),
+        F.max("__t_ts").alias("__pt_lastts"),
     )
     wprev = (
         Window.partitionBy(key).orderBy("__ob").rowsBetween(Window.unboundedPreceding, -1)
     )
-    carry = partials.select(
+    return partials.select(
         key,
         "__ob",
         F.coalesce(F.sum("__pt_turns").over(wprev), F.lit(0)).alias("__c_turns"),
@@ -185,34 +226,82 @@ def _fused_state_bucketed(u: DataFrame, key: str, n_buckets: int = 32) -> DataFr
         F.coalesce(F.sum("__pt_asst").over(wprev), F.lit(0)).alias("__c_asst"),
         F.max("__pt_lastts").over(wprev).alias("__c_lastts"),
     )
-    joined = tagged.join(F.broadcast(carry), [key, "__ob"])
+
+
+def _fused_state_guarded(
+    u: DataFrame, key: str, hot_bounds: DataFrame, carry: DataFrame
+) -> DataFrame:
+    """Exact twin of ``_fused_state`` with a hot-key straggler guard —
+    ONE window pass for hot and cold keys alike.
+
+    Hot rows get a fixed-width time-bucket id from their key's broadcast
+    grid (``_hot_bounds``); cold keys get bucket 0. The cumulative window
+    partitions by (key, bucket) — for cold keys that IS the plain per-key
+    window. The per-bucket prefix ``carry`` is broadcast-joined AFTER the
+    window (the shuffle+sort moves only the fixed-width union columns
+    plus one int, not nine carry longs per row) and coalesces to
+    zero/null for cold rows, making the combine expressions collapse to
+    the plain ones. Guard cost over the plain path: one column-pruned
+    (key, ts) stats pass and one transcripts-only partials pass, both
+    with tiny outputs."""
+    tsd = F.col("__ts").cast("timestamp").cast("double")
+    tagged = (
+        u.join(F.broadcast(hot_bounds), key, "left")
+        .withColumn(
+            "__ob",
+            F.when(F.col("__lo").isNull(), F.lit(0)).otherwise(_bucket_col(tsd)),
+        )
+        .drop("__lo", "__w", "__nb")
+    )
+
+    is_turn1 = F.when(F.col("__is_turn"), F.lit(1)).otherwise(F.lit(0)).cast("long")
+    turn_len = F.when(F.col("__is_turn"), F.col("__text_len"))
+    tool1 = F.when(F.col("__has_tool"), 1).otherwise(0).cast("long")
+    user1 = F.when(F.col("__is_user"), 1).otherwise(0).cast("long")
+    asst1 = F.when(F.col("__is_assistant"), 1).otherwise(0).cast("long")
 
     cum = (
         Window.partitionBy(key, "__ob")
         .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tlc_total = F.count(turn_len).over(cum) + F.col("__c_tlc")
-    tls_total = F.coalesce(F.sum(turn_len).over(cum), F.lit(0)) + F.col("__c_tls")
+    # in-bucket cumulatives only — the carry combine happens after
+    inner = tagged.select(
+        "*",
+        F.last(F.when(F.col("__is_turn"), F.col("__ts")), ignorenulls=True)
+        .over(cum)
+        .alias("__i_lastts"),
+        F.sum(is_turn1).over(cum).alias("__i_turns"),
+        F.sum(tool1).over(cum).alias("__i_tool"),
+        F.sum(turn_len).over(cum).alias("__i_tls"),
+        F.count(turn_len).over(cum).alias("__i_tlc"),
+        F.max(turn_len).over(cum).alias("__i_tlm"),
+        F.sum(user1).over(cum).alias("__i_user"),
+        F.sum(asst1).over(cum).alias("__i_asst"),
+    )
+
+    # broadcast carry lookup post-window; cold rows (no carry match) take
+    # zero/null carries → the combine reduces to the plain expressions
+    joined = inner.join(F.broadcast(carry), [key, "__ob"], "left")
+    czero = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    tlc_total = F.col("__i_tlc") + czero("__c_tlc")
+    tls_total = F.coalesce(F.col("__i_tls"), F.lit(0)) + czero("__c_tls")
     state = joined.select(
         "*",
-        F.coalesce(
-            F.last(F.when(F.col("__is_turn"), F.col("__ts")), ignorenulls=True).over(cum),
-            F.col("__c_lastts"),
-        ).alias("matched_ts"),
-        (F.sum(is_turn1).over(cum) + F.col("__c_turns")).alias("turns_so_far"),
-        (
-            F.coalesce(F.sum(tool1).over(cum), F.lit(0)) + F.col("__c_tool")
-        ).alias("tool_calls_so_far"),
+        F.coalesce(F.col("__i_lastts"), F.col("__c_lastts")).alias("matched_ts"),
+        (F.col("__i_turns") + czero("__c_turns")).alias("turns_so_far"),
+        (F.coalesce(F.col("__i_tool"), F.lit(0)) + czero("__c_tool")).alias(
+            "tool_calls_so_far"
+        ),
         F.when(tlc_total > 0, tls_total).alias("text_len_sum"),
         F.when(tlc_total > 0, tls_total / tlc_total).alias("text_len_avg"),
-        F.greatest(F.max(turn_len).over(cum), F.col("__c_tlm")).alias("text_len_max"),
-        (
-            F.coalesce(F.sum(user1).over(cum), F.lit(0)) + F.col("__c_user")
-        ).alias("user_turns_so_far"),
-        (
-            F.coalesce(F.sum(asst1).over(cum), F.lit(0)) + F.col("__c_asst")
-        ).alias("assistant_turns_so_far"),
+        F.greatest(F.col("__i_tlm"), F.col("__c_tlm")).alias("text_len_max"),
+        (F.coalesce(F.col("__i_user"), F.lit(0)) + czero("__c_user")).alias(
+            "user_turns_so_far"
+        ),
+        (F.coalesce(F.col("__i_asst"), F.lit(0)) + czero("__c_asst")).alias(
+            "assistant_turns_so_far"
+        ),
     )
     return state.select(*u.columns, *_FEATURES)
 
@@ -243,17 +332,9 @@ def backfill_asof_fused(
     if hot_conv_turns is None:
         state = _fused_state(u, key)
     else:
-        hot_keys = (
-            u.groupBy(key)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") >= hot_conv_turns)
-            .select(key)
-        )
-        u_cold = u.join(F.broadcast(hot_keys), key, "left_anti")
-        u_hot = u.join(F.broadcast(hot_keys), key, "left_semi")
-        state = _fused_state(u_cold, key).unionByName(
-            _fused_state_bucketed(u_hot, key, n_buckets=n_hot_buckets)
-        )
+        bounds = _hot_bounds(transcripts, key, ts, hot_conv_turns, n_hot_buckets)
+        carry = _hot_carry(transcripts, key, ts, bounds)
+        state = _fused_state_guarded(u, key, bounds, carry)
 
     out = state.filter(F.col("__side") == 1)
 

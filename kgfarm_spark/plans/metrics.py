@@ -39,11 +39,12 @@ class StageMetrics:
         "memoryBytesSpilled", "diskBytesSpilled",
     )
 
-    def __init__(self, spark):
+    def __init__(self, spark, task_summaries: bool = False):
         self.spark = spark
         self.stages: list[dict] = []
         self._before: set[int] = set()
         self._base = None
+        self._task_summaries = task_summaries
         ui = spark.sparkContext.uiWebUrl
         if ui:
             try:
@@ -65,11 +66,22 @@ class StageMetrics:
         return self
 
     def __exit__(self, *exc):
-        self.stages = [
-            {k: s.get(k) for k in self._FIELDS}
-            for s in self._completed()
-            if s["stageId"] not in self._before
-        ]
+        raw = [s for s in self._completed() if s["stageId"] not in self._before]
+        self.stages = [{k: s.get(k) for k in self._FIELDS} for s in raw]
+        if self._task_summaries:
+            # straggler visibility: per-stage max task duration from the
+            # taskSummary endpoint (quantile 1.0 = the slowest task — the
+            # number a skewed key moves even when total work is unchanged)
+            for rec, s in zip(self.stages, raw):
+                try:
+                    ts = _get_json(
+                        f"{self._base}/{s['stageId']}/{s.get('attemptId', 0)}"
+                        "/taskSummary?quantiles=0.5,1.0"
+                    )
+                    rec["medianTaskMs"] = ts["duration"][0]
+                    rec["maxTaskMs"] = ts["duration"][1]
+                except Exception:
+                    rec["medianTaskMs"] = rec["maxTaskMs"] = None
         self.stages.sort(key=lambda s: s["stageId"])
         return False
 
@@ -84,4 +96,8 @@ class StageMetrics:
             "shuffle_write_bytes": sum(s.get("shuffleWriteBytes") or 0 for s in self.stages),
             "spill_disk_bytes": sum(s.get("diskBytesSpilled") or 0 for s in self.stages),
         }
+        if self._task_summaries:
+            agg["max_task_ms"] = max(
+                (s.get("maxTaskMs") or 0 for s in self.stages), default=0
+            )
         return agg
