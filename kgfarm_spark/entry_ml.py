@@ -142,6 +142,75 @@ def q_power_transform(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Hash-checked APPLY-side twins of the two fit kernels above (VERDICT r02
+# missing #5): the fit stays rows-only (MLE / sketch kernels), but the
+# lifecycle's apply side is closed-form, so it gets a full DuckDB oracle
+# with PINNED fitted params — exactly how a frozen transformer ships.
+# ---------------------------------------------------------------------------
+
+_YJ_LAMBDA = 0.3  # pinned fitted λ; 2-λ = 1.7 exercises the negative branch
+
+#: pinned QuantileTransformer grid (strictly increasing, non-uniform so the
+#: interpolation is actually exercised); positions are np.linspace(0,1,11)
+_QT_GRID = [-1000.0, -500.0, 0.0, 800.0, 1600.0, 2700.0, 4000.0, 5500.0,
+            7000.0, 8500.0, 10000.0]
+
+
+def _qt_oracle_sql(grid: list[float]) -> str:
+    """Piecewise-linear interp as a CASE chain, generated from the SAME
+    grid/positions numpy uses (exact float reprs embedded) so the oracle
+    arithmetic mirrors np.interp's fp[i] + (x-xp[i]) * slope form."""
+    pos = np.linspace(0.0, 1.0, len(grid))
+    parts = [f"WHEN c_acctbal <= {grid[0]!r} THEN 0.0"]
+    for i in range(len(grid) - 1):
+        g0, g1, p0, p1 = grid[i], grid[i + 1], pos[i], pos[i + 1]
+        parts.append(
+            f"WHEN c_acctbal <= {g1!r} THEN {p0!r} + "
+            f"(c_acctbal - {g0!r}) * {(p1 - p0) / (g1 - g0)!r}"
+        )
+    parts.append("ELSE 1.0")
+    return (
+        "SELECT c_custkey, round(CASE "
+        + " ".join(parts)
+        + " END, 4) AS bal_qtile FROM customer"
+    )
+
+
+@register(
+    "power_transform_yj_apply",
+    f"""
+SELECT c_custkey,
+       round(CASE WHEN c_acctbal >= 0
+                  THEN (pow(c_acctbal + 1.0, {_YJ_LAMBDA}) - 1.0) / {_YJ_LAMBDA}
+                  ELSE -(pow(-c_acctbal + 1.0, {2.0 - _YJ_LAMBDA}) - 1.0) / {2.0 - _YJ_LAMBDA}
+             END, 4) AS bal_yj
+FROM customer
+""",
+)
+def q_power_transform_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Yeo-Johnson APPLY with a pinned fitted λ — the frozen-transformer
+    lifecycle's transform side as a pure column expression (c_acctbal has
+    negatives, so both ψ branches are exercised and hash-checked)."""
+    from kgfarm_spark.functions.transforms import apply_power_transformer
+
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    out = apply_power_transformer(cust, {"c_acctbal": _YJ_LAMBDA})
+    return out.select("c_custkey", F.round("c_acctbal", 4).alias("bal_yj"))
+
+
+@register("quantile_transform_apply", _qt_oracle_sql(_QT_GRID))
+def q_quantile_transform_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """QuantileTransformer APPLY against a pinned fitted grid — the
+    Arrow-batched np.interp kernel hash-checked against a DuckDB CASE
+    chain generated from the same grid."""
+    from kgfarm_spark.functions.transforms import apply_quantile_transformer
+
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    out = apply_quantile_transformer(cust, {"c_acctbal": _QT_GRID})
+    return out.select("c_custkey", F.round("c_acctbal", 4).alias("bal_qtile"))
+
+
 @register("multimodal_features")  # rows-only: binary-payload UDF plumbing
 def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     """Opaque-binary media columns → Arrow-batched feature extraction +

