@@ -161,6 +161,21 @@ def cosine_topk_twophase(
     )
 
 
+def _sq_dists(v, c):
+    """Pairwise squared distances |v_i - c_j|² in BLAS form
+    (|v|² - 2·v·cᵀ + |c|²). The naive broadcast form
+    ((v[:,None,:]-c[None,:,:])**2).sum(2) materializes a B×K×D cube —
+    1.3 GB per 10k-row Arrow batch at K=256, D=64 — and measured 5-20×
+    slower than this matmul at bench scale."""
+    import numpy as np
+
+    return (
+        (v * v).sum(axis=1)[:, None]
+        - 2.0 * (v @ c.T)
+        + (c * c).sum(axis=1)[None, :]
+    )
+
+
 def fit_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -185,8 +200,7 @@ def fit_ivf_centroids(
     x = np.array([r[vec_col] for r in sampled], dtype=np.float64)
     cents = x[:n_cells].copy()
     for _ in range(iters):
-        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _sq_dists(x, cents).argmin(axis=1)
         for c in range(len(cents)):
             members = x[assign == c]
             if len(members):
@@ -240,8 +254,7 @@ def fit_ivf_centroids_distributed(
                 if pdf.empty:
                     continue
                 v = np.array(list(pdf[vec_col]), dtype=np.float64)
-                d = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-                a = d.argmin(axis=1)
+                a = _sq_dists(v, c).argmin(axis=1)
                 np.add.at(sums, a, v)
                 np.add.at(cnts, a, 1)
             nz = np.nonzero(cnts)[0]
@@ -279,8 +292,7 @@ def ivf_assign(
         cents = bc.value
         for pdf in batches:
             v = np.array(list(pdf[vec_col]), dtype=np.float64)
-            d = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            pdf[out_col] = d.argmin(axis=1).astype("int32")
+            pdf[out_col] = _sq_dists(v, cents).argmin(axis=1).astype("int32")
             yield pdf
 
     return df.mapInPandas(assign, out_schema)
@@ -311,32 +323,72 @@ def ivf_topk(
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
         centroids, "__cv", "ivf_cell",
-    ).withColumn("__cn", norm_expr("__cv"))
-
-    # per-query probe cells (small side, computed driver-side)
-    q_rows = _collect_queries(queries, [query_id_col, vec_col])
-    probe_rows = []
-    for r in q_rows:
-        v = np.asarray(r[vec_col], dtype=np.float64)
-        d = ((centroids - v[None, :]) ** 2).sum(axis=1)
-        for cell in np.argsort(d, kind="stable")[:nprobe]:
-            probe_rows.append((r[query_id_col], r[vec_col], int(cell)))
-    spark = corpus.sparkSession
-    q = spark.createDataFrame(
-        pd.DataFrame(probe_rows, columns=[query_id_col, "__qv", "ivf_cell"])
-    ).withColumn("__qn", norm_expr("__qv"))
-
-    sims = (
-        F.broadcast(q)
-        .join(c, "ivf_cell")
-        .filter(F.col(query_id_col) != F.col("neighbor_id"))
-        .withColumn("cosine", dot_expr("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
     )
+
+    # per-query probe cells (small side, computed driver-side), inverted
+    # to cell → query-index list and broadcast with the query matrix; the
+    # search is then ONE Arrow pass over the assigned corpus with numpy
+    # matmul sims per (batch, probed-cell) group and a per-partition
+    # partial top-k — same shape as cosine_topk_twophase, no per-pair
+    # interpreted expression (the join + zip_with/aggregate form measured
+    # ~40 µs/pair: 2 minutes for 200 queries × 4 cells at 1M vectors).
+    q_rows = _collect_queries(queries, [query_id_col, vec_col])
+    qids = [r[query_id_col] for r in q_rows]
+    qmat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    cell_dists = _sq_dists(qmat, np.asarray(centroids, dtype=np.float64))
+    cell2q: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for cell in np.argsort(cell_dists[qi], kind="stable")[:nprobe]:
+            cell2q.setdefault(int(cell), []).append(qi)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qmat, qnorm, cell2q))
+
+    out_schema = f"{query_id_col} long, neighbor_id long, cosine double"
+
+    def partial_topk(batches):
+        qids_, qmat_, qnorm_, cell2q_ = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cells = pdf["ivf_cell"].to_numpy()
+            ids = pdf["neighbor_id"].to_numpy()
+            cmat = np.array(list(pdf["__cv"]), dtype=np.float64)
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+            outs = []
+            for cell in np.unique(cells):
+                q_idx = cell2q_.get(int(cell))
+                if not q_idx:
+                    continue
+                rows = np.nonzero(cells == cell)[0]
+                sims = (qmat_[q_idx] @ cmat[rows].T) / (
+                    qnorm_[q_idx][:, None] * cnorm[rows][None, :]
+                )
+                for si, qi in enumerate(q_idx):
+                    qid = qids_[qi]
+                    mask = ids[rows] != qid
+                    cand = np.nonzero(mask)[0]
+                    if len(cand) == 0:
+                        continue
+                    top = cand[np.argsort(-sims[si][cand], kind="stable")[:k]]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                query_id_col: qid,
+                                "neighbor_id": ids[rows][top],
+                                "cosine": sims[si][top],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs)
+
+    partial = c.mapInPandas(partial_topk, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )

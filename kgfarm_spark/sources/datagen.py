@@ -103,6 +103,84 @@ def gen_transcripts(
     return out
 
 
+def gen_documents(
+    spark: SparkSession,
+    n_docs: int = 1_000_000,
+    seed: int = 42,
+    words_per_doc: int = 30,
+    vocab: int = 100_000,
+    dup_pct: int = 5,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic document table (doc_id, text) for dedup scale
+    benches. ``dup_pct``% of docs are NEAR-duplicates of an earlier doc
+    (same word sequence except the last 3 words → high shingle Jaccard,
+    < 1.0), so LSH has real work at any scale. All JVM expressions
+    (hash-derived words via one transform() per row at generation time
+    only — the generated table is written to parquet once)."""
+    df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
+    h = F.abs(F.xxhash64(F.col("id"), F.lit(seed)))
+    is_dup = (F.pmod(h, F.lit(100)) < dup_pct) & (F.col("id") > 1000)
+    src = F.when(is_dup, F.col("id") - (F.pmod(h, F.lit(1000)) + 1)).otherwise(F.col("id"))
+    df = df.withColumn("__src", src).withColumn("__dup", is_dup)
+    tail_start = words_per_doc - 3
+    # word i seeds from the source doc, except a dup row's 3-word tail
+    # which seeds from its own id (near-dup, not exact)
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.abs(
+                        F.xxhash64(
+                            F.when(F.col("__dup") & (i >= tail_start), F.col("id")).otherwise(
+                                F.col("__src")
+                            ),
+                            i,
+                            F.lit(seed + 1),
+                        )
+                    ),
+                    F.lit(vocab),
+                ).cast("string"),
+            ),
+        ),
+    )
+    return df.select(F.col("id").alias("doc_id"), text.alias("text"))
+
+
+def gen_embeddings(
+    spark: SparkSession,
+    n_vecs: int = 1_000_000,
+    dim: int = 64,
+    seed: int = 42,
+    n_clusters: int = 256,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic embedding table (vec_id, embedding array<float>) for
+    ANN scale benches: cluster center + per-vector jitter, so IVF/LSH
+    bucketing has real structure to exploit. JVM-only generation."""
+    df = spark.range(0, n_vecs, 1, partitions or spark.sparkContext.defaultParallelism)
+    c = F.pmod(F.abs(F.xxhash64(F.col("id"), F.lit(seed))), F.lit(n_clusters))
+    df = df.withColumn("__c", c)
+
+    def unit(a, b, s):
+        return (
+            F.pmod(F.abs(F.xxhash64(a, b, F.lit(s))), F.lit(10007)).cast("double")
+            / 10007.0
+            - 0.5
+        )
+
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: unit(F.col("__c"), d, seed + 1) + 0.25 * unit(F.col("id"), d, seed + 2),
+    )
+    return df.select(
+        F.col("id").alias("vec_id"), emb.cast("array<float>").alias("embedding")
+    )
+
+
 def gen_probes(
     spark: SparkSession,
     transcripts_df: DataFrame,
