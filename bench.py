@@ -48,7 +48,11 @@ SKEW_TURNS = int(os.environ.get("SPARK_GRAFT_SKEW_TURNS", "8000000"))
 SKEW_DIR = os.path.join(REPO, ".bench", f"transcripts_skew_{SKEW_TURNS}")
 
 
-def run_once(sf_dir: str, cpus: int, names: list[str]) -> dict:
+def run_once(sf_dir: str, cpus: int, names: list[str], n_runs: int = 3) -> dict:
+    """Per-query MIN over ``n_runs`` measured runs (VERDICT r02 next-step
+    #7: single-shot timings moved ~18% round-to-round on byte-identical
+    operator code — sandbox load noise; min-of-3 is the stable statistic
+    for a plan's cost)."""
     from kgfarm_spark.session import get_spark
     from kgfarm_spark.entry_queries import QUERIES
     from kgfarm_spark.sources.transcripts import load_table
@@ -61,13 +65,14 @@ def run_once(sf_dir: str, cpus: int, names: list[str]) -> dict:
     # warm the JVM + parquet footer cache once so timings measure the plans
     QUERIES[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.monotonic()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+    timings: dict[str, float] = {name: float("inf") for name in names}
+    for _ in range(n_runs):
+        for name in names:
+            t0 = time.monotonic()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = min(timings[name], round(time.monotonic() - t0, 3))
     spark.stop()
-    return {"timings": timings, "n_turns": n_turns}
+    return {"timings": timings, "n_turns": n_turns, "n_runs": n_runs}
 
 
 def ensure_scale_data() -> None:
@@ -243,12 +248,214 @@ def run_skew_bench() -> dict:
     return out
 
 
+def run_pipeline_e2e(sf_dir: str, cpus: int) -> dict:
+    """Time the §3.3 full-automation chain (enrich → clean → split →
+    engineer_features) on the driver tables; per-stage wall seconds come
+    from the lineage manifest (pipeline.record)."""
+    from pyspark.sql import functions as F
+
+    from kgfarm_spark.pipeline import run_auto_pipeline
+    from kgfarm_spark.session import get_spark
+    from kgfarm_spark.sources.transcripts import load_table
+
+    spark = get_spark(
+        app_name="kgfarm_pipeline_e2e", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").alias("event_timestamp"),
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("o_custkey"),
+        F.col("ts").alias("fv_ts"),
+        F.col("value").alias("g_value"),
+        "event_type",
+    )
+    t0 = time.monotonic()
+    tr, _te, manifest = run_auto_pipeline(
+        orders, events, target="o_orderstatus", on="o_custkey",
+        entity_ts="event_timestamp", view_ts="fv_ts", freshness_days=10000,
+    )
+    tr.write.format("noop").mode("overwrite").save()
+    total = round(time.monotonic() - t0, 3)
+    spark.stop()
+    return {
+        "sec": total,
+        "stages": {s["stage"]: s["sec"] for s in manifest["stages"]},
+    }
+
+
+LLM_DOCS = int(os.environ.get("SPARK_GRAFT_LLM_DOCS", "5000000"))
+LLM_SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_LLM_SCALE_DOCS", "1000000"))
+LLM_VECS = int(os.environ.get("SPARK_GRAFT_LLM_VECS", "1000000"))
+DOCS_DIR = os.path.join(REPO, ".bench", f"documents_{LLM_DOCS}")
+DOCS_SCALE_DIR = os.path.join(REPO, ".bench", f"documents_{LLM_SCALE_DOCS}")
+VECS_DIR = os.path.join(REPO, ".bench", f"embeddings_{LLM_VECS}")
+
+#: scale-bench LSH config: production row size (r=4 → sharp threshold
+#: curve) at 8 bands — P(candidate)=0.89 at J=0.7. The full 128/32
+#: production preset multiplies signature-agg cost 4× for recall the
+#: 0.7-threshold verify step doesn't need at this corpus's dup profile.
+LLM_LSH = {"num_hashes": 32, "bands": 8, "portable": False}
+
+
+def ensure_llm_data() -> None:
+    from kgfarm_spark.session import get_spark
+    from kgfarm_spark.sources.datagen import gen_documents, gen_embeddings
+
+    todo = [
+        d for d in (DOCS_DIR, DOCS_SCALE_DIR, VECS_DIR)
+        if not os.path.exists(os.path.join(d, "_SUCCESS"))
+    ]
+    if not todo:
+        return
+    spark = get_spark(app_name="kgfarm_llm_gen", master="local[32]")
+    if DOCS_DIR in todo:
+        gen_documents(spark, n_docs=LLM_DOCS).write.mode("overwrite").parquet(DOCS_DIR)
+    if DOCS_SCALE_DIR in todo:
+        gen_documents(spark, n_docs=LLM_SCALE_DOCS).write.mode("overwrite").parquet(
+            DOCS_SCALE_DIR
+        )
+    if VECS_DIR in todo:
+        gen_embeddings(spark, n_vecs=LLM_VECS).write.mode("overwrite").parquet(VECS_DIR)
+    spark.stop()
+
+
+def _llm_dedup_job(spark, docs_dir: str):
+    from kgfarm_spark.operators.dedup import minhash_lsh_dedup_pairs
+
+    docs = spark.read.parquet(docs_dir)
+    return minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.7, **LLM_LSH
+    )
+
+
+def run_llm_dedup_one(cpus: int) -> dict:
+    """One dedup run at a given parallelism on the scaling corpus (for
+    the N vs 4N pair; fresh subprocess per level like --scale-one)."""
+    import time as _t
+
+    from kgfarm_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"kgfarm_llm_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+    )
+    n = spark.read.parquet(DOCS_SCALE_DIR).count()
+    t0 = _t.monotonic()
+    _llm_dedup_job(spark, DOCS_SCALE_DIR).write.format("noop").mode("overwrite").save()
+    dt = _t.monotonic() - t0
+    spark.stop()
+    return {"cpus": cpus, "sec": round(dt, 3), "docs": n}
+
+
+def run_llm_scale_bench() -> dict:
+    """Throughput + scaling evidence for the LLM-data family at ≥5M docs
+    / 1M vectors (VERDICT r02 missing #2). Single measured run per row
+    (these are minutes-long jobs; the figure of merit is docs/sec order
+    of magnitude, not ±5%)."""
+    from pyspark.sql import functions as F
+
+    from kgfarm_spark.operators.dedup import simhash64
+    from kgfarm_spark.operators.similarity import (
+        cosine_topk_twophase,
+        fit_ivf_centroids,
+        ivf_topk,
+        lsh_topk,
+    )
+    from kgfarm_spark.session import get_spark
+
+    ensure_llm_data()
+    out: dict = {"metric": "LLM-data family scale bench (local[8])"}
+    spark = get_spark(app_name="kgfarm_llm", master="local[8]", shuffle_partitions=64)
+
+    docs = spark.read.parquet(DOCS_DIR)
+    n_docs = docs.count()
+    t0 = time.monotonic()
+    _llm_dedup_job(spark, DOCS_DIR).write.format("noop").mode("overwrite").save()
+    dt = time.monotonic() - t0
+    out["dedup_minhash_lsh"] = {
+        "docs": n_docs, "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt),
+        "config": LLM_LSH,
+    }
+
+    t0 = time.monotonic()
+    simhash64(docs, "doc_id", "text").write.format("noop").mode("overwrite").save()
+    dt = time.monotonic() - t0
+    out["simhash64"] = {
+        "docs": n_docs, "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt)
+    }
+
+    emb = spark.read.parquet(VECS_DIR)
+    n_vecs = emb.count()
+    q1000 = emb.filter(F.col("vec_id") < 1000).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q200 = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.monotonic()
+    cosine_topk_twophase(emb, q1000, k=10).write.format("noop").mode("overwrite").save()
+    out["cosine_topk_twophase"] = {
+        "vecs": n_vecs, "queries": 1000, "sec": round(time.monotonic() - t0, 1)
+    }
+    t0 = time.monotonic()
+    lsh_topk(emb, q200, k=10, n_planes=10).write.format("noop").mode("overwrite").save()
+    out["lsh_topk"] = {
+        "vecs": n_vecs, "queries": 200, "n_planes": 10,
+        "sec": round(time.monotonic() - t0, 1),
+    }
+    t0 = time.monotonic()
+    cents = fit_ivf_centroids(emb, n_cells=256, id_col="vec_id")
+    fit_sec = round(time.monotonic() - t0, 1)
+    t0 = time.monotonic()
+    ivf_topk(emb, q200, centroids=cents, k=10, nprobe=4).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["ivf_topk"] = {
+        "vecs": n_vecs, "queries": 200, "n_cells": 256, "nprobe": 4,
+        "fit_sec": fit_sec, "search_sec": round(time.monotonic() - t0, 1),
+    }
+    spark.stop()
+
+    # dedup pipeline 1v4 scaling pair (fresh subprocess per level)
+    pair = {}
+    for level in (1, 4):
+        r = subprocess.run(
+            [sys.executable, __file__, "--llm-scale-one", str(level)],
+            capture_output=True, text=True, env=dict(os.environ),
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        pair[level] = json.loads(line)
+    thr1 = pair[1]["docs"] / pair[1]["sec"]
+    thr4 = pair[4]["docs"] / pair[4]["sec"]
+    out["dedup_scaling_1v4"] = {
+        "docs": pair[1]["docs"],
+        "sec_1": pair[1]["sec"], "sec_4": pair[4]["sec"],
+        "docs_per_sec_1": round(thr1), "docs_per_sec_4": round(thr4),
+        "scaling_efficiency": round((thr4 / thr1) / 4.0, 3),
+    }
+
+    with open(os.path.join(REPO, "BENCH_LLM.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     if "--skew" in sys.argv:
         print(json.dumps(run_skew_bench()))
+        return
+
+    if "--llm-scale-one" in sys.argv:
+        level = int(sys.argv[sys.argv.index("--llm-scale-one") + 1])
+        print(json.dumps(run_llm_dedup_one(level)))
+        return
+
+    if "--llm-scale" in sys.argv:
+        print(json.dumps(run_llm_scale_bench()))
         return
 
     if "--scale-one" in sys.argv:
@@ -320,6 +527,12 @@ def main() -> None:
         return
 
     r = run_once(sf_dir, cpus, HEADLINE)
+
+    # §3.3 orchestration path (VERDICT r02 next-step #8): one timed
+    # run_auto_pipeline pass at the bench SF with per-stage wall times
+    # pulled from the lineage manifest
+    pipeline_e2e = run_pipeline_e2e(sf_dir, cpus)
+
     total = round(sum(r["timings"].values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
@@ -327,8 +540,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": r["timings"],
+        "n": r["n_runs"],
+        "stat": "min",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "turns_per_sec": round(r["n_turns"] / r["timings"]["flagship_backfill_asof"], 1),
+        "pipeline_e2e": pipeline_e2e,
     }
     # attach the last `--scaling` measurement (N vs 4N evidence, BENCH.md §2)
     scaling_path = os.path.join(REPO, "BENCH_SCALING.json")

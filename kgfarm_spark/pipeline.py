@@ -183,6 +183,7 @@ def run_auto_pipeline(
     returned train/test frames are the prepared artifact.
     """
     import json
+    import time
 
     from kgfarm_spark.functions.cleaning import fill_nulls, normalize_null_tokens
     from kgfarm_spark.operators.asof import asof_join
@@ -190,7 +191,14 @@ def run_auto_pipeline(
     stages: list[dict] = []
 
     def record(name: str, df: DataFrame, **params):
-        stages.append({"stage": name, "rows": df.count(), **params})
+        # per-stage metrics (north_rule): rows + wall seconds to
+        # materialize this stage's frame (cumulative plan cost — each
+        # stage's count re-executes its lazy prefix)
+        t0 = time.monotonic()
+        rows = df.count()
+        stages.append(
+            {"stage": name, "rows": rows, "sec": round(time.monotonic() - t0, 3), **params}
+        )
         return df
 
     # 1. enrich: point-in-time latest within the freshness window
