@@ -13,11 +13,16 @@ window expressions in a stage (Catalyst collapses same-spec windows into
 one Window physical node). Per-key windows are bounded by conversation
 length; for transcripts that is usually small, and for the pathological
 case (a single conversation with millions of turns — one task under a
-plain per-key window) ``backfill_features`` takes ``max_turns_per_task``,
-which switches to the exact per-key order-bucket + prefix-carry
-decomposition (``backfill_features_bucketed``; the fused flagship has the
-same guard via ``backfill_asof_fused(hot_conv_turns=...)``). The
-cross-conversation shuffle uses AQE skew handling (session.py).
+plain per-key window) EVERY op here has an exact straggler-free variant:
+``backfill_features(max_turns_per_task=...)`` (order-bucket + prefix
+carry), ``sessionize(max_turns_per_task=...)`` (join-lag + bucket+carry
+cumsum), ``rolling_aggregates(max_turns_per_task=...)`` (ghost-row
+overlap buckets), ``lag_lead_features(hot_safe=True)`` /
+``role_transitions(hot_safe=True)`` (shifted equi-joins on the dense
+(conv_id, turn_idx) axis — uniform hash), and the fused flagship via
+``backfill_asof_fused(hot_conv_turns=...)``. All pinned equal to the
+plain windows by tests/test_hot_conv.py. The cross-conversation shuffle
+uses AQE skew handling (session.py).
 All expressions are JVM-side (whole-stage codegen) — no Python in the
 hot path.
 """
@@ -38,13 +43,23 @@ def lag_lead_features(
     cols: dict[str, int] | None = None,
     key: str = "conv_id",
     order: str = "turn_idx",
+    hot_safe: bool = False,
 ) -> DataFrame:
     """lag/lead features per turn (SURVEY.md §2.12).
 
     ``cols`` maps column → max offset; emits ``<col>_lag_<n>`` and
     ``<col>_lead_<n>`` for n in 1..offset. Default: role/ts lag+lead 1.
+
+    ``hot_safe=True`` replaces the per-key window with shifted
+    equi-joins: ``turn_idx`` is dense per conversation (input_hint), so
+    lag(c, n) at turn t IS the value at turn t-n — one join per distinct
+    offset on the composite key (conv_id, turn_idx), which hashes
+    UNIFORMLY no matter how long one conversation is. No straggler at any
+    conversation length, identical output (pytest-pinned).
     """
     cols = cols or {"role": 1, "ts": 1}
+    if hot_safe:
+        return _lag_lead_joined(df, cols, key, order)
     w = turn_window(key, order)
     out = df
     for c, depth in cols.items():
@@ -54,15 +69,80 @@ def lag_lead_features(
     return out
 
 
+def _lag_lead_joined(
+    df: DataFrame, cols: dict[str, int], key: str, order: str
+) -> DataFrame:
+    """Shifted-join lag/lead over a dense per-key order column. One left
+    join per distinct shift; all columns sharing a shift ride the same
+    join. Output column order matches the window implementation."""
+    # shift → [(source col, output alias)]; lag n = join on order+n,
+    # lead n = join on order-n
+    shifts: dict[int, list[tuple[str, str]]] = {}
+    aliases: list[str] = []
+    for c, depth in cols.items():
+        for n in range(1, depth + 1):
+            shifts.setdefault(n, []).append((c, f"{c}_lag_{n}"))
+            shifts.setdefault(-n, []).append((c, f"{c}_lead_{n}"))
+            aliases.extend([f"{c}_lag_{n}", f"{c}_lead_{n}"])
+    out = df
+    for shift, pairs in shifts.items():
+        shifted = df.select(
+            F.col(key),
+            (F.col(order) + F.lit(shift)).alias(order),
+            *[F.col(c).alias(a) for c, a in pairs],
+        )
+        out = out.join(shifted, [key, order], "left")
+    return out.select(*df.columns, *aliases)
+
+
 def rolling_aggregates(
     df: DataFrame,
     n_turns: int = 3,
     key: str = "conv_id",
     order: str = "turn_idx",
+    max_turns_per_task: int | None = None,
 ) -> DataFrame:
     """Rolling (current + previous ``n_turns``) aggregates per turn:
     text-length mean/max, tool-usage count, user-turn count — the derived
-    features the north_rule backfills. Pure rowsBetween frames."""
+    features the north_rule backfills. Pure rowsBetween frames.
+
+    ``max_turns_per_task``: hot-conversation guard. A bounded rolling
+    frame decomposes with GHOST ROWS: bucket by ``floor(turn_idx / B)``,
+    replicate each bucket's last ``n_turns`` rows into the next bucket,
+    run the same window partitioned by (key, bucket), drop the ghosts.
+    Exact because the frame is ROWS-based over a dense order column —
+    every real row sees exactly turns [t-n_turns, t]. Per-task rows ≤
+    B + n_turns."""
+    if max_turns_per_task is not None:
+        B = max_turns_per_task
+        tagged = df.withColumn(
+            "__ob", F.floor(F.col(order) / F.lit(B)).cast("int")
+        ).withColumn("__ghost", F.lit(False))
+        ghosts = (
+            df.filter(F.pmod(F.col(order), F.lit(B)) >= B - n_turns)
+            .withColumn("__ob", (F.floor(F.col(order) / F.lit(B)) + 1).cast("int"))
+            .withColumn("__ghost", F.lit(True))
+        )
+        u = tagged.unionByName(ghosts)
+        w = (
+            Window.partitionBy(key, "__ob")
+            .orderBy(order)
+            .rowsBetween(-n_turns, Window.currentRow)
+        )
+        text_len = F.length("text")
+        out = u.select(
+            "*",
+            text_len.alias("text_len"),
+            F.avg(text_len).over(w).alias("roll_text_len_avg"),
+            F.max(text_len).over(w).alias("roll_text_len_max"),
+            F.sum(F.col("tool").isNotNull().cast("long")).over(w).alias("roll_tool_calls"),
+            F.sum((F.col("role") == "user").cast("long")).over(w).alias("roll_user_turns"),
+        )
+        feature_cols = [
+            "text_len", "roll_text_len_avg", "roll_text_len_max",
+            "roll_tool_calls", "roll_user_turns",
+        ]
+        return out.filter(~F.col("__ghost")).select(*df.columns, *feature_cols)
     w = turn_window(key, order).rowsBetween(-n_turns, Window.currentRow)
     text_len = F.length("text")
     # one select over base columns → Catalyst emits a SINGLE Window node
@@ -84,13 +164,66 @@ def sessionize(
     key: str = "conv_id",
     ts: str = "ts",
     order: str = "turn_idx",
+    max_turns_per_task: int | None = None,
 ) -> DataFrame:
     """Gap-based session boundary detection: a new session starts when the
     inter-turn gap exceeds ``gap``. Emits ``session_id`` (0-based per conv)
     via the classic flag-then-cumsum window pattern — no per-row Python.
 
+    ``max_turns_per_task``: hot-conversation guard. The lag becomes a
+    shifted equi-join on the dense (key, turn_idx) axis (uniform hash —
+    no straggler), the boundary flag is a pure expression, and the cumsum
+    decomposes into per-(key, bucket) cumsum + an exclusive prefix carry
+    of per-bucket flag sums. Identical output (pytest-pinned).
+
     (Streaming twin: ``F.session_window(ts, gap)`` — streaming/stream.py.)
     """
+    if max_turns_per_task is not None:
+        B = max_turns_per_task
+        prev = df.select(
+            F.col(key),
+            (F.col(order) + 1).alias(order),
+            F.col(ts).alias("__prev_ts"),
+        )
+        flagged = df.join(prev, [key, order], "left").withColumn(
+            "__new_session",
+            F.when(
+                F.col("__prev_ts").isNull()
+                | (F.col(ts) > F.col("__prev_ts") + F.expr(f"INTERVAL {gap}")),
+                1,
+            ).otherwise(0),
+        )
+        tagged = flagged.withColumn(
+            "__ob", F.floor(F.col(order) / F.lit(B)).cast("int")
+        )
+        wprev = (
+            Window.partitionBy(key)
+            .orderBy("__ob")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            tagged.groupBy(key, "__ob")
+            .agg(F.sum("__new_session").alias("__s"))
+            .select(
+                key,
+                "__ob",
+                F.coalesce(F.sum("__s").over(wprev), F.lit(0)).alias("__c_s"),
+            )
+        )
+        cum = (
+            Window.partitionBy(key, "__ob")
+            .orderBy(order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = tagged.join(F.broadcast(carry), [key, "__ob"], "left").withColumn(
+            "session_id",
+            (
+                F.sum("__new_session").over(cum)
+                + F.coalesce(F.col("__c_s"), F.lit(0))
+                - 1
+            ).cast("int"),
+        )
+        return out.select(*df.columns, "session_id")
     w = turn_window(key, order)
     cum = turn_window(key, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag(ts).over(w)
@@ -106,10 +239,27 @@ def role_transitions(
     df: DataFrame,
     key: str = "conv_id",
     order: str = "turn_idx",
+    hot_safe: bool = False,
 ) -> DataFrame:
     """Role-transition encoding per turn: ``prev_role->role`` (first turn:
     ``start->role``). Reference analog: sequential pipeline-graph mining
-    (operations/template.py:200-250 orders calls by nextCall edges)."""
+    (operations/template.py:200-250 orders calls by nextCall edges).
+
+    ``hot_safe=True``: shifted equi-join instead of the per-key window
+    (see lag_lead_features) — uniform (key, turn_idx) hash, no straggler."""
+    if hot_safe:
+        prev_df = df.select(
+            F.col(key), (F.col(order) + 1).alias(order), F.col("role").alias("__prev_role")
+        )
+        out = df.join(prev_df, [key, order], "left").withColumn(
+            "role_transition",
+            F.concat(
+                F.coalesce(F.col("__prev_role"), F.lit("start")),
+                F.lit("->"),
+                F.col("role"),
+            ),
+        )
+        return out.select(*df.columns, "role_transition")
     w = turn_window(key, order)
     prev = F.coalesce(F.lag("role").over(w), F.lit("start"))
     return df.withColumn(

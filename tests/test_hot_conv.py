@@ -115,3 +115,50 @@ def test_bucketed_max_task_rows_bounded(spark):
         .first()[0]
     )
     assert n_buckets_hot >= 5
+
+
+def test_all_window_ops_hot_safe_variants_equal_plain(spark):
+    """Round-3 completion of the hot-conversation story: EVERY per-conv
+    window op has a straggler-free variant pinned equal to the plain
+    window — lag/lead and role transitions via shifted equi-joins on the
+    dense (conv_id, turn_idx) axis, sessionize via join-lag + bucket+carry
+    cumsum, rolling aggregates via ghost-row overlap buckets."""
+    from kgfarm_spark.operators.windows import (
+        lag_lead_features,
+        role_transitions,
+        rolling_aggregates,
+        sessionize,
+    )
+
+    t = gen_transcripts(spark, n_turns=30_000, n_convs=30, seed=13, skew=3.0)
+
+    a = lag_lead_features(t, cols={"role": 2, "ts": 1})
+    b = lag_lead_features(t, cols={"role": 2, "ts": 1}, hot_safe=True)
+    assert a.columns == b.columns
+    assert _frames_equal(a, b)
+
+    a = role_transitions(t)
+    b = role_transitions(t, hot_safe=True)
+    assert a.columns == b.columns
+    assert _frames_equal(a, b)
+
+    a = sessionize(t, gap="30 MINUTE")
+    b = sessionize(t, gap="30 MINUTE", max_turns_per_task=1_000)
+    assert a.columns == b.columns
+    assert _frames_equal(a, b)
+
+    a = rolling_aggregates(t, n_turns=3)
+    b = rolling_aggregates(t, n_turns=3, max_turns_per_task=1_000)
+    assert a.columns == b.columns
+    assert _frames_equal(a, b)
+
+
+def test_rolling_ghost_rows_cross_bucket_boundary(spark):
+    """Adversarial bucket size: B barely above the frame length, so almost
+    every frame crosses a bucket boundary and leans on ghost rows."""
+    from kgfarm_spark.operators.windows import rolling_aggregates
+
+    t = gen_transcripts(spark, n_turns=2_000, n_convs=3, seed=17, skew=2.0)
+    a = rolling_aggregates(t, n_turns=5)
+    b = rolling_aggregates(t, n_turns=5, max_turns_per_task=7)
+    assert _frames_equal(a, b)
