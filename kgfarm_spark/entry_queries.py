@@ -463,6 +463,108 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Hot-conversation straggler-free window variants (round 3) — each must
+# EQUAL its plain-window twin, so each reuses the twin's oracle SQL and
+# is driver-hash-checked with aggressively small bucket sizes (every
+# conversation spans multiple buckets / every rolling frame leans on
+# ghost rows at sf0.01 — the adversarial regime for the carry algebra).
+# ---------------------------------------------------------------------------
+
+
+@register("backfill_features_hot", None)
+def q_backfill_hot(spark: SparkSession, sf: str) -> DataFrame:
+    from kgfarm_spark.operators.windows import backfill_features as _bf
+
+    out = _bf(transcripts(spark, sf), max_turns_per_task=7)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "turns_so_far",
+        "tool_calls_so_far",
+        F.round("tool_call_rate", 4).alias("tool_call_rate"),
+        F.col("text_len_sum").cast("long").alias("text_len_sum"),
+        F.round("text_len_avg", 4).alias("text_len_avg"),
+        F.col("text_len_max").cast("long").alias("text_len_max"),
+        "user_turns_so_far",
+        "assistant_turns_so_far",
+    )
+
+
+@register("flagship_hot_guard", None)
+def q_flagship_hot(spark: SparkSession, sf: str) -> DataFrame:
+    out = backfill_asof_fused(
+        transcripts(spark, sf),
+        probes(spark, sf),
+        key="conv_id",
+        ts="ts",
+        probe_ts="query_ts",
+        tolerance="1 DAY",
+        hot_conv_turns=12,
+        n_hot_buckets=4,
+    )
+    return out.select(
+        "probe_id",
+        "conv_id",
+        "query_ts",
+        "matched_ts",
+        "turns_so_far",
+        "tool_calls_so_far",
+        F.round("tool_call_rate", 4).alias("tool_call_rate"),
+        F.round("text_len_avg", 4).alias("text_len_avg"),
+        "user_turns_so_far",
+    )
+
+
+@register("sessionize_hot_safe", None)
+def q_sessionize_hot(spark: SparkSession, sf: str) -> DataFrame:
+    out = sessionize(transcripts(spark, sf), gap="30 MINUTE", max_turns_per_task=5)
+    return out.select("conv_id", "turn_idx", "ts", "session_id")
+
+
+@register("rolling_hot_safe", None)
+def q_rolling_hot(spark: SparkSession, sf: str) -> DataFrame:
+    out = rolling_aggregates(transcripts(spark, sf), n_turns=3, max_turns_per_task=5)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("text_len").cast("long").alias("text_len"),
+        F.round("roll_text_len_avg", 4).alias("roll_text_len_avg"),
+        F.col("roll_text_len_max").cast("long").alias("roll_text_len_max"),
+        "roll_tool_calls",
+        "roll_user_turns",
+    )
+
+
+@register("lag_lead_hot_safe", None)
+def q_lag_lead_hot(spark: SparkSession, sf: str) -> DataFrame:
+    out = lag_lead_features(
+        transcripts(spark, sf), cols={"role": 1, "ts": 1}, hot_safe=True
+    )
+    return out.select(
+        "conv_id", "turn_idx", "role", "role_lag_1", "role_lead_1", "ts_lag_1", "ts_lead_1"
+    )
+
+
+@register("role_transitions_hot_safe", None)
+def q_role_transitions_hot(spark: SparkSession, sf: str) -> DataFrame:
+    out = role_transitions(transcripts(spark, sf), hot_safe=True)
+    return out.select("conv_id", "turn_idx", "role_transition")
+
+
+# the variants must equal their plain twins — reuse the twins' oracles
+for _variant, _twin in {
+    "backfill_features_hot": "backfill_features",
+    "flagship_hot_guard": "flagship_backfill_asof",
+    "sessionize_hot_safe": "sessionize",
+    "rolling_hot_safe": "rolling_aggregates",
+    "lag_lead_hot_safe": "lag_lead_features",
+    "role_transitions_hot_safe": "role_transitions",
+}.items():
+    ORACLES[_variant] = ORACLES[_twin]
+
+
 @register(
     "hybrid_skew_join_enrich",
     _cte(

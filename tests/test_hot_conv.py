@@ -162,3 +162,14 @@ def test_rolling_ghost_rows_cross_bucket_boundary(spark):
     a = rolling_aggregates(t, n_turns=5)
     b = rolling_aggregates(t, n_turns=5, max_turns_per_task=7)
     assert _frames_equal(a, b)
+
+
+def test_single_100k_turn_conversation_bucketed_equals_plain(spark):
+    """The literal pathological case: ONE conversation with 100k turns.
+    The plain window serializes it into one task; the bucketed path must
+    produce identical output from 20 parallel buckets."""
+    t = gen_transcripts(spark, n_turns=100_000, n_convs=1, seed=23, skew=1.0)
+    assert t.select("conv_id").distinct().count() == 1
+    plain = backfill_features(t)
+    bucketed = backfill_features(t, max_turns_per_task=5_000)
+    assert _frames_equal(plain, bucketed)
