@@ -93,19 +93,46 @@ class FeatureFarm:
         )
 
     # ---- transcript feature engineering (north_rule core) ---------------
-    def sessionize(self, transcripts: DataFrame, gap: str = "30 minutes") -> DataFrame:
-        return _win.sessionize(transcripts, gap=gap)
+    # ``max_turns_per_task`` / ``hot_conv_turns`` engage the exact
+    # straggler-free decompositions for pathologically long conversations
+    # (operators/windows.py module docstring; crossover rule in BENCH.md
+    # §2c: worth it when one conversation's share of rows exceeds
+    # ~1/n_cores).
+    def sessionize(
+        self,
+        transcripts: DataFrame,
+        gap: str = "30 minutes",
+        max_turns_per_task: int | None = None,
+    ) -> DataFrame:
+        return _win.sessionize(
+            transcripts, gap=gap, max_turns_per_task=max_turns_per_task
+        )
 
-    def backfill(self, transcripts: DataFrame) -> DataFrame:
-        return _win.backfill_features(transcripts)
+    def backfill(
+        self, transcripts: DataFrame, max_turns_per_task: int | None = None
+    ) -> DataFrame:
+        return _win.backfill_features(
+            transcripts, max_turns_per_task=max_turns_per_task
+        )
 
     def asof_join(self, left, right, **kw) -> DataFrame:
         return _asof(left, right, **kw)
 
     def backfill_and_resolve(
-        self, transcripts: DataFrame, probes: DataFrame, tolerance: str = "1 DAY"
+        self,
+        transcripts: DataFrame,
+        probes: DataFrame,
+        tolerance: str = "1 DAY",
+        hot_conv_turns: int | None = None,
+        n_hot_buckets: int = 32,
     ) -> DataFrame:
-        return backfill_asof_fused(transcripts, probes, tolerance=tolerance)
+        return backfill_asof_fused(
+            transcripts,
+            probes,
+            tolerance=tolerance,
+            hot_conv_turns=hot_conv_turns,
+            n_hot_buckets=n_hot_buckets,
+        )
 
     # ---- cleaning (reference apis.py:139-226) -----------------------------
     def recommend_cleaning_operations(
