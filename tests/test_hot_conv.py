@@ -173,3 +173,35 @@ def test_single_100k_turn_conversation_bucketed_equals_plain(spark):
     plain = backfill_features(t)
     bucketed = backfill_features(t, max_turns_per_task=5_000)
     assert _frames_equal(plain, bucketed)
+
+
+def test_fused_hot_guard_exact_ts_ties_at_bucket_boundaries(spark):
+    """Adversarial ties: multiple turns share the SAME timestamp, and
+    probes land at exactly those timestamps. Bucket id is a pure function
+    of ts, so tied rows must share a bucket and the (ts, side, turn)
+    ordering must survive the decomposition — inclusive backward
+    semantics (probe at ts T sees all turns at T) included."""
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(60):
+        # blocks of 4 turns share one timestamp -> heavy ties
+        ts = base + dt.timedelta(minutes=i // 4)
+        rows.append(("c1", i, "user" if i % 2 == 0 else "assistant",
+                     f"t{i}", "code" if i % 5 == 0 else None, ts))
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    probe_rows = [
+        ("c1", base + dt.timedelta(minutes=m), f"p{m}") for m in range(0, 15, 2)
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "conv_id string, query_ts timestamp, probe_id string"
+    )
+    plain = backfill_asof_fused(t, probes, tolerance="1 DAY")
+    guarded = backfill_asof_fused(
+        t, probes, tolerance="1 DAY", hot_conv_turns=10, n_hot_buckets=7
+    )
+    assert _frames_equal(plain, guarded)
+    # inclusive backward at a tie: the probe at minute 0 sees all 4 turns
+    r = guarded.filter(F.col("probe_id") == "p0").first()
+    assert r["turns_so_far"] == 4

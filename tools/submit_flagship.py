@@ -39,6 +39,13 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument(
+        "--hot-conv-turns", type=int, default=None,
+        help="straggler guard: conversations with at least this many turns "
+        "take the exact bucket+carry decomposition (BENCH.md §2c crossover: "
+        "engage when one conversation's row share exceeds ~1/total cores)",
+    )
+    ap.add_argument("--hot-buckets", type=int, default=32)
     args = ap.parse_args()
 
     from kgfarm_spark.operators.backfill import backfill_asof_fused
@@ -74,7 +81,10 @@ def main() -> None:
             # co-bucket the transcript side on the same conv_id hash so
             # each bucket job touches only its conversations
             t_bucket = transcripts.filter(bucket_of("conv_id", args.buckets) == b)
-            return backfill_asof_fused(t_bucket, probe_bucket, tolerance=args.tolerance)
+            return backfill_asof_fused(
+                t_bucket, probe_bucket, tolerance=args.tolerance,
+                hot_conv_turns=args.hot_conv_turns, n_hot_buckets=args.hot_buckets,
+            )
 
         written = run_checkpointed(
             build_job, probes, key_col="conv_id", out_dir=args.out,
@@ -85,7 +95,10 @@ def main() -> None:
     else:
         from kgfarm_spark.plans.metrics import StageMetrics
 
-        job = backfill_asof_fused(transcripts, probes, tolerance=args.tolerance)
+        job = backfill_asof_fused(
+            transcripts, probes, tolerance=args.tolerance,
+            hot_conv_turns=args.hot_conv_turns, n_hot_buckets=args.hot_buckets,
+        )
         with StageMetrics(spark) as m:
             job.write.mode("overwrite").parquet(args.out)
         stats = {"stage_metrics": m.summary(), "stages": m.stages}
