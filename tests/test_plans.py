@@ -124,3 +124,41 @@ def test_asof_nearest_single_shuffle_no_join(stored):
     c = _counts(out)
     assert c["exchange"] == 1, "nearest must share ONE exchange for both directions"
     assert "Join" not in plan, "nearest must not rejoin the two directions"
+
+
+def test_guarded_flagship_window_partitions_by_bucket(stored):
+    """The hot-conversation guard's entire point at the plan level: the
+    big cumulative Window must partition by (conv_id, __ob), never by
+    conv_id alone — and the guard's extra passes must all be cheap
+    aggregates (no second big Window over the union)."""
+    t, p = stored
+    df = backfill_asof_fused(t, p, tolerance="1 DAY", hot_conv_turns=50, n_hot_buckets=4)
+    jvm = df.sparkSession._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # every windowspecdefinition over __ts (the big cumulative pass) must
+    # carry __ob in its partition spec
+    big_specs = [
+        s for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan) if "__ts" in s
+    ]
+    assert big_specs, "expected the cumulative window spec in the plan"
+    for s in big_specs:
+        assert "__ob" in s, f"cumulative window not bucket-partitioned: {s}"
+    # the carry prefix windows (over __ob ordering) are per-key tiny
+    assert "Window" in plan
+
+
+def test_bucketed_backfill_window_partitions_by_bucket(stored):
+    t, _ = stored
+    df = backfill_features(t, max_turns_per_task=100)
+    jvm = df.sparkSession._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    big_specs = [
+        s
+        for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        if "turn_idx" in s and "__ob" in s
+    ]
+    assert big_specs, "cumulative window must partition by (conv_id, __ob)"
