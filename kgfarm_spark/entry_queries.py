@@ -594,3 +594,43 @@ def q_hybrid_skew_join(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = hybrid_skew_join(t, dim, "conv_id", hot, n_salt=8, how="inner")
     return out.select("conv_id", "turn_idx", "first_role")
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate registration order (VERDICT r03 next-step #2). The driver's
+# CORRECTNESS snapshot checks the FIRST 50 registered oracle queries — it
+# held the identical 50-key set for three rounds while the oracle count
+# grew to 60, leaving the round-2/3 additions (the entire hot-safe family,
+# the skew queries, the two transform apply sides) never driver-verified.
+# Rebuild both registries so those land inside the checked window; the ten
+# entries deferred past the cap are the near-duplicates whose operator
+# family stays driver-covered by a sibling (noted per name) — they remain
+# fully registered and locally hash-verified via tools/check_oracle.py.
+# ---------------------------------------------------------------------------
+_DEFERRED_PAST_DRIVER_CAP = [
+    "asof_forward_latest",     # family kept: backward/nearest/interval/flagship
+    "sqrt_square_transform",   # family kept: log_transform (F4-F6)
+    "minmax_scale",            # family kept: standard_scale, robust_scale
+    "fill_median_mode",        # family kept: fill_mean, knn_impute_1d
+    "quantile_rank",           # family kept: quantile_transform_apply
+    "simhash_fingerprint",     # family kept: doc_fingerprint + 3 dedup oracles
+    "embedding_neardup",       # family kept: cosine_topk + dedup family
+    "text_token_counts",       # family kept: text_quality, lang_id
+    "union_nation_keys",       # family kept: customers_without_big_orders (U5)
+    "deterministic_sample",    # family kept: class_rebalance
+]
+
+
+def _finalize_registration_order() -> None:
+    prioritized = [k for k in ORACLES if k not in _DEFERRED_PAST_DRIVER_CAP]
+    deferred = [k for k in _DEFERRED_PAST_DRIVER_CAP if k in ORACLES]
+    rows_only = [k for k in QUERIES if k not in ORACLES]
+    new_q = {k: QUERIES[k] for k in (*prioritized, *deferred, *rows_only)}
+    new_o = {k: ORACLES[k] for k in (*prioritized, *deferred)}
+    QUERIES.clear()
+    QUERIES.update(new_q)
+    ORACLES.clear()
+    ORACLES.update(new_o)
+
+
+_finalize_registration_order()

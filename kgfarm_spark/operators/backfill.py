@@ -167,7 +167,7 @@ def _hot_bounds(
     )
 
 
-def _bucket_col(tsd, nb_lit: bool = False):
+def _bucket_col(tsd):
     """Clamped fixed-width time slot against the broadcast grid columns
     (__lo, __w, __nb) — pure codegen arithmetic, monotone in ts, equal ts
     always shares a bucket. Rows outside the key's turn span clamp to the
@@ -186,8 +186,15 @@ def _hot_carry(
     """Exclusive prefix carry per (hot key, bucket). Computed from the
     TRANSCRIPTS side only: probe rows contribute zero/null to every
     cumulative feature, so they cannot change any partial. The inner
-    broadcast join keeps only hot keys; output is |hot keys| · n_buckets
-    rows — tiny and broadcastable."""
+    broadcast join keeps only hot keys; output is exactly |hot keys| ·
+    n_buckets rows — tiny and broadcastable.
+
+    The carry is DENSIFIED to every bucket id 0..n_buckets-1 per hot key
+    (grid from the broadcast bounds, left-joined with the observed
+    partials): a probe can land in a turn-free time bucket of a hot
+    conversation (an activity gap), and that bucket must still inherit
+    the prefix state of all earlier buckets. Without the grid such a
+    probe found no carry row and read zeroed features."""
     tsd = F.col(ts).cast("timestamp").cast("double")
     base = transcripts.select(
         F.col(key),
@@ -211,10 +218,16 @@ def _hot_carry(
         F.sum(F.col("__ia").cast("long")).alias("__pt_asst"),
         F.max("__t_ts").alias("__pt_lastts"),
     )
+    dense = hot_bounds.select(
+        F.col(key),
+        F.explode(F.sequence(F.lit(0), F.col("__nb") - 1)).alias("__ob"),
+    ).withColumn("__ob", F.col("__ob").cast("int")).join(
+        partials, [key, "__ob"], "left"
+    )
     wprev = (
         Window.partitionBy(key).orderBy("__ob").rowsBetween(Window.unboundedPreceding, -1)
     )
-    return partials.select(
+    return dense.select(
         key,
         "__ob",
         F.coalesce(F.sum("__pt_turns").over(wprev), F.lit(0)).alias("__c_turns"),
@@ -306,6 +319,34 @@ def _fused_state_guarded(
     return state.select(*u.columns, *_FEATURES)
 
 
+def _auto_hot_threshold(
+    transcripts: DataFrame, key: str
+) -> int | None:
+    """Decide whether the hot-conversation guard should engage, and at
+    what threshold, from ONE column-pruned aggregate over the key column.
+
+    Crossover rule (measured, BENCH.md §2c): the guard pays off once a
+    single conversation holds more than ~1/n_cores of all rows — below
+    that, the plain per-key window's natural parallelism already hides
+    the straggler. Returns the engage threshold ``total_rows / n_cores``
+    when the largest key meets it, else None (guard off). The extra cost
+    is one count-shuffle whose output is |keys| rows reduced to a single
+    driver row — negligible next to the window job it protects."""
+    sc = transcripts.sparkSession.sparkContext
+    n_cores = max(sc.defaultParallelism, 2)
+    row = (
+        transcripts.select(key)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("__mx"), F.sum("__n").alias("__tot"))
+        .first()
+    )
+    if row is None or row["__tot"] is None:
+        return None
+    threshold = max(int(row["__tot"] / n_cores), 2)
+    return threshold if row["__mx"] >= threshold else None
+
+
 def backfill_asof_fused(
     transcripts: DataFrame,
     probes: DataFrame,
@@ -313,7 +354,7 @@ def backfill_asof_fused(
     ts: str = "ts",
     probe_ts: str = "query_ts",
     tolerance: str | None = None,
-    hot_conv_turns: int | None = None,
+    hot_conv_turns: int | str | None = None,
     n_hot_buckets: int = 32,
 ) -> DataFrame:
     """Resolve each probe (key, probe_ts) to the cumulative transcript
@@ -321,11 +362,15 @@ def backfill_asof_fused(
     the backfill feature set (same names as windows.backfill_features).
 
     ``hot_conv_turns``: optional straggler guard — conversations whose
-    row count (turns + probes) meets this threshold take the exact
+    TRANSCRIPT TURN COUNT meets this threshold take the exact
     bucket+carry path split over ``n_hot_buckets`` event-time buckets
     (see module docstring); everything else stays on the plain
-    single-window plan.
+    single-window plan. Pass ``"auto"`` to apply the measured crossover
+    rule (engage iff some conversation holds > ~1/n_cores of the rows —
+    see ``_auto_hot_threshold``) instead of hand-tuning.
     """
+    if hot_conv_turns == "auto":
+        hot_conv_turns = _auto_hot_threshold(transcripts, key)
     probe_cols = [c for c in probes.columns if c != key]
     u = _union_frame(transcripts, probes, key, ts, probe_ts, probe_cols)
 

@@ -9,16 +9,18 @@ fake extractor (``fake_features=True``) hashes bytes into a fixed-width
 feature vector so the Spark-side plumbing — schema, batching, partition
 flow — is real and tested end-to-end.
 
-Scale notes: media rows are large — the loader repartitions by byte
-budget, and the UDF streams record batches (mapInPandas) so no executor
-ever materializes a partition of raw media at once. Feature extraction
-is embarrassingly parallel: no shuffle at all until the (small) feature
-output is aggregated.
+Scale notes: media rows are large — ``load_media`` repartitions the scan
+to a byte budget computed from the file listing, and the UDF streams
+record batches (mapInPandas) so no executor ever materializes a
+partition of raw media at once. Feature extraction is embarrassingly
+parallel: no shuffle at all until the (small) feature output is
+aggregated.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +56,36 @@ def synth_media_table(spark: SparkSession, n: int = 100, seed: int = 42) -> Data
         ).alias("meta"),
     )
     return df
+
+
+def load_media(
+    spark: SparkSession, path: str, target_mb_per_partition: int | float = 64
+) -> DataFrame:
+    """Read a media parquet table partitioned to a BYTE budget: partition
+    count = ceil(total file bytes / budget), with total bytes taken from
+    the filesystem listing (Hadoop ``getContentSummary`` — works the same
+    on HDFS/S3A/local, no data read). Media blobs make row-count-based
+    partitioning meaningless: 10k rows can be 1 MB of thumbnails or 400 GB
+    of video, and a decode UDF needs partitions sized to executor memory,
+    not to row counts.
+
+    When the parquet scan already yields at least that many splits (the
+    scan itself splits files at ``spark.sql.files.maxPartitionBytes``),
+    the result is a narrow ``coalesce`` — no shuffle. Only when the budget
+    is SMALLER than the scan's split size (few huge row groups, small
+    executors) does it pay one shuffle to spread the blobs."""
+    if target_mb_per_partition <= 0:
+        raise ValueError("target_mb_per_partition must be positive")
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n_parts = max(1, math.ceil(total_bytes / (target_mb_per_partition * 1024**2)))
+    df = spark.read.parquet(path)
+    scan_parts = df.rdd.getNumPartitions()
+    if scan_parts >= n_parts:
+        return df.coalesce(n_parts)
+    return df.repartition(n_parts)
 
 
 def decode_image(payload: bytes):

@@ -42,6 +42,29 @@ def _collect_queries(queries: DataFrame, cols: list[str], limit: int | None = No
     return rows
 
 
+def _topk_out_schema(
+    corpus: DataFrame, queries: DataFrame, id_col: str, query_id_col: str
+) -> str:
+    """Arrow output schema for the partial-top-k kernels, with the id
+    column types DERIVED from the inputs (a hardcoded ``long`` silently
+    miscast or failed string/other id columns)."""
+    qt = queries.schema[query_id_col].dataType.simpleString()
+    ct = corpus.schema[id_col].dataType.simpleString()
+    return f"`{query_id_col}` {qt}, `neighbor_id` {ct}, `cosine` double"
+
+
+def _partial_top_idx(sims, ids, k: int):
+    """Indices of the top-k candidates with the SAME deterministic
+    tie-break as the final merge window (cosine desc, neighbor_id asc).
+    A stable argsort on -sims alone breaks exact-cosine ties by partition
+    row order, which makes the output partition-count-dependent when >k
+    rows tie (e.g. duplicate vectors)."""
+    import numpy as np
+
+    # np.lexsort: LAST key is primary → primary -sims desc, then id asc
+    return np.lexsort((ids, -sims))[:k]
+
+
 def norm_expr(col: str) -> Column:
     """L2 norm of an array column — sequential double sum (oracle-exact)."""
     v = F.col(col).cast("array<double>")
@@ -125,7 +148,7 @@ def cosine_topk_twophase(
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((qids, qmat, qnorm))
 
-    out_schema = f"{query_id_col} long, neighbor_id long, cosine double"
+    out_schema = _topk_out_schema(corpus, queries, id_col, query_id_col)
 
     def partial_topk(batches):
         qids_, qmat_, qnorm_ = bq.value
@@ -141,7 +164,7 @@ def cosine_topk_twophase(
                 cand_idx = np.nonzero(mask)[0]
                 if len(cand_idx) == 0:
                     continue
-                top = cand_idx[np.argsort(-row[cand_idx], kind="stable")[: k]]
+                top = cand_idx[_partial_top_idx(row[cand_idx], ids[cand_idx], k)]
                 outs.append(
                     pd.DataFrame(
                         {query_id_col: qid, "neighbor_id": ids[top], "cosine": row[top]}
@@ -344,7 +367,7 @@ def ivf_topk(
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((qids, qmat, qnorm, cell2q))
 
-    out_schema = f"{query_id_col} long, neighbor_id long, cosine double"
+    out_schema = _topk_out_schema(corpus, queries, id_col, query_id_col)
 
     def partial_topk(batches):
         qids_, qmat_, qnorm_, cell2q_ = bq.value
@@ -370,7 +393,7 @@ def ivf_topk(
                     cand = np.nonzero(mask)[0]
                     if len(cand) == 0:
                         continue
-                    top = cand[np.argsort(-sims[si][cand], kind="stable")[:k]]
+                    top = cand[_partial_top_idx(sims[si][cand], ids[rows][cand], k)]
                     outs.append(
                         pd.DataFrame(
                             {

@@ -175,6 +175,92 @@ def test_single_100k_turn_conversation_bucketed_equals_plain(spark):
     assert _frames_equal(plain, bucketed)
 
 
+def test_fused_hot_guard_probe_in_activity_gap(spark):
+    """ADVICE r03 (high): a probe whose ts falls in a turn-FREE fixed-width
+    time bucket of a hot conversation (an activity gap spanning several
+    buckets) must still inherit the prefix state from earlier buckets.
+    Before the carry grid densification, such a probe found no carry row
+    (the carry was grouped from observed transcript rows only) and was
+    reported as no-match with nulled features."""
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    for i in range(10):  # burst 1: minutes 0..9
+        rows.append(("hot", i, "user" if i % 2 == 0 else "assistant",
+                     f"a{i}", None, base + dt.timedelta(minutes=i)))
+    for i in range(10):  # burst 2: minutes 50..59 — 40-minute gap between
+        rows.append(("hot", 10 + i, "assistant", f"b{i}",
+                     "code" if i % 2 else None, base + dt.timedelta(minutes=50 + i)))
+    rows.append(("cold", 0, "user", "hi", None, base))
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    probes = spark.createDataFrame(
+        [
+            ("hot", base + dt.timedelta(minutes=30), "gap_probe"),
+            ("hot", base + dt.timedelta(minutes=55), "late_probe"),
+            ("cold", base + dt.timedelta(minutes=5), "cold_probe"),
+        ],
+        "conv_id string, query_ts timestamp, probe_id string",
+    )
+    # 12 buckets over a 59-minute span → ~5-minute buckets; the gap probe
+    # at minute 30 lands in a bucket (and neighborhood) with zero turns
+    plain = backfill_asof_fused(t, probes)
+    guarded = backfill_asof_fused(t, probes, hot_conv_turns=5, n_hot_buckets=12)
+    assert _frames_equal(plain, guarded)
+    r = guarded.filter(F.col("probe_id") == "gap_probe").first()
+    assert r["turns_so_far"] == 10
+    assert r["matched_ts"] == base + dt.timedelta(minutes=9)
+    # and with a tolerance that the gap violates, the probe nulls out
+    tol = backfill_asof_fused(
+        t, probes, tolerance="10 MINUTE", hot_conv_turns=5, n_hot_buckets=12
+    )
+    tol_plain = backfill_asof_fused(t, probes, tolerance="10 MINUTE")
+    assert _frames_equal(tol_plain, tol)
+    assert tol.filter(F.col("probe_id") == "gap_probe").first()["matched_ts"] is None
+
+
+def test_fused_hot_guard_auto_mode(spark):
+    """VERDICT r03 next-step #7: hot_conv_turns='auto' engages the guard
+    iff some conversation holds more than ~1/n_cores of the rows (the
+    measured crossover, BENCH.md §2c) — no hand-tuning."""
+    from kgfarm_spark.operators.backfill import _auto_hot_threshold
+
+    hot_t = gen_transcripts(spark, n_turns=20_000, n_convs=20, seed=31, skew=3.0)
+    uni_t = gen_transcripts(spark, n_turns=2_000, n_convs=100, seed=31, skew=1.0)
+    assert _auto_hot_threshold(hot_t, "conv_id") is not None
+    assert _auto_hot_threshold(uni_t, "conv_id") is None
+
+    jvm = spark._jvm
+    fmt = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    probes = gen_probes(spark, hot_t)
+    plain = backfill_asof_fused(hot_t, probes, tolerance="1 DAY")
+    auto = backfill_asof_fused(hot_t, probes, tolerance="1 DAY", hot_conv_turns="auto")
+    assert _frames_equal(plain, auto)
+    assert "__ob" in auto._jdf.queryExecution().explainString(fmt), (
+        "auto mode must engage the bucketed window on the pathological table"
+    )
+
+    up = gen_probes(spark, uni_t)
+    off = backfill_asof_fused(uni_t, up, tolerance="1 DAY", hot_conv_turns="auto")
+    assert "__ob" not in off._jdf.queryExecution().explainString(fmt), (
+        "auto mode must stay on the plain single-window plan for uniform data"
+    )
+
+
+def test_rolling_guard_rejects_bucket_not_exceeding_frame(spark):
+    """ADVICE r03 (medium): ghost rows replicate only from the immediately
+    preceding bucket, so max_turns_per_task <= n_turns would silently
+    truncate frames spanning two boundaries — must be rejected."""
+    from kgfarm_spark.operators.windows import rolling_aggregates
+
+    t = gen_transcripts(spark, n_turns=100, n_convs=2, seed=1)
+    with pytest.raises(ValueError, match="must exceed n_turns"):
+        rolling_aggregates(t, n_turns=5, max_turns_per_task=5)
+    with pytest.raises(ValueError, match="must exceed n_turns"):
+        rolling_aggregates(t, n_turns=5, max_turns_per_task=3)
+
+
 def test_fused_hot_guard_exact_ts_ties_at_bucket_boundaries(spark):
     """Adversarial ties: multiple turns share the SAME timestamp, and
     probes land at exactly those timestamps. Bucket id is a pure function

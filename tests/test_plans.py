@@ -149,6 +149,31 @@ def test_guarded_flagship_window_partitions_by_bucket(stored):
     assert "Window" in plan
 
 
+def test_sessionize_guard_no_forced_carry_broadcast(stored):
+    """VERDICT r03 'Wrong #1': the sessionize guard's carry frame has one
+    row per (conversation, bucket) for EVERY conversation — its join must
+    be left to AQE (which broadcasts only when the runtime size fits),
+    never forced with a broadcast hint (guaranteed OOM at 10^9 convs).
+    The analyzed plan is where hints live; assert none exist."""
+    from kgfarm_spark.operators.windows import sessionize
+
+    t, _ = stored
+    df = sessionize(t, gap="30 MINUTE", max_turns_per_task=100)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+    # still bucket-partitioned: the cumsum window carries __ob
+    jvm = df.sparkSession._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    specs = [
+        s
+        for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        if "turn_idx" in s and "__new_session" not in s
+    ]
+    assert any("__ob" in s for s in specs), "cumsum window must partition by (key, __ob)"
+
+
 def test_bucketed_backfill_window_partitions_by_bucket(stored):
     t, _ = stored
     df = backfill_features(t, max_turns_per_task=100)
