@@ -315,6 +315,55 @@ def run_pipeline_e2e(sf_dir: str, cpus: int) -> dict:
     }
 
 
+def run_pipeline_e2e_scale(cpus: int) -> dict:
+    """The §3.3 full-automation chain at the SCALING corpus size (VERDICT
+    r03 next-step #8): the generated multi-million-turn transcript table
+    is the feature view (numeric: turn_idx, text length; categorical:
+    role, tool), its probe frame is the entity side with a deterministic
+    binary label. Same chain as run_pipeline_e2e — enrich (as-of) →
+    clean → split → engineer_features — with per-stage wall seconds from
+    the lineage manifest."""
+    from pyspark.sql import functions as F
+
+    from kgfarm_spark.pipeline import run_auto_pipeline
+    from kgfarm_spark.session import get_spark
+    from kgfarm_spark.sources.datagen import gen_probes
+
+    ensure_scale_data()
+    spark = get_spark(
+        app_name="kgfarm_pipeline_e2e_scale",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+    )
+    t = spark.read.parquet(SCALE_DIR)
+    n = t.count()
+    view = t.select(
+        "conv_id",
+        "ts",
+        "turn_idx",
+        F.length("text").alias("text_len"),
+        "role",
+        "tool",
+    )
+    entity = gen_probes(spark, t).withColumn(
+        "label", (F.abs(F.xxhash64("probe_id")) % 2).cast("int")
+    )
+    t0 = time.monotonic()
+    tr, _te, manifest = run_auto_pipeline(
+        entity, view, target="label", on="conv_id",
+        entity_ts="query_ts", view_ts="ts", freshness_days=10000,
+    )
+    tr.write.format("noop").mode("overwrite").save()
+    total = round(time.monotonic() - t0, 3)
+    spark.stop()
+    return {
+        "turns": n,
+        "cpus": cpus,
+        "sec": total,
+        "stages": {s["stage"]: s["sec"] for s in manifest["stages"]},
+    }
+
+
 LLM_DOCS = int(os.environ.get("SPARK_GRAFT_LLM_DOCS", "5000000"))
 LLM_SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_LLM_SCALE_DOCS", "1000000"))
 LLM_VECS = int(os.environ.get("SPARK_GRAFT_LLM_VECS", "1000000"))
@@ -511,6 +560,10 @@ def main() -> None:
 
     if "--skew" in sys.argv:
         print(json.dumps(run_skew_bench()))
+        return
+
+    if "--e2e-scale" in sys.argv:
+        print(json.dumps(run_pipeline_e2e_scale(cpus)))
         return
 
     if "--llm-scale-one" in sys.argv:
