@@ -123,9 +123,14 @@ class FeatureFarm:
         transcripts: DataFrame,
         probes: DataFrame,
         tolerance: str = "1 DAY",
-        hot_conv_turns: int | None = None,
+        hot_conv_turns: int | str | None = "auto",
         n_hot_buckets: int = 32,
     ) -> DataFrame:
+        """Facade default is ``hot_conv_turns='auto'``: the measured
+        crossover rule (engage the exact bucket+carry guard iff one
+        conversation holds > ~1/n_cores of the rows) costs one cheap
+        count-aggregate and means cluster users never hand-tune the
+        straggler threshold. Pass an int to pin it, None to disable."""
         return backfill_asof_fused(
             transcripts,
             probes,

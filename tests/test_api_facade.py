@@ -85,3 +85,27 @@ def test_facade_clean_impute_and_outlier_paths(spark):
 
     out2 = {r["id"]: r["x"] for r in farm.clean(df, "Impute", numeric_cols=["x"]).collect()}
     assert out2[60] == 500.0  # no outlier handling unless asked
+
+
+def test_backfill_and_resolve_auto_default(spark):
+    """The facade's fused backfill defaults to hot_conv_turns='auto':
+    output must equal the plain fused path (guard engaged or not), and
+    uniform data must stay on the single-window plan."""
+    from kgfarm_spark.api import FeatureFarm
+    from kgfarm_spark.operators.backfill import backfill_asof_fused
+    from kgfarm_spark.sources.transcripts import probes, transcripts
+
+    farm = FeatureFarm(spark, data_dir=SF_SMOKE)
+    t = transcripts(spark, SF_SMOKE)
+    p = probes(spark, SF_SMOKE)
+
+    got = farm.backfill_and_resolve(t, p, tolerance="1 DAY")
+    want = backfill_asof_fused(t, p, tolerance="1 DAY", hot_conv_turns=None)
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    a = sorted(map(repr, got.select(*cols).collect()))
+    b = sorted(map(repr, want.select(*cols).collect()))
+    assert a == b
+    # smoke data is near-uniform per conversation: auto must stay plain
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    assert "__ob" not in got._jdf.queryExecution().explainString(fmt)
