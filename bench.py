@@ -352,6 +352,7 @@ def run_pipeline_e2e_scale(cpus: int) -> dict:
     tr, _te, manifest = run_auto_pipeline(
         entity, view, target="label", on="conv_id",
         entity_ts="query_ts", view_ts="ts", freshness_days=10000,
+        id_cols=["probe_id"],
     )
     tr.write.format("noop").mode("overwrite").save()
     total = round(time.monotonic() - t0, 3)

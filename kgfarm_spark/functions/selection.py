@@ -67,6 +67,13 @@ def pearson_corr_matrix(df: DataFrame, cols: list[str]) -> dict:
     corr = {}
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
+            # an all-null column yields null sums (Spark sum skips nulls);
+            # correlation is undefined there — report 0.0 (nothing to
+            # prune on) instead of crashing the fit
+            if None in (row[f"{a}|{b}__xy"], row[f"{a}__s"], row[f"{b}__s"],
+                        row[f"{a}__ss"], row[f"{b}__ss"]) or not n:
+                corr[(a, b)] = 0.0
+                continue
             cov = row[f"{a}|{b}__xy"] / n - (row[f"{a}__s"] / n) * (row[f"{b}__s"] / n)
             va = row[f"{a}__ss"] / n - (row[f"{a}__s"] / n) ** 2
             vb = row[f"{b}__ss"] / n - (row[f"{b}__s"] / n) ** 2

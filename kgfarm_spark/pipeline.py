@@ -40,6 +40,7 @@ from kgfarm_spark.functions.selection import (
     prune_correlated,
 )
 from kgfarm_spark.functions.transforms import (
+    ORDINAL_COLLECT_MAX,
     apply_ordinal_encoder,
     apply_standard_scaler,
     fit_ordinal_encoder,
@@ -70,12 +71,20 @@ def engineer_features(
     information_gain_thresh: float = 0.00,
     correlation_thresh: float = 0.90,
     unary_log_cols: list[str] | None = None,
+    exclude: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Returns (train, test, report). ``report`` records every decision
     (task, kept/dropped features, fitted transforms) — the engine's
-    stand-in for the reference's generated notebook (S8 lineage artifact)."""
-    numeric = [c for c, t in train.dtypes if t in _NUM_TYPES and c != target]
-    categorical = [c for c, t in train.dtypes if t == "string" and c != target]
+    stand-in for the reference's generated notebook (S8 lineage artifact).
+
+    ``exclude``: identifier columns (entity keys, probe ids) carried
+    through untouched — never scored, encoded, or scaled. An id column is
+    not a feature, and ordinal-encoding a high-cardinality key is a
+    distributed sort + join spent on noise (first measured on the 48M
+    e2e bench, where encoding conv_id/probe_id dominated the chain)."""
+    skip = {target, *(exclude or [])}
+    numeric = [c for c, t in train.dtypes if t in _NUM_TYPES and c not in skip]
+    categorical = [c for c, t in train.dtypes if t == "string" and c not in skip]
 
     task = task_type(train, target)
     df_size = _estimated_size_mb(train)
@@ -134,7 +143,13 @@ def engineer_features(
         enc = fit_ordinal_encoder(train, high_card)
         train = apply_ordinal_encoder(train, enc)
         test = apply_ordinal_encoder(test, enc)
-        fitted["ordinal"] = {c: len(m) for c, m in enc.items()}
+        # a >1000-distinct column's mapping is a DISTRIBUTED (value, code)
+        # frame — never len()-able on the driver by design; record the
+        # threshold instead of forcing a count job into the fit path
+        fitted["ordinal"] = {
+            c: (len(m) if isinstance(m, dict) else f">{ORDINAL_COLLECT_MAX} (distributed)")
+            for c, m in enc.items()
+        }
 
     if kept:
         params = fit_standard_scaler(train, kept)
@@ -170,6 +185,7 @@ def run_auto_pipeline(
     split_mod: int = 5,
     split_key: str | None = None,
     manifest_path: str | None = None,
+    id_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """The reference's full-automation path (§3.3,
     operations/pipeline_generator.py:208-221: identify → enrich → clean →
@@ -219,10 +235,14 @@ def run_auto_pipeline(
     record("split_train", train, split_mod=split_mod, split_key=key)
     record("split_test", test)
 
-    # 4. select + transform (fit on train only)
+    # 4. select + transform (fit on train only). The entity/join key,
+    # split key, and any declared id columns are identifiers, not
+    # features — they ride through for lineage/join-back but are never
+    # scored or encoded.
     drop_ts = [c for c in ("matched_ts", entity_ts) if c in train.columns]
+    ids = [c for c in {on, key, *(id_cols or [])} if c in train.columns]
     tr, te, report = engineer_features(
-        train.drop(*drop_ts), test.drop(*drop_ts), target
+        train.drop(*drop_ts), test.drop(*drop_ts), target, exclude=ids
     )
     record("engineer_features", tr, **{k: report[k] for k in ("task", "kept_numeric", "dropped_numeric")})
 

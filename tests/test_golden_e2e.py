@@ -184,3 +184,33 @@ def test_run_auto_pipeline_e2e(spark, tmp_path):
     assert sorted(tr.columns) == sorted(te.columns)
     with open(mpath) as f:
         assert json.load(f)["report"]["task"] in ("binary", "multiclass")
+
+
+def test_engineer_features_distributed_ordinal(spark):
+    """A categorical column above ORDINAL_COLLECT_MAX distinct values must
+    flow through engineer_features via the DISTRIBUTED (value, code)
+    mapping — the 48M e2e bench first hit this path (round 4): the fit
+    report tried len() on the mapping DataFrame and crashed."""
+    from pyspark.sql import functions as F
+
+    from kgfarm_spark.functions.transforms import ORDINAL_COLLECT_MAX
+    from kgfarm_spark.pipeline import engineer_features
+
+    n = ORDINAL_COLLECT_MAX * 2  # train keeps ~80% — still above the cap
+    df = (
+        spark.range(n)
+        .withColumn("hi_card", F.concat(F.lit("v"), F.col("id").cast("string")))
+        .withColumn("x", (F.col("id") % 97).cast("double"))
+        .withColumn("label", (F.col("id") % 2).cast("int"))
+        .drop("id")
+    )
+    train = df.filter(F.abs(F.xxhash64("hi_card")) % 5 != 0)
+    test = df.subtract(train)
+    tr, te, report = engineer_features(train, test, target="label")
+    assert report["fitted"]["ordinal"] == ["hi_card"]
+    # codes are dense 0..k-1 over train's sorted distinct values
+    k = train.select("hi_card").distinct().count()
+    codes = tr.select("hi_card").filter(F.col("hi_card").isNotNull())
+    mx = codes.agg(F.max("hi_card")).first()[0]
+    assert mx == k - 1
+    assert tr.schema["hi_card"].dataType.simpleString() == "bigint"
