@@ -429,20 +429,103 @@ def run_llm_dedup_one(cpus: int) -> dict:
     return {"cpus": cpus, "sec": round(dt, 3), "docs": n}
 
 
-def run_llm_scale_bench() -> dict:
-    """Throughput + scaling evidence for the LLM-data family at ≥5M docs
-    / 1M vectors (VERDICT r02 missing #2). Single measured run per row
-    (these are minutes-long jobs; the figure of merit is docs/sec order
-    of magnitude, not ±5%)."""
+def _ann_section(spark, out: dict) -> None:
+    """Vector-similarity rows of the LLM-family bench: exact two-phase
+    top-k, hyperplane-LSH (single- and 4-table), IVF — each with
+    recall@10 against the exact two-phase top-10 on a deterministic
+    200-query subsample (VERDICT r03 next-step #5). Collecting ≤2k
+    (query, neighbor) rows costs the same as the noop sink."""
     from pyspark.sql import functions as F
 
-    from kgfarm_spark.operators.dedup import simhash64
     from kgfarm_spark.operators.similarity import (
         cosine_topk_twophase,
         fit_ivf_centroids,
         ivf_topk,
         lsh_topk,
     )
+
+    emb = spark.read.parquet(VECS_DIR)
+    n_vecs = emb.count()
+    q1000 = emb.filter(F.col("vec_id") < 1000).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q200 = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.monotonic()
+    cosine_topk_twophase(emb, q1000, k=10).write.format("noop").mode("overwrite").save()
+    out["cosine_topk_twophase"] = {
+        "vecs": n_vecs, "queries": 1000, "sec": round(time.monotonic() - t0, 1)
+    }
+
+    def _topk_sets(rows):
+        s: dict = {}
+        for r in rows:
+            s.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return s
+
+    def _recall(truth: dict, got: dict) -> float:
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        total = sum(len(truth[q]) for q in truth)
+        return round(hits / total, 3)
+
+    truth = _topk_sets(cosine_topk_twophase(emb, q200, k=10).collect())
+
+    t0 = time.monotonic()
+    lsh_rows = lsh_topk(emb, q200, k=10, n_planes=10).collect()
+    out["lsh_topk"] = {
+        "vecs": n_vecs, "queries": 200, "n_planes": 10,
+        "sec": round(time.monotonic() - t0, 1),
+        "recall_at_10": _recall(truth, _topk_sets(lsh_rows)),
+    }
+    # multi-table recall amplification (L independent tables, union of
+    # candidates): the honest answer to single-table recall at 1M
+    t0 = time.monotonic()
+    lsh4_rows = lsh_topk(emb, q200, k=10, n_planes=10, n_tables=4).collect()
+    out["lsh_topk_4tables"] = {
+        "vecs": n_vecs, "queries": 200, "n_planes": 10, "n_tables": 4,
+        "sec": round(time.monotonic() - t0, 1),
+        "recall_at_10": _recall(truth, _topk_sets(lsh4_rows)),
+    }
+    t0 = time.monotonic()
+    cents = fit_ivf_centroids(emb, n_cells=256, id_col="vec_id")
+    fit_sec = round(time.monotonic() - t0, 1)
+    t0 = time.monotonic()
+    ivf_rows = ivf_topk(emb, q200, centroids=cents, k=10, nprobe=4).collect()
+    out["ivf_topk"] = {
+        "vecs": n_vecs, "queries": 200, "n_cells": 256, "nprobe": 4,
+        "fit_sec": fit_sec, "search_sec": round(time.monotonic() - t0, 1),
+        "recall_at_10": _recall(truth, _topk_sets(ivf_rows)),
+    }
+
+
+def run_ann_scale() -> dict:
+    """Re-measure ONLY the vector rows and merge them into the existing
+    BENCH_LLM.json (the dedup rows are minutes-long; this lets an ANN
+    change refresh its evidence without re-paying them)."""
+    from kgfarm_spark.session import get_spark
+
+    ensure_llm_data()
+    path = os.path.join(REPO, "BENCH_LLM.json")
+    out: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    out.setdefault("metric", "LLM-data family scale bench (local[8])")
+    spark = get_spark(app_name="kgfarm_ann", master="local[8]", shuffle_partitions=64)
+    _ann_section(spark, out)
+    spark.stop()
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
+def run_llm_scale_bench() -> dict:
+    """Throughput + scaling evidence for the LLM-data family at ≥5M docs
+    / 1M vectors (VERDICT r02 missing #2). Single measured run per row
+    (these are minutes-long jobs; the figure of merit is docs/sec order
+    of magnitude, not ±5%)."""
+    from kgfarm_spark.operators.dedup import simhash64
     from kgfarm_spark.session import get_spark
 
     ensure_llm_data()
@@ -482,54 +565,7 @@ def run_llm_scale_bench() -> dict:
         "docs": n_docs, "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt)
     }
 
-    emb = spark.read.parquet(VECS_DIR)
-    n_vecs = emb.count()
-    q1000 = emb.filter(F.col("vec_id") < 1000).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    q200 = emb.filter(F.col("vec_id") < 200).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    t0 = time.monotonic()
-    cosine_topk_twophase(emb, q1000, k=10).write.format("noop").mode("overwrite").save()
-    out["cosine_topk_twophase"] = {
-        "vecs": n_vecs, "queries": 1000, "sec": round(time.monotonic() - t0, 1)
-    }
-
-    # ANN recall AT BENCH SCALE (VERDICT r03 next-step #5): ground truth =
-    # exact two-phase top-10 for the same 200-query deterministic
-    # subsample; recall@10 sits next to each wall time. Collecting ≤2k
-    # (query, neighbor) rows costs the same as the noop sink.
-    def _topk_sets(rows):
-        s: dict = {}
-        for r in rows:
-            s.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-        return s
-
-    def _recall(truth: dict, got: dict) -> float:
-        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
-        total = sum(len(truth[q]) for q in truth)
-        return round(hits / total, 3)
-
-    truth = _topk_sets(cosine_topk_twophase(emb, q200, k=10).collect())
-
-    t0 = time.monotonic()
-    lsh_rows = lsh_topk(emb, q200, k=10, n_planes=10).collect()
-    out["lsh_topk"] = {
-        "vecs": n_vecs, "queries": 200, "n_planes": 10,
-        "sec": round(time.monotonic() - t0, 1),
-        "recall_at_10": _recall(truth, _topk_sets(lsh_rows)),
-    }
-    t0 = time.monotonic()
-    cents = fit_ivf_centroids(emb, n_cells=256, id_col="vec_id")
-    fit_sec = round(time.monotonic() - t0, 1)
-    t0 = time.monotonic()
-    ivf_rows = ivf_topk(emb, q200, centroids=cents, k=10, nprobe=4).collect()
-    out["ivf_topk"] = {
-        "vecs": n_vecs, "queries": 200, "n_cells": 256, "nprobe": 4,
-        "fit_sec": fit_sec, "search_sec": round(time.monotonic() - t0, 1),
-        "recall_at_10": _recall(truth, _topk_sets(ivf_rows)),
-    }
+    _ann_section(spark, out)
     spark.stop()
 
     # dedup pipeline 1v4 scaling pair (fresh subprocess per level)
@@ -570,6 +606,10 @@ def main() -> None:
     if "--llm-scale-one" in sys.argv:
         level = int(sys.argv[sys.argv.index("--llm-scale-one") + 1])
         print(json.dumps(run_llm_dedup_one(level)))
+        return
+
+    if "--ann-scale" in sys.argv:
+        print(json.dumps(run_ann_scale()))
         return
 
     if "--llm-scale" in sys.argv:

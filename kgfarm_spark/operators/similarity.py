@@ -465,6 +465,48 @@ def hyperplane_lsh_bucket(
     return df.withColumn("lsh_bucket", F.concat(*bits))
 
 
+def _lsh_bucket_tables(
+    df: DataFrame, vec_col: str, n_planes: int, n_tables: int, seed: int
+) -> DataFrame:
+    """One row per (input row, table) with ``lsh_bucket`` = 'tbl|bits';
+    each table draws independent hyperplanes via a per-table seed offset
+    (table 0 reproduces ``hyperplane_lsh_bucket``'s planes bit-for-bit,
+    so n_tables=1 is the single-table operator exactly). Fan-out is
+    exactly n_tables — a planned, bounded explode, not a join blow-up."""
+    d2 = df.withColumn(
+        "__tbl", F.explode(F.array(*[F.lit(t) for t in range(n_tables)]))
+    )
+    # cast to int: xxhash64 is type-sensitive, and the single-table path
+    # must hash the same IntegerType seed as hyperplane_lsh_bucket's
+    # F.lit(seed) to stay bit-identical
+    tseed = (F.col("__tbl") * F.lit(1_000_003) + F.lit(seed)).cast("int")
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, d: x
+                * (
+                    (
+                        F.pmod(F.xxhash64(F.lit(p), d, tseed), F.lit(100003)).cast(
+                            "double"
+                        )
+                        / F.lit(100003.0)
+                    )
+                    - F.lit(0.5)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, "1").otherwise("0"))
+    return d2.withColumn(
+        "lsh_bucket", F.concat(F.col("__tbl").cast("string"), F.lit("|"), *bits)
+    ).drop("__tbl")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -473,21 +515,33 @@ def lsh_topk(
     query_id_col: str = "query_id",
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 1,
 ) -> DataFrame:
     """ANN top-k: exact cosine only among bucket-sharing candidates.
-    Approximate (recall < 1); tests report recall vs cosine_topk."""
-    c = hyperplane_lsh_bucket(
+    Approximate (recall < 1); tests report recall vs cosine_topk.
+
+    ``n_tables`` > 1 amplifies recall the standard LSH way: L independent
+    hyperplane tables, candidate set = union over tables (a neighbor is
+    found if it shares a bucket in ANY table: P = 1-(1-p^planes)^L).
+    Measured at 1M vectors (BENCH_LLM.json): 10 planes single-table
+    recall@10 = 0.451; 4 tables = 0.883 at ~3.2x the wall. Cost is
+    linear in L (bounded explode on both sides), and duplicate
+    candidates are deduped BEFORE the ranking window."""
+    c = _lsh_bucket_tables(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
-        "__cv", n_planes,
+        "__cv", n_planes, n_tables, seed=42,
     ).withColumn("__cn", norm_expr("__cv"))
-    q = hyperplane_lsh_bucket(
-        queries.select(query_id_col, F.col(vec_col).alias("__qv")), "__qv", n_planes
+    q = _lsh_bucket_tables(
+        queries.select(query_id_col, F.col(vec_col).alias("__qv")),
+        "__qv", n_planes, n_tables, seed=42,
     ).withColumn("__qn", norm_expr("__qv"))
     sims = (
         q.join(c, "lsh_bucket")
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
         .withColumn("cosine", dot_expr("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
     )
+    if n_tables > 1:
+        sims = sims.dropDuplicates([query_id_col, "neighbor_id"])
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

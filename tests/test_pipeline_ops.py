@@ -146,6 +146,31 @@ class TestSimilarity:
         assert recall > 0.2  # 4 planes ≈ 1/16 bucket mass; sanity floor
         assert a  # buckets non-degenerate
 
+    def test_lsh_multi_table_amplifies_recall(self, emb):
+        """L independent tables union their candidates: recall must be
+        monotone in n_tables (P = 1-(1-p^planes)^L), and the union must
+        not produce duplicate (query, neighbor) rows or ranks."""
+        q = emb.filter(F.col("vec_id") % 10 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = cosine_topk(emb, q, k=5).collect()
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+
+        def recall(n_tables):
+            rows = lsh_topk(emb, q, k=5, n_planes=4, n_tables=n_tables).collect()
+            pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+            assert len(pairs) == len(set(pairs)), "duplicate candidates leaked"
+            per_q: dict = {}
+            for r in rows:
+                per_q.setdefault(r["query_id"], []).append(r["rank"])
+            for ranks in per_q.values():
+                assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            return len(e & set(pairs)) / len(e)
+
+        r1, r4 = recall(1), recall(4)
+        assert r4 > r1  # amplification, deterministic hashes (0.28 → 0.56)
+        assert r4 >= 0.5
+
 
 class TestMultimodal:
     def test_load_media_byte_budget(self, spark, tmp_path):
