@@ -183,6 +183,17 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash16(load_table(spark, sf, "documents"), "doc_id", "text")
 
 
+@register("simhash_neardup", None)  # rows-only: xxhash64 fingerprint is JVM-only;
+# exactness (banded == brute-force Hamming) is pinned by
+# tests/test_pipeline_ops.py::TestDedup::test_simhash_neardup_banded_equals_bruteforce
+def q_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from kgfarm_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        load_table(spark, sf, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
 @register(
     "embedding_neardup",
     """

@@ -16,7 +16,8 @@ Scale notes:
   join: candidates share a band signature; only candidates get the exact
   Jaccard verification. This is the 100 TB path (cost ≈ |D|·bands).
 - SimHash: one pass, no join for the fingerprint; near-dup via bucket
-  grouping on the fingerprint (exact-bucket) or banded bits.
+  grouping on the fingerprint (exact-bucket) or banded bits
+  (``simhash_neardup_pairs`` — pigeonhole-complete Hamming-ball search).
 """
 
 from __future__ import annotations
@@ -274,6 +275,62 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         term = bit * F.lit(1 << b).cast("long") if b < 63 else F.when(F.col(f"__s{b}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
     return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All pairs (a < b) whose 64-bit SimHash fingerprints differ in at
+    most ``max_hamming`` bits — the banded-bits near-dup path promised by
+    the module docstring.
+
+    Pigeonhole-complete candidate generation: the fingerprint splits into
+    ``max_hamming + 1`` bands, and any pair within the Hamming budget must
+    agree EXACTLY on at least one band, so a self-join on (band id, band
+    value) finds every qualifying pair — no all-pairs comparison. Each
+    band row carries the full fingerprint (one extra long), so the exact
+    Hamming verify is a bit_count(xor) on the joined row — no join back
+    to the fingerprint table. Cost ≈ |D|·(max_hamming+1) band rows
+    shuffled on a high-cardinality (band, value) key; hot buckets only
+    form when many docs share a band verbatim, i.e. they are real
+    near-dup clusters. Output: (id_a, id_b, hamming)."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    fp = simhash64(df, id_col, text_col)
+    # -1 is all-ones in two's complement: the single-band (max_hamming=0)
+    # case masks the full fingerprint, and (1<<64)-1 overflows a long
+    mask = -1 if width >= 64 else (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    rows = fp.select(id_col, "simhash", F.explode(bands).alias("__b")).select(
+        id_col, "simhash", F.col("__b.band").alias("__band"), F.col("__b.val").alias("__val")
+    )
+    a = rows.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("__fa"), "__band", "__val"
+    )
+    b_ = rows.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("__fb"), "__band", "__val"
+    )
+    return (
+        a.join(b_, ["__band", "__val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

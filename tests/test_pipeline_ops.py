@@ -71,6 +71,40 @@ class TestDedup:
         assert lsh <= exact
         assert (0, 1) in lsh
 
+    def test_simhash_neardup_banded_equals_bruteforce(self, spark):
+        """The banded candidate generation is pigeonhole-COMPLETE: for any
+        pair within the Hamming budget at least one band agrees exactly,
+        so the banded pairs must equal the all-pairs bit_count answer."""
+        from pyspark.sql import functions as F
+
+        from kgfarm_spark.operators.dedup import simhash64, simhash_neardup_pairs
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(0, base), (1, base), (2, base + " extra"), (3, base + " word salad"),
+                (4, "completely different text about spark window operators"),
+                (5, "completely different text about spark window operators"),
+                (6, "unrelated gibberish tokens zeta eta theta iota kappa")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        for mh in (0, 3):
+            got = {
+                (r["id_a"], r["id_b"], r["hamming"])
+                for r in simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=mh).collect()
+            }
+            fp = simhash64(docs, "doc_id", "text")
+            a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("fa"))
+            b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("fb"))
+            brute = {
+                (r["id_a"], r["id_b"], r["h"])
+                for r in a.crossJoin(b)
+                .filter(F.col("id_a") < F.col("id_b"))
+                .withColumn("h", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+                .filter(F.col("h") <= mh)
+                .collect()
+            }
+            assert got == brute
+        # identical docs must always pair at hamming 0
+        assert any(p[:2] == (0, 1) for p in got) or (0, 1) in {(x[0], x[1]) for x in brute}
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
