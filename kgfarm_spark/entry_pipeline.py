@@ -183,6 +183,50 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash16(load_table(spark, sf, "documents"), "doc_id", "text")
 
 
+@register(
+    "dedup_components_jaccard",
+    f"""
+WITH RECURSIVE {_DUP_CORPUS_SQL},
+{_SHINGLES_SQL},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.id_a
+  JOIN sizes sb ON sb.doc_id = inter.id_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+),
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+)
+SELECT src AS id, least(src, min(dst)) AS component
+FROM reach GROUP BY src
+""",
+)
+def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the exact-Jaccard near-dup pairs —
+    the oracle computes the same components via DuckDB's recursive
+    transitive closure (component = min reachable id)."""
+    from kgfarm_spark.operators.dedup import dedup_components
+
+    pairs = jaccard_pairs(
+        _dup_corpus(spark, sf), "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=None
+    )
+    return dedup_components(pairs)
+
+
 @register("simhash_neardup", None)  # rows-only: xxhash64 fingerprint is JVM-only;
 # exactness (banded == brute-force Hamming) is pinned by
 # tests/test_pipeline_ops.py::TestDedup::test_simhash_neardup_banded_equals_bruteforce

@@ -608,6 +608,7 @@ def q_hybrid_skew_join(spark: SparkSession, sf: str) -> DataFrame:
 # fully registered and locally hash-verified via tools/check_oracle.py.
 # ---------------------------------------------------------------------------
 _DEFERRED_PAST_DRIVER_CAP = [
+    "dedup_components_jaccard",  # round-4 addition: keep the verified 50-window stable; family covered by dedup_ngram_jaccard/dedup_minhash_lsh
     "asof_forward_latest",     # family kept: backward/nearest/interval/flagship
     "sqrt_square_transform",   # family kept: log_transform (F4-F6)
     "minmax_scale",            # family kept: standard_scale, robust_scale

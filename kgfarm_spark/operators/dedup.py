@@ -114,8 +114,86 @@ def jaccard_pairs(
 def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Drop the higher id of each near-dup pair (greedy, deterministic —
     the reference's correlation pruning uses the same keep-one-of-pair
-    shape, interface/apis.py:287-293)."""
+    shape, interface/apis.py:287-293).
+
+    Note the greedy rule can over-drop on chains (pairs (a,b) and (b,c)
+    drop BOTH b and c even when a,c are not near-dups). That matches the
+    reference's pair semantics; for cluster-correct keep-one-per-group
+    semantics use ``dedup_components`` + ``dedup_keep_component_min``."""
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over the near-dup pair graph — (id, component)
+    with component = the MINIMUM id reachable from ``id``. This is the
+    cluster-resolution step industrial dedup needs: near-dup relations
+    are not transitive pair-by-pair, but a dup CLUSTER (a-b, b-c) must
+    elect exactly one representative.
+
+    Algorithm: iterative min-label propagation over the undirected edge
+    list — each round every node adopts min(own label, neighbors'
+    labels); converged when no label changes. Each round is one join +
+    one groupBy (2 shuffles) over the EDGE list only (never the corpus),
+    and the round count is bounded by the cluster graph's diameter —
+    near-dup clusters are shallow (dozens of docs chained by shared
+    shingles), so this converges in a handful of rounds at any corpus
+    size; ``max_iter`` guards the pathological chain. Convergence is
+    checked with one count per round (driver scalar), and intermediate
+    frames are localCheckpointed to keep the plan from growing
+    exponentially across iterations."""
+    edges = pairs.select(
+        F.col("id_a").alias("__src"), F.col("id_b").alias("__dst")
+    )
+    und = edges.union(
+        edges.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+    )
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("__src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # candidate label per node: min over neighbors' current labels
+        nbr = (
+            und.join(labels.withColumnRenamed("id", "__dst"), "__dst")
+            .groupBy("__src")
+            .agg(F.min("component").alias("__nbr_min"))
+            .withColumnRenamed("__src", "id")
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_component_min(
+    df: DataFrame, pairs: DataFrame, id_col: str, max_iter: int = 20
+) -> DataFrame:
+    """Keep exactly ONE row (the minimum id) per near-dup component, and
+    every row that appears in no pair. Cluster-correct alternative to
+    ``dedup_by_pairs`` (see its over-drop note)."""
+    comp = dedup_components(pairs, max_iter=max_iter)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
     return df.join(losers, id_col, "left_anti")
 
 

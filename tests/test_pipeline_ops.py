@@ -842,3 +842,61 @@ def test_stream_stream_asof_interval_matches_batch(spark, tmp_path):
     key = lambda r: (r["probe_id"], r["matched_ts"], r["matched_turn_idx"])
     assert sorted(map(key, got.collect())) == sorted(map(key, exp.collect()))
     assert got.count() > 0
+
+
+class TestDedupComponents:
+    def _union_find(self, n_ids, edges):
+        parent = {i: i for i in n_ids}
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {i: find(i) for i in n_ids}
+
+    def test_components_equal_union_find(self, spark):
+        """Distributed min-label propagation must match a driver-side
+        union-find on a graph with chains, a star, and disjoint pairs."""
+        import random
+
+        from kgfarm_spark.operators.dedup import dedup_components
+
+        rng = random.Random(7)
+        edges = [(i, i + 1) for i in range(0, 10)]            # chain 0..10
+        edges += [(100, x) for x in (101, 102, 103, 104)]     # star
+        edges += [(200, 201), (300, 301)]                     # disjoint pairs
+        edges += [(rng.randrange(400, 430), rng.randrange(400, 430)) for _ in range(25)]
+        edges = [(a, b) if a < b else (b, a) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["id"]: r["component"] for r in dedup_components(pairs).collect()}
+        ids = {x for e in edges for x in e}
+        want = self._union_find(ids, edges)
+        assert got == want
+
+    def test_keep_component_min_vs_greedy_chain(self, spark):
+        """Chain a-b, b-c: greedy pair-drop removes b AND c; the
+        component path keeps exactly one representative per cluster and
+        leaves unpaired rows alone."""
+        from kgfarm_spark.operators.dedup import (
+            dedup_by_pairs,
+            dedup_keep_component_min,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+        greedy = {r["doc_id"] for r in dedup_by_pairs(df, pairs, "doc_id").collect()}
+        comp = {r["doc_id"] for r in dedup_keep_component_min(df, pairs, "doc_id").collect()}
+        assert greedy == {0, 3, 4, 5}
+        assert comp == {0, 3, 4, 5}  # same here: 0 is the component min
+        # but a chain where the min is in the middle differs:
+        pairs2 = spark.createDataFrame([(1, 5), (0, 5)], "id_a long, id_b long")
+        comp2 = {r["doc_id"] for r in dedup_keep_component_min(df, pairs2, "doc_id").collect()}
+        greedy2 = {r["doc_id"] for r in dedup_by_pairs(df, pairs2, "doc_id").collect()}
+        assert comp2 == {0, 2, 3, 4}  # component {0,1,5} keeps min 0
+        assert greedy2 == {0, 1, 2, 3, 4}  # greedy only drops id_b=5, keeps BOTH 0 and 1
