@@ -360,6 +360,34 @@ class TestStreaming:
         assert got["s"] == 2000
         assert got["c"] == expected_sessions
 
+    def test_stream_exact_dedup_matches_batch(self, spark, tmp_path):
+        """Streaming dropDuplicates twin: replaying a bounded corpus as a
+        stream (no watermark = exact all-time dedup) must keep exactly one
+        row per text, matching the batch exact_dedup key set."""
+        from kgfarm_spark.operators.dedup import exact_dedup
+        from kgfarm_spark.streaming.stream import stream_exact_dedup
+
+        rows = [(i, f"text {i % 7}", i) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, ord long")
+        src = str(tmp_path / "dedup_src")
+        df.write.mode("overwrite").parquet(src)
+
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        out = stream_exact_dedup(stream, ["text"], watermark=None)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select text from dedup_out").collect()
+        texts = [r["text"] for r in got]
+        assert sorted(texts) == sorted(set(texts)), "stream emitted a duplicate"
+        batch = exact_dedup(spark.read.parquet(src), on=["text"], order_col="doc_id")
+        assert set(texts) == {r["text"] for r in batch.collect()}
+
     def test_stateful_running_features_match_batch(self, spark, tmp_path):
         """applyInPandasWithState custom operator: two ordered micro-batches
         (maxFilesPerTrigger=1) must carry state across batches and reproduce
