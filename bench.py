@@ -520,6 +520,44 @@ def run_ann_scale() -> dict:
     return out
 
 
+def run_cc_scale() -> dict:
+    """Dup-cluster resolution at the 1M-doc scaling corpus: MinHash-LSH
+    pairs → dedup_components (distributed min-label propagation). Merged
+    into BENCH_LLM.json like --ann-scale."""
+    from kgfarm_spark.operators.dedup import (
+        dedup_components,
+        minhash_lsh_dedup_pairs,
+    )
+    from kgfarm_spark.session import get_spark
+
+    ensure_llm_data()
+    path = os.path.join(REPO, "BENCH_LLM.json")
+    out: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    spark = get_spark(app_name="kgfarm_cc", master="local[8]", shuffle_partitions=64)
+    docs = spark.read.parquet(DOCS_SCALE_DIR)
+    n_docs = docs.count()
+    pairs = minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.7, **LLM_LSH
+    ).localCheckpoint(eager=True)  # materialize: time CC alone, not pair gen
+    n_pairs = pairs.count()
+    t0 = time.monotonic()
+    comp = dedup_components(pairs)
+    n_nodes = comp.count()
+    n_comps = comp.select("component").distinct().count()
+    dt = time.monotonic() - t0
+    out["dedup_components"] = {
+        "docs": n_docs, "pairs": n_pairs, "paired_docs": n_nodes,
+        "components": n_comps, "sec": round(dt, 1),
+    }
+    spark.stop()
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
 def run_llm_scale_bench() -> dict:
     """Throughput + scaling evidence for the LLM-data family at ≥5M docs
     / 1M vectors (VERDICT r02 missing #2). Single measured run per row
@@ -606,6 +644,10 @@ def main() -> None:
     if "--llm-scale-one" in sys.argv:
         level = int(sys.argv[sys.argv.index("--llm-scale-one") + 1])
         print(json.dumps(run_llm_dedup_one(level)))
+        return
+
+    if "--cc-scale" in sys.argv:
+        print(json.dumps(run_cc_scale()))
         return
 
     if "--ann-scale" in sys.argv:
