@@ -181,6 +181,14 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent early stop would return WRONG components for clusters
+        # whose diameter exceeds max_iter — fail loudly instead
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the pair graph contains a "
+            "chain longer than max_iter — raise max_iter"
+        )
     return labels
 
 

@@ -905,6 +905,20 @@ class TestDedupComponents:
         want = self._union_find(ids, edges)
         assert got == want
 
+    def test_components_nonconvergence_raises(self, spark):
+        """A chain longer than max_iter must fail loudly, not return
+        partially-propagated (wrong) components."""
+        from kgfarm_spark.operators.dedup import dedup_components
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup_components(chain, max_iter=2)
+        # and converges fine when given enough rounds
+        got = {r["id"]: r["component"] for r in dedup_components(chain, max_iter=10).collect()}
+        assert set(got.values()) == {0}
+
     def test_keep_component_min_vs_greedy_chain(self, spark):
         """Chain a-b, b-c: greedy pair-drop removes b AND c; the
         component path keeps exactly one representative per cluster and
