@@ -415,3 +415,97 @@ FROM documents
 def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     out = fingerprint(load_table(spark, sf, "documents"), "text")
     return out.select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 text additions: PII redaction + Gopher-style repetition signals.
+# Registered but DEFERRED past the driver's 50-query window (see
+# entry_queries._DEFERRED_PAST_DRIVER_CAP) so the verified ordering is
+# untouched; tools/check_oracle.py hash-verifies them locally.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PII_PHONE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+@register(
+    "redact_pii",
+    f"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' reach me at user' || doc_id || '@example.com or 192.168.' ||
+         (doc_id % 256) || '.1 or +1 (555) 000-' || (1000 + doc_id % 9000) AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS text
+FROM pii
+""",
+)
+def q_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    from kgfarm_spark.operators.textstats import redact_pii
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me at user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 or +1 (555) 000-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(docs, "text")
+
+
+@register(
+    "repetition_signals",
+    r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || chr(10) || text || chr(10) || 'spam spam spam spam'
+              ELSE text END AS text
+  FROM documents
+),
+lns AS (
+  SELECT doc_id,
+         CASE WHEN len(l) > 0
+              THEN round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6)
+              ELSE 0.0 END AS dup_line_frac
+  FROM (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS l FROM base)
+),
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM base),
+bg AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+         THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])
+         ELSE [] END) AS b
+  FROM toks
+),
+cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+agg AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cnt GROUP BY 1)
+SELECT l.doc_id AS doc_id, l.dup_line_frac,
+       round(COALESCE(CAST(a.mx AS DOUBLE) / a.tot, 0.0), 6) AS top_bigram_frac
+FROM lns l LEFT JOIN agg a USING (doc_id)
+""",
+)
+def q_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    from kgfarm_spark.operators.textstats import repetition_signals
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"), F.lit("\n"), F.col("text"),
+                F.lit("\nspam spam spam spam"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return repetition_signals(docs, "doc_id", "text")

@@ -609,6 +609,8 @@ def q_hybrid_skew_join(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _DEFERRED_PAST_DRIVER_CAP = [
     "dedup_components_jaccard",  # round-4 addition: keep the verified 50-window stable; family covered by dedup_ngram_jaccard/dedup_minhash_lsh
+    "redact_pii",                # round-4 addition, same rationale; text family covered by text_quality/lang_id
+    "repetition_signals",        # round-4 addition, same rationale
     "asof_forward_latest",     # family kept: backward/nearest/interval/flagship
     "sqrt_square_transform",   # family kept: log_transform (F4-F6)
     "minmax_scale",            # family kept: standard_scale, robust_scale

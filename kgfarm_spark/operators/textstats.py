@@ -109,3 +109,79 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_replace(F.lower(F.col(text_col)), PUNCT_RE, ""), r"\s+", " "
     )
     return df.withColumn("fingerprint", F.md5(F.trim(norm).cast("binary")))
+
+
+#: PII patterns — kept in the RE2 ∩ java.util.regex common subset so the
+#: SAME strings run on Spark (Java regex) and the DuckDB oracle (RE2)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Scrub the standard pretraining-pipeline PII classes — emails,
+    IPv4 addresses, phone-like digit runs — each replaced by a typed
+    placeholder token. Pure chained regexp_replace (one codegen'd
+    projection, no Python); patterns are RE2-compatible so the DuckDB
+    oracle applies the identical strings. Order matters: emails first
+    (their domains would otherwise half-match the phone run), then IPs
+    (dotted digits would match phones), then phones."""
+    out = F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return df.withColumn(out_col or text_col, out)
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    ``dup_line_frac`` (fraction of newline-split lines that are repeats)
+    and ``top_bigram_frac`` (fraction of word-bigram occurrences taken by
+    the single most frequent bigram — boilerplate/spam marker).
+
+    Lines are a per-row array expression (no shuffle); the bigram mode
+    needs a per-(doc, bigram) count → one explode + two partial-agg
+    shuffles keyed by doc id — the standard scalable shape (never a
+    per-doc Python loop, never a driver collect)."""
+    lines = F.filter(
+        F.split(F.col("__t"), "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    dup_line_frac = F.when(
+        F.size(lines) > 0,
+        1.0 - F.size(F.array_distinct(lines)) / F.size(lines),
+    ).otherwise(0.0)
+    base = df.select(id_col, F.col(text_col).alias("__t")).withColumn(
+        "__dlf", dup_line_frac
+    )
+    toks = F.split(F.trim(F.col("__t")), r"\s+")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            "transform(sequence(0, size(__toks) - 2), "
+            "i -> concat(__toks[i], ' ', __toks[i + 1]))"
+        ),
+    ).otherwise(F.array())
+    exploded = (
+        base.withColumn("__toks", toks)
+        .withColumn("__bg", F.explode_outer(bigrams))
+        .select(id_col, "__dlf", "__bg")
+    )
+    counts = exploded.groupBy(id_col, "__dlf", "__bg").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per_doc = counts.groupBy(id_col, "__dlf").agg(
+        F.max(F.when(F.col("__bg").isNotNull(), F.col("__c")).otherwise(None)).alias("__mx"),
+        F.sum(F.when(F.col("__bg").isNotNull(), F.col("__c")).otherwise(0)).alias("__tot"),
+    )
+    return per_doc.select(
+        id_col,
+        F.round(F.col("__dlf"), 6).alias("dup_line_frac"),
+        F.round(
+            F.when(F.col("__tot") > 0, F.col("__mx") / F.col("__tot")).otherwise(0.0), 6
+        ).alias("top_bigram_frac"),
+    )

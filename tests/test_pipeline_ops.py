@@ -942,3 +942,42 @@ class TestDedupComponents:
         greedy2 = {r["doc_id"] for r in dedup_by_pairs(df, pairs2, "doc_id").collect()}
         assert comp2 == {0, 2, 3, 4}  # component {0,1,5} keeps min 0
         assert greedy2 == {0, 1, 2, 3, 4}  # greedy only drops id_b=5, keeps BOTH 0 and 1
+
+
+class TestTextAdditions:
+    def test_redact_pii(self, spark):
+        from kgfarm_spark.operators.textstats import redact_pii
+
+        rows = [
+            (0, "mail me at a.b+c@sub.example.org please"),
+            (1, "server at 10.0.255.3 responded"),
+            (2, "call +1 (555) 123-4567 now"),
+            (3, "no pii here at all"),
+            (4, "both x@y.io and 1.2.3.4 and +44 20 7946 0958"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["text"] for r in redact_pii(df, "text").collect()}
+        assert got[0] == "mail me at <EMAIL> please"
+        assert got[1] == "server at <IP> responded"
+        assert got[2] == "call <PHONE> now"
+        assert got[3] == "no pii here at all"
+        assert "<EMAIL>" in got[4] and "<IP>" in got[4] and "<PHONE>" in got[4]
+        assert "@" not in got[4]
+
+    def test_repetition_signals(self, spark):
+        from kgfarm_spark.operators.textstats import repetition_signals
+
+        rows = [
+            (0, "a b c d e"),                       # all distinct bigrams
+            (1, "spam spam spam spam spam"),        # one bigram repeated
+            (2, "line one\nline one\nline two"),    # duplicate line
+            (3, "solo"),                            # <2 tokens -> 0.0
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+        assert got[0]["top_bigram_frac"] == 0.25       # 4 distinct bigrams
+        assert got[1]["top_bigram_frac"] == 1.0        # 'spam spam' x4
+        assert got[1]["dup_line_frac"] == 0.0
+        assert abs(got[2]["dup_line_frac"] - (1 - 2 / 3)) < 1e-6
+        assert got[3]["top_bigram_frac"] == 0.0
+        assert len(got) == 4                           # no doc dropped
