@@ -325,12 +325,19 @@ def _auto_hot_threshold(
     """Decide whether the hot-conversation guard should engage, and at
     what threshold, from ONE column-pruned aggregate over the key column.
 
-    Crossover rule (measured, BENCH.md §2c): the guard pays off once a
-    single conversation holds more than ~1/n_cores of all rows — below
-    that, the plain per-key window's natural parallelism already hides
-    the straggler. Returns the engage threshold ``total_rows / n_cores``
-    when the largest key meets it, else None (guard off). The extra cost
-    is one count-shuffle whose output is |keys| rows reduced to a single
+    Crossover rule (measured, BENCH.md §2c): engage once a single
+    conversation holds more than ~1/n_cores of all rows — below that,
+    the plain per-key window's natural parallelism already hides the
+    straggler. What the rule optimizes is the STRAGGLER BOUND (max task
+    time — the cluster-scale metric: BENCH_SKEW.json records the
+    window-stage max task dropping 20.6x → 2.0x at pathological skew),
+    NOT single-box wall time: on a lightly-loaded local[N] box the
+    guard's extra bucket/carry shuffles can exceed what the straggler
+    cost on moderate skew, which is exactly why the threshold stays off
+    (returns None) until one key truly dominates a core's share.
+    Returns the engage threshold ``total_rows / n_cores`` when the
+    largest key meets it, else None (guard off). The extra cost is one
+    count-shuffle whose output is |keys| rows reduced to a single
     driver row — negligible next to the window job it protects."""
     sc = transcripts.sparkSession.sparkContext
     n_cores = max(sc.defaultParallelism, 2)
@@ -369,7 +376,12 @@ def backfill_asof_fused(
     rule (engage iff some conversation holds > ~1/n_cores of the rows —
     see ``_auto_hot_threshold``) instead of hand-tuning.
     """
-    if hot_conv_turns == "auto":
+    if isinstance(hot_conv_turns, str):
+        if hot_conv_turns != "auto":
+            raise ValueError(
+                f"hot_conv_turns must be an int, None, or 'auto'; got "
+                f"{hot_conv_turns!r}"
+            )
         hot_conv_turns = _auto_hot_threshold(transcripts, key)
     probe_cols = [c for c in probes.columns if c != key]
     u = _union_frame(transcripts, probes, key, ts, probe_ts, probe_cols)

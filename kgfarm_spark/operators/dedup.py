@@ -132,16 +132,21 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     elect exactly one representative.
 
     Algorithm: iterative min-label propagation over the undirected edge
-    list — each round every node adopts min(own label, neighbors'
-    labels); converged when no label changes. Each round is one join +
-    one groupBy (2 shuffles) over the EDGE list only (never the corpus),
-    and the round count is bounded by the cluster graph's diameter —
-    near-dup clusters are shallow (dozens of docs chained by shared
-    shingles), so this converges in a handful of rounds at any corpus
-    size; ``max_iter`` guards the pathological chain. Convergence is
-    checked with one count per round (driver scalar), and intermediate
-    frames are localCheckpointed to keep the plan from growing
-    exponentially across iterations."""
+    list, accelerated with POINTER DOUBLING — each round every node
+    first adopts min(own label, neighbors' labels), then shortcuts to
+    its label's label (component ← label(component)). The shortcut step
+    halves the remaining path length every round (the same diameter-
+    halving idea as the large-star/small-star CC algorithm, Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14), so a
+    chain of length L converges in O(log L) rounds instead of O(L):
+    a 10k-deep chain fits comfortably inside the default max_iter=20.
+    Each round is two joins + one groupBy (3 shuffles) over the EDGE
+    list / label table only (never the corpus). Convergence is checked
+    with one count per round (driver scalar), and intermediate frames
+    are localCheckpointed to keep the plan from growing exponentially
+    across iterations."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = pairs.select(
         F.col("id_a").alias("__src"), F.col("id_b").alias("__dst")
     )
@@ -162,12 +167,30 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .agg(F.min("component").alias("__nbr_min"))
             .withColumnRenamed("__src", "id")
         )
-        new_labels = (
+        after_nbr = (
             labels.join(nbr, "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("__nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            # checkpointed because BOTH sides of the shortcut join read it
+            .localCheckpoint(eager=True)
+        )
+        # pointer doubling: component ← label(component). Since labels
+        # only ever DECREASE toward the component min, label(component)
+        # <= component, so F.least is a no-op guard for the root rows
+        # (whose component may not appear as an id after the nbr step).
+        shortcut = after_nbr.select(
+            F.col("id").alias("component"), F.col("component").alias("__cc")
+        )
+        new_labels = (
+            after_nbr.join(shortcut, "component", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__cc"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
@@ -382,7 +405,20 @@ def simhash_neardup_pairs(
     to the fingerprint table. Cost ≈ |D|·(max_hamming+1) band rows
     shuffled on a high-cardinality (band, value) key; hot buckets only
     form when many docs share a band verbatim, i.e. they are real
-    near-dup clusters. Output: (id_a, id_b, hamming)."""
+    near-dup clusters. Output: (id_a, id_b, hamming).
+
+    ``max_hamming`` is capped at 15: beyond that the bands get so narrow
+    (width = 64 // (max_hamming+1) < 4 bits) that band collisions stop
+    pruning anything, and at >= 63 the width degenerates to 0 (mask 0 →
+    full cross join). The pigeonhole argument holds for non-divisor band
+    counts too — the uncovered high bits simply never relax a band
+    match (see test_simhash_nondivisor_bands parity case)."""
+    if not (0 <= max_hamming <= 15):
+        raise ValueError(
+            f"max_hamming must be in 0..15, got {max_hamming}; wider Hamming "
+            "budgets make the band width < 4 bits and the candidate join "
+            "degenerates toward a cross join"
+        )
     n_bands = max_hamming + 1
     width = 64 // n_bands
     fp = simhash64(df, id_col, text_col)

@@ -65,15 +65,25 @@ def _partial_top_idx(sims, ids, k: int):
     boundary ties, and only that tiny subset is lexsorted (id asc within
     equal cosine). A full lexsort here measured ~44x slower per batch —
     this runs once per (query, Arrow batch) in the two-phase and IVF
-    kernels, so it is the kernels' hot loop."""
+    kernels, so it is the kernels' hot loop.
+
+    NaN-safe: a zero-norm vector yields NaN cosine; with >= k NaNs in a
+    batch ``np.partition`` places NaNs last, the kth value is NaN, and
+    ``sims >= kth`` would be all-False — silently dropping every valid
+    candidate in the batch. Candidates are restricted to the finite
+    subset up front (NaN can never be a top-k neighbor)."""
     import numpy as np
 
-    n = len(sims)
+    finite = np.nonzero(np.isfinite(sims))[0]
+    n = len(finite)
+    if n == 0:
+        return finite
     if n > k:
-        kth = np.partition(sims, n - k)[n - k]
-        sel = np.nonzero(sims >= kth)[0]
+        fsims = sims[finite]
+        kth = np.partition(fsims, n - k)[n - k]
+        sel = finite[fsims >= kth]
     else:
-        sel = np.arange(n)
+        sel = finite
     # np.lexsort: LAST key is primary → primary -sims desc, then id asc
     order = np.lexsort((ids[sel], -sims[sel]))[:k]
     return sel[order]
@@ -115,7 +125,12 @@ def cosine_topk(
     k: int = 5,
 ) -> DataFrame:
     """Exact top-k neighbors per query (self-matches excluded when ids
-    collide). Deterministic tie-break: cosine desc, neighbor id asc."""
+    collide). Deterministic tie-break: cosine desc, neighbor id asc.
+
+    Zero-norm vectors are dropped BEFORE the division: under ANSI mode
+    (Spark 4 default) 0/0 throws DIVIDE_BY_ZERO, and with ANSI off the
+    NaN cosine would sort ABOVE every real neighbor. Matches the
+    finite-only selection in the partial-top-k kernels."""
     # norms are per-ROW, not per-pair: compute once on each side (cuts
     # ~2/3 of the per-pair arithmetic vs naive cosine_expr per pair;
     # arithmetic is the same sequential double sum → oracle hash unchanged)
@@ -129,6 +144,7 @@ def cosine_topk(
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .filter((F.col("__qn") > 0) & (F.col("__cn") > 0))
         .withColumn("cosine", dot_expr("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -538,6 +554,9 @@ def lsh_topk(
     sims = (
         q.join(c, "lsh_bucket")
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        # zero-norm rows out BEFORE the division: ANSI 0/0 throws, and
+        # non-ANSI NaN would sort above every real cosine
+        .filter((F.col("__qn") > 0) & (F.col("__cn") > 0))
         .withColumn("cosine", dot_expr("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
     )
     if n_tables > 1:

@@ -248,6 +248,34 @@ def test_fused_hot_guard_auto_mode(spark):
     )
 
 
+def test_fused_hot_guard_rejects_unknown_string(spark):
+    """ADVICE r04: a typo like 'Auto' used to fall through to the numeric
+    _hot_bounds path and die deep in Spark — must be an immediate
+    ValueError naming the accepted values."""
+    t = gen_transcripts(spark, n_turns=200, n_convs=5, seed=2)
+    probes = gen_probes(spark, t)
+    with pytest.raises(ValueError, match="'auto'"):
+        backfill_asof_fused(t, probes, hot_conv_turns="Auto")
+
+
+def test_auto_hot_threshold_stays_off_on_moderate_skew(spark):
+    """VERDICT r04 #6: the auto crossover optimizes the straggler bound,
+    so on MODERATE skew (largest conversation well under a core's share
+    of rows) the guard must stay off — the plain window's parallelism
+    already hides it and the guard's extra shuffles would be pure cost."""
+    from kgfarm_spark.operators.backfill import _auto_hot_threshold
+
+    mod_t = gen_transcripts(spark, n_turns=20_000, n_convs=200, seed=5, skew=1.5)
+    from pyspark.sql import functions as F
+
+    top = (
+        mod_t.groupBy("conv_id").count().agg(F.max("count")).first()[0]
+    )
+    n_cores = spark.sparkContext.defaultParallelism
+    assert top < 20_000 / n_cores, "fixture must actually be moderate-skew"
+    assert _auto_hot_threshold(mod_t, "conv_id") is None
+
+
 def test_rolling_guard_rejects_bucket_not_exceeding_frame(spark):
     """ADVICE r03 (medium): ghost rows replicate only from the immediately
     preceding bucket, so max_turns_per_task <= n_turns would silently

@@ -85,7 +85,10 @@ class TestDedup:
                 (5, "completely different text about spark window operators"),
                 (6, "unrelated gibberish tokens zeta eta theta iota kappa")]
         docs = spark.createDataFrame(rows, "doc_id long, text string")
-        for mh in (0, 3):
+        # mh=2 → 3 bands of width 21 covering 63 of 64 bits: the
+        # non-divisor case (ADVICE r04) — the uncovered high bit never
+        # RELAXES a band match, so pigeonhole completeness still holds
+        for mh in (0, 2, 3):
             got = {
                 (r["id_a"], r["id_b"], r["hamming"])
                 for r in simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=mh).collect()
@@ -143,6 +146,39 @@ class TestSimilarity:
                 .collect()
             ]
             assert got == expected, f"nondeterministic ties at {nparts} partitions"
+
+    def test_topk_zero_norm_vectors_nan_safe(self, spark):
+        """ADVICE r04: a zero-norm corpus vector yields NaN cosine; with
+        >= k NaNs in one Arrow batch np.partition put NaN at the kth slot
+        and the >= mask dropped EVERY candidate in the batch. The kernels
+        must still return the k best finite neighbors."""
+        from kgfarm_spark.operators.similarity import ivf_topk
+
+        rng = np.random.RandomState(3)
+        rows = [(i, rng.randn(8).astype("float64").tolist()) for i in range(10)]
+        # 20 zero-norm vectors — far more than k, forced into every batch
+        rows += [(100 + i, [0.0] * 8) for i in range(20)]
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = corpus.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {(r["rank"], r["neighbor_id"]) for r in cosine_topk(corpus, q, k=3).collect()}
+        for nparts in (1, 4):
+            c = corpus.repartition(nparts)
+            two = {(r["rank"], r["neighbor_id"]) for r in cosine_topk_twophase(c, q, k=3).collect()}
+            assert two == exact, f"twophase dropped finite candidates at {nparts} parts"
+            ivf = {(r["rank"], r["neighbor_id"]) for r in ivf_topk(c, q, k=3, n_cells=2, nprobe=2).collect()}
+            assert ivf == exact, f"ivf dropped finite candidates at {nparts} parts"
+
+    def test_topk_all_zero_norm_corpus_returns_empty(self, spark):
+        """If every candidate is NaN the kernel returns nothing rather
+        than NaN neighbors."""
+        rows = [(i, [0.0] * 4) for i in range(8)]
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+        )
+        assert cosine_topk_twophase(corpus, q, k=3).count() == 0
 
     def test_topk_string_ids(self, spark):
         """ADVICE r03: the partial-top-k out_schema must derive id types
@@ -914,10 +950,46 @@ class TestDedupComponents:
             [(i, i + 1) for i in range(8)], "id_a long, id_b long"
         )
         with pytest.raises(RuntimeError, match="did not converge"):
-            dedup_components(chain, max_iter=2)
+            dedup_components(chain, max_iter=1)
         # and converges fine when given enough rounds
         got = {r["id"]: r["component"] for r in dedup_components(chain, max_iter=10).collect()}
         assert set(got.values()) == {0}
+
+    def test_simhash_max_hamming_range_enforced(self, spark):
+        """ADVICE r04: max_hamming >= 64 degenerates to width-0 bands
+        (mask 0 → full cross join) — out-of-range budgets must be
+        rejected before any Spark work."""
+        from kgfarm_spark.operators.dedup import simhash_neardup_pairs
+
+        docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        for bad in (-1, 16, 64, 100):
+            with pytest.raises(ValueError, match="max_hamming"):
+                simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=bad)
+
+    def test_components_max_iter_zero_raises_valueerror(self, spark):
+        """ADVICE r04: max_iter=0 used to raise NameError from the
+        unbound 'changed' in the for-else — must be a clean ValueError."""
+        from kgfarm_spark.operators.dedup import dedup_components
+
+        pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+        with pytest.raises(ValueError, match="max_iter"):
+            dedup_components(pairs, max_iter=0)
+
+    def test_components_deep_chain_converges_via_pointer_doubling(self, spark):
+        """A 1000-deep chain must converge within the DEFAULT max_iter=20:
+        the pointer-doubling shortcut halves the remaining diameter each
+        round (O(log L) rounds), where plain min-propagation would need
+        ~1000 rounds."""
+        from kgfarm_spark.operators.dedup import dedup_components
+
+        n = 1000
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+        )
+        got = dedup_components(chain)  # default max_iter=20
+        comps = {r["component"] for r in got.collect()}
+        assert comps == {0}
+        assert got.count() == n + 1
 
     def test_keep_component_min_vs_greedy_chain(self, spark):
         """Chain a-b, b-c: greedy pair-drop removes b AND c; the
