@@ -23,6 +23,7 @@ from kgfarm_spark.operators.windows import (
     backfill_features,
 )
 from kgfarm_spark.pipeline import engineer_features, run_auto_pipeline
+from kgfarm_spark.ml import evaluate_model, train_model
 
 __all__ = [
     "get_spark",
@@ -36,6 +37,8 @@ __all__ = [
     "backfill_features",
     "engineer_features",
     "run_auto_pipeline",
+    "train_model",
+    "evaluate_model",
 ]
 
 __version__ = "0.1.0"

@@ -197,3 +197,14 @@ class FeatureFarm:
         self, train: DataFrame, test: DataFrame, target: str, **kw
     ) -> tuple[DataFrame, DataFrame, dict]:
         return _engineer(train, test, target, **kw)
+
+    # ---- model tail (reference pipeline_generator.py:152-191) -------------
+    def train_model(self, train: DataFrame, target: str, task: str, **kw):
+        from kgfarm_spark.ml import train_model as _tm
+
+        return _tm(train, target, task, **kw)
+
+    def evaluate_model(self, model, test: DataFrame, target: str, task: str) -> dict:
+        from kgfarm_spark.ml import evaluate_model as _em
+
+        return _em(model, test, target, task)

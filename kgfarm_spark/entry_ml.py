@@ -266,6 +266,59 @@ def q_engineer_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("auto_pipeline_model_eval")  # rows-only: pyspark.ml fit (non-SQL)
+def q_auto_pipeline_model_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """§3.3 tail parity (reference pipeline_generator.py:152-191): the
+    full automation chain with ``fit_model=True`` on the north-rule
+    tables — probes enriched point-in-time from the transcript view →
+    clean → deterministic split → engineer → LogisticRegression fit on
+    train → f1/accuracy on the held-out split. The label — "does this
+    conversation make another TOOL call after the probe instant?" — is a
+    genuine point-in-time prediction target: deterministic, mixed (early
+    probes mostly 1, late probes 0), and partially learnable from the
+    enriched features (turn_idx / ts at probe time), so the pinned f1
+    sits between chance and 1.0 — evidence the fit stage actually fits
+    (pinned in test_golden_e2e). Returns one row per manifest stage plus
+    one per metric — a fixed 9-row shape whose count is stable across
+    partitionings (the rows-only driver check)."""
+    from kgfarm_spark.pipeline import run_auto_pipeline
+    from kgfarm_spark.sources.transcripts import probes, transcripts
+
+    t = transcripts(spark, sf)
+    view = t.select(
+        "conv_id", "ts", "turn_idx",
+        F.length("text").alias("text_len"), "role", "tool",
+    )
+    last_tool = (
+        t.filter(F.col("tool").isNotNull())
+        .groupBy("conv_id")
+        .agg(F.max("ts").alias("__last_tool_ts"))
+    )
+    entity = (
+        probes(spark, sf)
+        .join(last_tool, "conv_id", "left")
+        .withColumn(
+            "label",
+            F.coalesce(F.col("__last_tool_ts") > F.col("query_ts"), F.lit(False)).cast("int"),
+        )
+        .drop("__last_tool_ts")
+    )
+    _, _, manifest = run_auto_pipeline(
+        entity, view, target="label", on="conv_id",
+        entity_ts="query_ts", view_ts="ts", freshness_days=10000,
+        id_cols=["probe_id"], fit_model=True,
+    )
+    rows = [
+        (s["stage"], float(s.get("rows", -1)))
+        for s in manifest["stages"]
+    ]
+    rows += [
+        (f"metric:{k}", float(v))
+        for k, v in sorted(manifest["report"]["model"]["metrics"].items())
+    ]
+    return spark.createDataFrame(rows, "stage string, value double").orderBy("stage")
+
+
 @register("pkfk_classified")  # rows-only: trained classifier head (M12)
 def q_pkfk_classified(spark: SparkSession, sf: str) -> DataFrame:
     """Join discovery gated on the TRAINED PK-FK head (reference

@@ -186,18 +186,22 @@ def run_auto_pipeline(
     split_key: str | None = None,
     manifest_path: str | None = None,
     id_cols: list[str] | None = None,
+    fit_model: bool = False,
+    model_seed: int = 0,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """The reference's full-automation path (§3.3,
     operations/pipeline_generator.py:208-221: identify → enrich → clean →
-    transform → select → split) as one lazy chain, emitting a lineage
-    manifest (stage name, params, output rows) instead of a generated
-    notebook (S8). The split is deterministic (hash of ``split_key``),
-    not randomSplit — resumable and partition-invariant.
+    transform → select → split → train → evaluate) as one lazy chain,
+    emitting a lineage manifest (stage name, params, output rows) instead
+    of a generated notebook (S8). The split is deterministic (hash of
+    ``split_key``), not randomSplit — resumable and partition-invariant.
 
-    ``train_model``/``evaluate_model`` from the reference are out of
-    engine scope (they are sklearn calls on the prepared frame); the
-    returned train/test frames are the prepared artifact.
-    """
+    ``fit_model=True`` appends the reference's ``train_model`` /
+    ``evaluate_model`` stages (pipeline_generator.py:152-191) as
+    distributed ``pyspark.ml`` fits picked by task type (ml.py) — the
+    held-out metrics land in the manifest under the ``evaluate_model``
+    stage, the engine's analog of the reference's f1 printout + model
+    pickle."""
     import json
     import time
 
@@ -245,6 +249,27 @@ def run_auto_pipeline(
         train.drop(*drop_ts), test.drop(*drop_ts), target, exclude=ids
     )
     record("engineer_features", tr, **{k: report[k] for k in ("task", "kept_numeric", "dropped_numeric")})
+
+    if fit_model:
+        from kgfarm_spark.ml import evaluate_model, train_model
+
+        t0 = time.monotonic()
+        model, minfo = train_model(
+            tr, target, task=report["task"], exclude=ids, seed=model_seed
+        )
+        stages.append(
+            {"stage": "train_model", "sec": round(time.monotonic() - t0, 3), **minfo}
+        )
+        t0 = time.monotonic()
+        metrics = evaluate_model(model, te, target, report["task"])
+        stages.append(
+            {
+                "stage": "evaluate_model",
+                "sec": round(time.monotonic() - t0, 3),
+                "metrics": metrics,
+            }
+        )
+        report["model"] = {**minfo, "metrics": metrics}
 
     manifest = {"stages": stages, "report": report}
     if manifest_path:

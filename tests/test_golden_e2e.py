@@ -186,6 +186,60 @@ def test_run_auto_pipeline_e2e(spark, tmp_path):
         assert json.load(f)["report"]["task"] in ("binary", "multiclass")
 
 
+def test_auto_pipeline_model_eval_pinned_metrics(spark):
+    """§3.3 train/evaluate tail (VERDICT r04 #3, reference
+    pipeline_generator.py:152-191): the full chain with fit_model=True
+    must produce the train_model + evaluate_model manifest stages, and
+    the held-out metrics must be DETERMINISTIC — pinned values, measured
+    identical to 6 dp at local[4] and local[8] (alphabetical label
+    indexing + hash split + fixed-depth objective aggregation)."""
+    from kgfarm_spark.entry_queries import QUERIES
+    import kgfarm_spark.entry_ml  # noqa: F401 — registers the query
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r["stage"]: r["value"]
+        for r in QUERIES["auto_pipeline_model_eval"](spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {
+        "enrich", "clean", "split_train", "split_test", "engineer_features",
+        "train_model", "evaluate_model", "metric:f1", "metric:accuracy",
+    }
+    assert rows["split_train"] + rows["split_test"] == rows["enrich"]
+    # pinned deterministic metrics (sf0.001 fixture; tolerance covers
+    # float-sum order drift on other core counts, not semantic change)
+    assert rows["metric:f1"] == pytest.approx(0.925751, abs=1e-3)
+    assert rows["metric:accuracy"] == pytest.approx(0.903226, abs=1e-3)
+    # strictly above chance and below perfect: the fit actually learned
+    # the point-in-time signal, and the label is not degenerate
+    assert 0.6 < rows["metric:f1"] < 0.99
+
+
+def test_train_model_regression_and_all_null_guard(spark):
+    """train_model picks LinearRegression (exact normal-equations solver)
+    for regression tasks, and drops an entirely-null feature column
+    instead of letting handleInvalid='skip' silently empty the frame."""
+    from kgfarm_spark.ml import evaluate_model, train_model
+
+    df = (
+        spark.range(400)
+        .withColumn("x1", (F.col("id") % 37).cast("double"))
+        .withColumn("x2", (F.col("id") % 11).cast("double"))
+        .withColumn("dead", F.lit(None).cast("double"))
+        .withColumn("y", F.col("x1") * 2.0 + F.col("x2") * -1.5 + F.lit(3.0))
+        .drop("id")
+    )
+    model, info = train_model(df, "y", task="regression", reg_param=0.0)
+    assert info["algorithm"] == "linear_regression"
+    assert info["dropped_all_null"] == ["dead"]
+    metrics = evaluate_model(model, df, "y", "regression")
+    assert metrics["r2"] == pytest.approx(1.0, abs=1e-6)  # exact linear fit
+    assert metrics["rmse"] == pytest.approx(0.0, abs=1e-3)
+
+    with pytest.raises(ValueError, match="unsupported task"):
+        train_model(df, "y", task="clustering")
+
+
 def test_engineer_features_distributed_ordinal(spark):
     """A categorical column above ORDINAL_COLLECT_MAX distinct values must
     flow through engineer_features via the DISTRIBUTED (value, code)
