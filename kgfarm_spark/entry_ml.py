@@ -214,22 +214,34 @@ def q_quantile_transform_apply(spark: SparkSession, sf: str) -> DataFrame:
 @register("multimodal_features")  # rows-only: binary-payload UDF plumbing
 def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     """Opaque-binary media columns → Arrow-batched feature extraction +
-    JVM-side frame sampling (decode stubbed per task brief — the media
-    libs aren't in this container; schema/partitioning/UDF plumbing is
-    real). Deterministic synth table, independent of sf."""
+    JVM-side frame sampling. Since round 5 the image half runs the REAL
+    pure-numpy BMP decode → stat-feature kernel (multimodal.py:
+    decode_image_numpy); the audio/video half keeps the deterministic
+    hash extractor (those codecs genuinely need external libraries).
+    Deterministic synth tables, independent of sf."""
     from kgfarm_spark.operators.multimodal import (
         extract_features,
         sample_frames,
+        synth_bmp_media_table,
         synth_media_table,
     )
 
-    media = synth_media_table(spark, n=200, seed=42)
-    feats = extract_features(media).select(
-        "media_id",
-        "kind",
-        "n_bytes",
-        F.round(F.col("features")[0], 6).alias("f0"),
-        F.size("features").alias("dim"),
+    media = synth_media_table(spark, n=150, seed=42)
+    bmp = synth_bmp_media_table(spark, n=50, seed=42)
+    feats = (
+        extract_features(media)
+        .unionByName(
+            extract_features(bmp, fake_features=False).withColumn(
+                "media_id", F.col("media_id") + 1000
+            )
+        )
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.round(F.col("features")[0], 6).alias("f0"),
+            F.size("features").alias("dim"),
+        )
     )
     frames = (
         sample_frames(media, every_nth=25)
