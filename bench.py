@@ -47,6 +47,9 @@ SCALE_DIR = os.path.join(REPO, ".bench", f"transcripts_{SCALE_TURNS}")
 SKEW_TURNS = int(os.environ.get("SPARK_GRAFT_SKEW_TURNS", "8000000"))
 SKEW_DIR = os.path.join(REPO, ".bench", f"transcripts_skew_{SKEW_TURNS}")
 
+STREAM_TURNS = int(os.environ.get("SPARK_GRAFT_STREAM_TURNS", "8000000"))
+STREAM_DIR = os.path.join(REPO, ".bench", f"stream_{STREAM_TURNS}")
+
 
 def run_once(sf_dir: str, cpus: int, names: list[str], n_runs: int = 3) -> dict:
     """Per-query MIN over ``n_runs`` measured runs (VERDICT r02 next-step
@@ -629,6 +632,144 @@ def run_llm_scale_bench() -> dict:
     return out
 
 
+def ensure_stream_data() -> None:
+    """8M-turn transcripts written as FOUR time-range chunks with distinct
+    mod times (the file source orders batches by modification time), so
+    `maxFilesPerTrigger` replays them as in-event-time-order micro-batches
+    — the arrival contract stream_running_features documents. Probes
+    derive from the same table (one file, single batch)."""
+    import time as _t
+
+    if os.path.exists(os.path.join(STREAM_DIR, "probes", "_SUCCESS")):
+        return
+    from pyspark.sql import functions as F
+
+    from kgfarm_spark.session import get_spark
+    from kgfarm_spark.sources.datagen import gen_probes, gen_transcripts
+
+    spark = get_spark(app_name="kgfarm_stream_gen", master="local[32]")
+    t = gen_transcripts(
+        spark, n_turns=STREAM_TURNS, n_convs=STREAM_TURNS // 400
+    ).localCheckpoint(eager=True)
+    lo, hi = t.agg(F.min("ts"), F.max("ts")).first()
+    tdir = os.path.join(STREAM_DIR, "transcripts")
+    n_chunks = 4
+    span = (hi - lo) / n_chunks
+    for i in range(n_chunks):
+        a = lo + span * i
+        b = hi if i == n_chunks - 1 else lo + span * (i + 1)
+        cond = (F.col("ts") >= F.lit(a)) & (
+            F.col("ts") <= F.lit(b) if i == n_chunks - 1 else F.col("ts") < F.lit(b)
+        )
+        t.filter(cond).coalesce(8).write.mode("append").parquet(tdir)
+        _t.sleep(1.2)  # distinct mod-time per chunk → stable batch order
+    gen_probes(spark, t).coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(STREAM_DIR, "probes")
+    )
+    spark.stop()
+
+
+def run_stream_scale(cpus: int = 8) -> dict:
+    """Streaming bench evidence (VERDICT r04 #9): throughput + state-store
+    size for the two flagship streaming operators at STREAM_TURNS turns,
+    metrics from the StreamingQueryProgress feed.
+
+    - `stream_running_features` (applyInPandasWithState): 4 in-order
+      micro-batches (maxFilesPerTrigger=8 over 8-file chunks), state =
+      one counter triple per conversation.
+    - `stream_stream_asof_interval`: both sides streamed availableNow;
+      join state is watermark+tolerance-bounded per the operator's
+      contract."""
+    import shutil
+    import uuid
+
+    from kgfarm_spark.session import get_spark
+    from kgfarm_spark.streaming.stream import (
+        stream_running_features,
+        stream_stream_asof_interval,
+    )
+
+    ensure_stream_data()
+    spark = get_spark(
+        app_name="kgfarm_stream_scale", master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    tdir = os.path.join(STREAM_DIR, "transcripts")
+    pdir = os.path.join(STREAM_DIR, "probes")
+    tschema = spark.read.parquet(tdir).schema
+    pschema = spark.read.parquet(pdir).schema
+    n_turns = spark.read.parquet(tdir).count()
+    n_probes = spark.read.parquet(pdir).count()
+
+    def drive(out_stream, ckpt: str) -> tuple[float, list]:
+        t0 = time.monotonic()
+        q = (
+            out_stream.writeStream.format("noop")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        wall = round(time.monotonic() - t0, 3)
+        return wall, list(q.recentProgress)
+
+    def state_summary(progress: list) -> dict:
+        batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+        last_state = next(
+            (p["stateOperators"][0] for p in reversed(progress) if p.get("stateOperators")),
+            {},
+        )
+        return {
+            "n_batches": len(batches),
+            "input_rows": sum(p["numInputRows"] for p in batches),
+            "output_rows": sum(
+                (p.get("sink") or {}).get("numOutputRows", 0) for p in batches
+            ),
+            "state_rows": last_state.get("numRowsTotal"),
+            "state_memory_mb": round(
+                (last_state.get("memoryUsedBytes") or 0) / 1024**2, 1
+            ),
+        }
+
+    out: dict = {"turns": n_turns, "probes": n_probes, "cpus": cpus}
+
+    base = os.path.join(REPO, ".bench", f"stream_ckpt_{uuid.uuid4().hex[:8]}")
+    try:
+        stream = (
+            spark.readStream.schema(tschema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(tdir)
+        )
+        wall, prog = drive(
+            stream_running_features(stream, watermark="0 seconds"),
+            os.path.join(base, "run_feat"),
+        )
+        out["stream_running_features"] = {
+            "sec": wall,
+            "turns_per_sec": round(n_turns / wall, 1),
+            **state_summary(prog),
+        }
+
+        p_stream = spark.readStream.schema(pschema).parquet(pdir)
+        t_stream = spark.readStream.schema(tschema).parquet(tdir)
+        wall, prog = drive(
+            stream_stream_asof_interval(
+                p_stream, t_stream, tolerance="4 hours", watermark="1 hour"
+            ),
+            os.path.join(base, "ss_asof"),
+        )
+        out["stream_stream_asof_interval"] = {
+            "sec": wall,
+            "rows_per_sec": round((n_turns + n_probes) / wall, 1),
+            **state_summary(prog),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -639,6 +780,10 @@ def main() -> None:
 
     if "--e2e-scale" in sys.argv:
         print(json.dumps(run_pipeline_e2e_scale(cpus)))
+        return
+
+    if "--stream-scale" in sys.argv:
+        print(json.dumps(run_stream_scale(min(cpus, 8))))
         return
 
     if "--llm-scale-one" in sys.argv:

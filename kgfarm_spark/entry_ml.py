@@ -251,11 +251,51 @@ def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     return feats.join(frames, "media_id", "left").orderBy("media_id")
 
 
-@register("engineer_features_e2e")  # rows-only: multi-stage orchestration
+_E2E_ORACLE = """
+WITH frame AS (
+  SELECT o.o_orderkey, o.o_totalprice, c.c_acctbal, o.o_orderstatus,
+         o.o_orderpriority, c.c_mktsegment
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+train AS (SELECT * FROM frame WHERE o_orderkey % 2 = 1),
+test  AS (SELECT * FROM frame WHERE o_orderkey % 2 = 0),
+fit AS (
+  SELECT avg(o_orderkey)         AS mk, stddev_pop(o_orderkey)   AS sk,
+         avg(o_totalprice)       AS mp, stddev_pop(o_totalprice) AS sp,
+         avg(c_acctbal)          AS mb, stddev_pop(c_acctbal)    AS sb
+  FROM train
+)
+SELECT round((t.o_orderkey  - f.mk) / f.sk, 4) AS o_orderkey,
+       round((t.o_totalprice - f.mp) / f.sp, 4) AS o_totalprice,
+       round((t.c_acctbal   - f.mb) / f.sb, 4) AS c_acctbal,
+       t.o_orderstatus,
+       (t.o_orderpriority = '1-URGENT')::INTEGER        AS "o_orderpriority_1-URGENT",
+       (t.o_orderpriority = '2-HIGH')::INTEGER          AS "o_orderpriority_2-HIGH",
+       (t.o_orderpriority = '3-MEDIUM')::INTEGER        AS "o_orderpriority_3-MEDIUM",
+       (t.o_orderpriority = '4-NOT SPECIFIED')::INTEGER AS "o_orderpriority_4-NOT SPECIFIED",
+       (t.o_orderpriority = '5-LOW')::INTEGER           AS "o_orderpriority_5-LOW",
+       (t.c_mktsegment = 'AUTOMOBILE')::INTEGER AS "c_mktsegment_AUTOMOBILE",
+       (t.c_mktsegment = 'BUILDING')::INTEGER   AS "c_mktsegment_BUILDING",
+       (t.c_mktsegment = 'FURNITURE')::INTEGER  AS "c_mktsegment_FURNITURE",
+       (t.c_mktsegment = 'HOUSEHOLD')::INTEGER  AS "c_mktsegment_HOUSEHOLD",
+       (t.c_mktsegment = 'MACHINERY')::INTEGER  AS "c_mktsegment_MACHINERY"
+FROM test t, fit f
+"""
+
+
+@register("engineer_features_e2e", _E2E_ORACLE)
 def q_engineer_features(spark: SparkSession, sf: str) -> DataFrame:
     """Full §3.1 lifecycle on (orders ⋈ customer): importance → corr-prune
     → OHE/ordinal → standard-scale, fit on 'train' (odd keys), applied to
-    'test' (even keys); returns the transformed test frame."""
+    'test' (even keys); returns the transformed test frame.
+
+    Oracled since round 5 (VERDICT r04 #8): the SQL twin replays the
+    chain's PINNED decisions on this data — all three numerics survive
+    both pruning stages, both categoricals pass the ≤5-distinct OHE gate
+    with the full TPC-H vocabularies in train — and recomputes the
+    train-fitted population-std scaling + one-hot columns exactly. The
+    engine's decision MAKING stays covered by pytest (golden e2e,
+    pipeline tests); this oracle hash-checks the decisions' arithmetic."""
     orders = load_table(spark, sf, "orders")
     cust = load_table(spark, sf, "customer")
     frame = orders.join(
@@ -268,12 +308,10 @@ def q_engineer_features(spark: SparkSession, sf: str) -> DataFrame:
     train = frame.filter(F.col("o_orderkey") % 2 == 1)
     test = frame.filter(F.col("o_orderkey") % 2 == 0)
     _, test_out, _ = engineer_features(train, test, target="o_orderstatus")
-    cols = [c for c in test_out.columns if c != "o_orderkey"]
     return test_out.select(
-        "o_orderkey",
         *[
             F.round(F.col(c), 4).alias(c) if dict(test_out.dtypes)[c] == "double" else F.col(c)
-            for c in cols
+            for c in test_out.columns
         ],
     )
 
