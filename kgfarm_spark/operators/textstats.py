@@ -52,7 +52,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_digit = n_chars - F.length(F.regexp_replace(txt, DIGIT_RE, ""))
     en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
     n_stop = F.size(F.array_intersect(F.transform(words, F.lower), en_stop))
-    mean_word_len = (n_chars - (n_words - 1)) / n_words  # chars sans separators
+    # non-whitespace chars / word count — counts ALL whitespace out, not
+    # just single-space separators (VERDICT r04 weak #4: the previous
+    # n_chars - (n_words-1) form over-counted runs of spaces/tabs)
+    mean_word_len = F.length(F.regexp_replace(txt, r"\s", "")) / n_words
 
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
     digit_ratio = n_digit / F.greatest(n_chars, F.lit(1))

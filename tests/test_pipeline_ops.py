@@ -1081,6 +1081,23 @@ class TestDedupComponents:
 
 
 class TestTextAdditions:
+    def test_mean_word_len_ignores_repeated_whitespace(self, spark):
+        """VERDICT r04 weak #4: runs of spaces/tabs must not inflate the
+        mean word length — 'ab   cd' (3 separators) and 'ab cd' must both
+        measure 2.0 chars/word, so their word_len_ok gates agree."""
+        from kgfarm_spark.operators.textstats import quality_features
+
+        rows = [
+            (0, "abcd efgh"),            # single spaces: 4.0
+            (1, "abcd    efgh"),         # run of spaces: still 4.0
+            (2, "abcd\t\t efgh"),        # tabs+space mix: still 4.0
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["quality_score"] for r in quality_features(df, "text").collect()}
+        # identical word-length signal → identical composite score except
+        # the punct/digit ratios (none here) — scores must all be equal
+        assert got[0] == got[1] == got[2]
+
     def test_redact_pii(self, spark):
         from kgfarm_spark.operators.textstats import redact_pii
 
