@@ -318,7 +318,7 @@ def run_pipeline_e2e(sf_dir: str, cpus: int) -> dict:
     }
 
 
-def run_pipeline_e2e_scale(cpus: int) -> dict:
+def run_pipeline_e2e_scale(cpus: int, fit_model: bool = False) -> dict:
     """The §3.3 full-automation chain at the SCALING corpus size (VERDICT
     r03 next-step #8): the generated multi-million-turn transcript table
     is the feature view (numeric: turn_idx, text length; categorical:
@@ -348,24 +348,46 @@ def run_pipeline_e2e_scale(cpus: int) -> dict:
         "role",
         "tool",
     )
-    entity = gen_probes(spark, t).withColumn(
-        "label", (F.abs(F.xxhash64("probe_id")) % 2).cast("int")
-    )
+    # with fit_model the label must be LEARNABLE, not hash noise, for the
+    # evaluation leg to say anything: same future-tool-call target as the
+    # driver query (entry_ml.q_auto_pipeline_model_eval)
+    probes = gen_probes(spark, t)
+    if fit_model:
+        last_tool = (
+            t.filter(F.col("tool").isNotNull())
+            .groupBy("conv_id")
+            .agg(F.max("ts").alias("__ltt"))
+        )
+        entity = (
+            probes.join(last_tool, "conv_id", "left")
+            .withColumn(
+                "label",
+                F.coalesce(F.col("__ltt") > F.col("query_ts"), F.lit(False)).cast("int"),
+            )
+            .drop("__ltt")
+        )
+    else:
+        entity = probes.withColumn(
+            "label", (F.abs(F.xxhash64("probe_id")) % 2).cast("int")
+        )
     t0 = time.monotonic()
     tr, _te, manifest = run_auto_pipeline(
         entity, view, target="label", on="conv_id",
         entity_ts="query_ts", view_ts="ts", freshness_days=10000,
-        id_cols=["probe_id"],
+        id_cols=["probe_id"], fit_model=fit_model,
     )
     tr.write.format("noop").mode("overwrite").save()
     total = round(time.monotonic() - t0, 3)
     spark.stop()
-    return {
+    out = {
         "turns": n,
         "cpus": cpus,
         "sec": total,
         "stages": {s["stage"]: s["sec"] for s in manifest["stages"]},
     }
+    if fit_model:
+        out["model"] = manifest["report"]["model"]
+    return out
 
 
 LLM_DOCS = int(os.environ.get("SPARK_GRAFT_LLM_DOCS", "5000000"))
@@ -780,6 +802,10 @@ def main() -> None:
 
     if "--e2e-scale" in sys.argv:
         print(json.dumps(run_pipeline_e2e_scale(cpus)))
+        return
+
+    if "--e2e-model-scale" in sys.argv:
+        print(json.dumps(run_pipeline_e2e_scale(cpus, fit_model=True)))
         return
 
     if "--stream-scale" in sys.argv:
