@@ -510,3 +510,156 @@ def q_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return repetition_signals(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# round 5: exact duplicate-span census (Lee et al. 2021), C4-style
+# corpus-wide line dedup (Raffel et al. 2020 §2.2), Gopher quality gate
+# (Rae et al. 2021 Table A1) — the remaining canonical pretraining-corpus
+# operators. Each wrapper injects deterministic boilerplate so the
+# operator has guaranteed positives at every scale factor; the oracle
+# applies the identical injection in SQL.
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE = "subscribe to our newsletter for weekly updates and offers"
+
+
+@register(
+    "duplicate_ngram_spans",
+    rf"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' {_BOILERPLATE}'
+              ELSE text END AS text
+  FROM documents
+),
+w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM base),
+sp AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 5
+                THEN list_transform(generate_series(1, len(w) - 4),
+                                    i -> array_to_string(w[i:i+4], ' '))
+                ELSE [] END) AS s
+  FROM w
+),
+census AS (SELECT s, count(DISTINCT doc_id) AS d FROM sp GROUP BY 1),
+per AS (
+  SELECT sp.doc_id,
+         count(*) AS n_spans,
+         CAST(sum(CASE WHEN c.d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+  FROM sp JOIN census c USING (s)
+  GROUP BY 1
+)
+SELECT w.doc_id AS doc_id,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.dup_spans, 0) AS dup_spans,
+       COALESCE(CAST(p.dup_spans AS DOUBLE) / p.n_spans, 0.0) AS dup_span_frac
+FROM w LEFT JOIN per p USING (doc_id)
+""",
+)
+def q_duplicate_ngram_spans(spark: SparkSession, sf: str) -> DataFrame:
+    from kgfarm_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BOILERPLATE)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return duplicate_ngram_spans(docs, "doc_id", "text", n=5, min_docs=2)
+
+
+@register(
+    "dedup_lines_corpus",
+    rf"""
+WITH base AS (
+  SELECT doc_id,
+         'doc ' || CAST(doc_id % 7 AS VARCHAR) || ' header' || chr(10)
+         || text || chr(10) || '{_BOILERPLATE}' AS text
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, s['idx'] AS idx, s['l'] AS l
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ls)),
+                                 i -> {{'idx': i - 1, 'l': ls[i]}})) AS s
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM base)
+  )
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY l ORDER BY doc_id, idx) AS rn
+  FROM flat
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN l END, chr(10) ORDER BY idx), '') AS text,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept
+FROM win
+GROUP BY doc_id
+""",
+)
+def q_dedup_lines_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    from kgfarm_spark.operators.dedup import dedup_lines_corpus
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("doc "), (F.col("doc_id") % 7).cast("string"), F.lit(" header\n"),
+            F.col("text"),
+            F.lit("\n" + _BOILERPLATE),
+        ).alias("text"),
+    )
+    return dedup_lines_corpus(docs, "doc_id", "text")
+
+
+def _quality_gate_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' 1234567890 !!!,,,???'
+              ELSE text END AS text
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_words,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         len(list_intersect(
+             list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)),
+             [{stops}])) AS stop_hits,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+             / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mean_wl
+  FROM base
+)
+SELECT doc_id,
+       (n_words >= 10 AND n_words <= 100000) AS words_ok,
+       (mean_wl >= 3.0 AND mean_wl <= 12.0) AS word_len_ok,
+       (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) <= 0.10) AS punct_ok,
+       (CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) <= 0.20) AS digit_ok,
+       (stop_hits >= 2) AS stopword_ok,
+       ((n_words >= 10 AND n_words <= 100000)
+        AND (mean_wl >= 3.0 AND mean_wl <= 12.0)
+        AND (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) <= 0.10)
+        AND (CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) <= 0.20)
+        AND (stop_hits >= 2)) AS keep
+FROM f
+"""
+
+
+@register("quality_gate", _quality_gate_oracle())
+def q_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+    from kgfarm_spark.operators.textstats import quality_gate
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" 1234567890 !!!,,,???")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return quality_gate(docs, "doc_id", "text")

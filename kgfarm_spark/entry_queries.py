@@ -609,9 +609,17 @@ def q_hybrid_skew_join(spark: SparkSession, sf: str) -> DataFrame:
 # tools/check_oracle.py (the judge re-ran all of them PASS in r04).
 #
 # Rotation history: r01-r03 window = the original 50; r04 swapped in the
-# hot-safe/skew/apply families; r05 swaps in the 13 + e2e below.
+# hot-safe/skew/apply families; r05 swaps in the 13 + e2e below, then the
+# 3 late-r05 corpus-dedup additions (duplicate_ngram_spans,
+# dedup_lines_corpus, quality_gate) displace 3 r04-driver-green hot-safe
+# variants whose exact-equality-vs-plain-twin property is ALSO
+# pytest-enforced (test_hot_safe parity tests), so their deferral loses
+# the least independent signal.
 # ---------------------------------------------------------------------------
 _DEFERRED_PAST_DRIVER_CAP = [
+    "lag_lead_hot_safe",        # r04 driver-green; == lag_lead oracle, pytest parity vs plain twin
+    "role_transitions_hot_safe",# r04 driver-green; == role_transitions oracle, pytest parity
+    "hybrid_skew_join_enrich",  # r04 driver-green; family kept: salted_agg_per_conv in-window
     "log_transform",        # family kept: sqrt_square_transform (F4-F6)
     "standard_scale",       # family kept: minmax_scale, robust_scale
     "fill_mean",            # family kept: fill_median_mode, knn_impute_1d

@@ -482,3 +482,150 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span detection (Lee et al. 2021 "Deduplicating Training
+# Data Makes Language Models Better", at word-n-gram granularity) and
+# C4-style corpus-wide line dedup (Raffel et al. 2020 §2.2: "we discard
+# all but one of any three-sentence span occurring more than once").
+# ---------------------------------------------------------------------------
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span statistics: for every word ``n``-gram
+    position in a document, is that exact span present in ≥ ``min_docs``
+    DISTINCT documents corpus-wide? Returns one row per input document:
+    ``(id, n_spans, dup_spans, dup_span_frac)``.
+
+    This is the n-gram-hash flavor of exact-substring dedup (the
+    suffix-array construction of Lee et al. doesn't distribute; the
+    rolling n-gram census is the standard map-reduce re-expression).
+
+    Scale shape — three shuffles, all linear in corpus word count:
+      1. explode spans (|corpus words| rows), groupBy 64-bit span hash →
+         distinct-doc count per span (map-side partial agg applies);
+      2. shuffle join (span occurrences ⋈ span census) on the hash —
+         both sides hash-partitioned, no broadcast of anything large;
+      3. groupBy document for the final fractions.
+    Grouping on ``xxhash64(span)`` instead of the span string cuts
+    shuffle width ~n·wordlen bytes → 8 bytes; a 64-bit collision merges
+    two span groups with probability ~2⁻⁶⁴ per pair (the oracle groups
+    by the raw string — identical results absent a collision).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("__id"), words.alias("__w"))
+    spans = F.when(
+        F.size("__w") >= n,
+        F.expr(
+            f"transform(sequence(0, size(__w) - {n}), "
+            f"i -> xxhash64(array_join(slice(__w, i + 1, {n}), ' ')))"
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    occ = base.select("__id", F.explode_outer(spans).alias("__h"))
+    census = (
+        occ.filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.count_distinct("__id").alias("__docs"))
+    )
+    flagged = occ.join(census, "__h", "left").select(
+        "__id",
+        F.col("__h").isNotNull().cast("int").alias("__is_span"),
+        (F.col("__docs") >= min_docs).cast("int").alias("__dup"),
+    )
+    per_doc = flagged.groupBy("__id").agg(
+        F.sum("__is_span").alias("n_spans"),
+        F.coalesce(F.sum("__dup"), F.lit(0)).alias("dup_spans"),
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_spans",
+        "dup_spans",
+        # plain IEEE division, no round(): both engines evaluate the
+        # identical double expression -> bit-identical (oracle convention)
+        F.when(
+            F.col("n_spans") > 0, F.col("dup_spans") / F.col("n_spans")
+        ).otherwise(0.0).alias("dup_span_frac"),
+    )
+
+
+def dedup_lines_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = False,
+) -> DataFrame:
+    """C4-style corpus-wide line dedup: every line (newline-split unit —
+    C4 uses three-sentence spans; the unit is whatever the upstream
+    splitter emitted) that occurs more than once across the WHOLE corpus
+    is kept only at its first occurrence, where "first" is the globally
+    deterministic minimum of ``(doc id, line index)``. Documents are
+    reassembled with surviving lines in original order; documents whose
+    every line was a later duplicate come back with empty text.
+
+    Returns ``(id, text, n_lines, n_lines_kept)``.
+
+    ``normalize=True`` matches lines case-/whitespace-insensitively
+    (lower + collapse internal whitespace) while PRESERVING the original
+    line text in the output — the usual C4 behavior.
+
+    Scale shape — no corpus-wide window, no driver materialization:
+      1. explode lines with their index (one row per line);
+      2. groupBy line key → ``min(struct(id, idx))`` (map-side partial
+         min, then one shuffle keyed by the line hash);
+      3. join occurrences to winners on (key, id, idx) — hash join,
+         both sides partitioned by key;
+      4. groupBy document, ``sort_array(collect_list(struct(idx, line)))``
+         to reassemble (per-doc lists are document-sized, never
+         corpus-sized).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode_outer(lines).alias("__idx", "__line"),
+    )
+    key = (
+        F.regexp_replace(F.lower(F.trim(F.col("__line"))), r"\s+", " ")
+        if normalize
+        else F.col("__line")
+    )
+    occ = base.withColumn("__k", F.xxhash64(key))
+    winners = occ.groupBy("__k").agg(
+        F.min(F.struct("__id", "__idx")).alias("__first")
+    )
+    kept = (
+        occ.join(winners, "__k")
+        .withColumn(
+            "__keep",
+            (F.col("__first.__id") == F.col("__id"))
+            & (F.col("__first.__idx") == F.col("__idx")),
+        )
+    )
+    out = kept.groupBy("__id").agg(
+        F.count("__idx").alias("n_lines"),
+        F.sum(F.col("__keep").cast("int")).alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("__idx", "__line"))
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return out.select(
+        F.col("__id").alias(id_col), "text", "n_lines", "n_lines_kept"
+    )

@@ -1134,3 +1134,101 @@ class TestTextAdditions:
         assert abs(got[2]["dup_line_frac"] - (1 - 2 / 3)) < 1e-6
         assert got[3]["top_bigram_frac"] == 0.0
         assert len(got) == 4                           # no doc dropped
+
+
+class TestCorpusDedupAndGate:
+    """Round-5 corpus-level pretraining operators: exact duplicate-span
+    census (Lee et al. 2021 n-gram flavor), C4-style corpus-wide line
+    dedup (Raffel et al. 2020 §2.2), Gopher-style quality gate."""
+
+    def test_duplicate_ngram_spans_hand_computed(self, spark):
+        from kgfarm_spark.operators.dedup import duplicate_ngram_spans
+
+        rows = [
+            (1, "a b c d e f"),        # spans: 'a b c d e', 'b c d e f'
+            (2, "a b c d e x"),        # spans: 'a b c d e', 'b c d e x'
+            (3, "z z z"),              # < n words -> zero spans
+            # same span 3x WITHIN one doc: distinct-doc count is 1 -> not dup
+            (4, "q r s t u q r s t u q r s t u"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               duplicate_ngram_spans(df, n=5, min_docs=2).collect()}
+        assert len(got) == 4                       # every doc present
+        assert got[1]["n_spans"] == 2 and got[1]["dup_spans"] == 1
+        assert got[1]["dup_span_frac"] == 0.5
+        assert got[2]["n_spans"] == 2 and got[2]["dup_spans"] == 1
+        assert got[3]["n_spans"] == 0 and got[3]["dup_spans"] == 0
+        assert got[3]["dup_span_frac"] == 0.0
+        assert got[4]["n_spans"] == 11 and got[4]["dup_spans"] == 0
+
+    def test_duplicate_ngram_spans_validates_args(self, spark):
+        from kgfarm_spark.operators.dedup import duplicate_ngram_spans
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            duplicate_ngram_spans(df, n=0)
+        with pytest.raises(ValueError):
+            duplicate_ngram_spans(df, min_docs=1)
+
+    def test_dedup_lines_corpus_first_occurrence_wins(self, spark):
+        from kgfarm_spark.operators.dedup import dedup_lines_corpus
+
+        rows = [
+            (1, "h\nx\ny"),
+            (2, "h\nx\nz"),
+            (3, "h"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in dedup_lines_corpus(df).collect()}
+        assert got[1]["text"] == "h\nx\ny"          # owns every first occurrence
+        assert (got[1]["n_lines"], got[1]["n_lines_kept"]) == (3, 3)
+        assert got[2]["text"] == "z"                # 'h','x' were d1's
+        assert (got[2]["n_lines"], got[2]["n_lines_kept"]) == (3, 1)
+        assert got[3]["text"] == ""                 # fully deduplicated away
+        assert (got[3]["n_lines"], got[3]["n_lines_kept"]) == (1, 0)
+
+    def test_dedup_lines_corpus_normalized_match_keeps_original(self, spark):
+        from kgfarm_spark.operators.dedup import dedup_lines_corpus
+
+        rows = [(1, "Hello  World"), (2, "hello world\nunique")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               dedup_lines_corpus(df, normalize=True).collect()}
+        assert got[1]["text"] == "Hello  World"     # original text preserved
+        assert got[2]["text"] == "unique"           # normalized dup removed
+        # without normalize the two headers differ -> both kept
+        raw = {r["doc_id"]: r for r in dedup_lines_corpus(df).collect()}
+        assert raw[2]["text"] == "hello world\nunique"
+
+    def test_quality_gate_per_rule_flags(self, spark):
+        from kgfarm_spark.operators.textstats import quality_gate
+
+        good = ("the quick brown fox jumps over a lazy dog and it "
+                "runs to the old barn in good time")
+        rows = [
+            (1, good),                                   # passes everything
+            (2, "the cat"),                              # too few words
+            (3, good + " 12345 67890 12345 67890 12345 67890 12345 67890"),  # digit-heavy
+            (4, "a " * 20),                              # mean word len 1 < 3
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in quality_gate(df).collect()}
+        assert got[1]["keep"] and all(
+            got[1][c] for c in
+            ("words_ok", "word_len_ok", "punct_ok", "digit_ok", "stopword_ok"))
+        assert not got[2]["words_ok"] and not got[2]["keep"]
+        assert not got[3]["digit_ok"] and not got[3]["keep"]
+        assert not got[4]["word_len_ok"] and not got[4]["keep"]
+
+    def test_quality_gate_mean_word_len_ignores_extra_whitespace(self, spark):
+        from kgfarm_spark.operators.textstats import quality_gate
+
+        # identical words, wildly different whitespace -> identical flags
+        a = "the and of to a in is it you that words here now then"
+        b = "the   and  of \t to a in is it you that  words here now then"
+        df = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string")
+        got = {r["doc_id"]: r for r in quality_gate(df, min_words=5).collect()}
+        for c in ("words_ok", "word_len_ok", "keep"):
+            assert got[1][c] == got[2][c]
