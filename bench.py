@@ -545,6 +545,75 @@ def run_ann_scale() -> dict:
     return out
 
 
+def run_corpus_scale() -> dict:
+    """Round-5 corpus-level pretraining trio at the 5M-doc corpus:
+    quality_gate (pure projection — the throughput ceiling for any
+    per-doc filter), duplicate_ngram_spans (explode→census→join, the
+    exact-substring-dedup workhorse), dedup_lines_corpus (C4 line
+    dedup; every doc gets a header line shared by doc_id%7 and a common
+    boilerplate footer so 2 of its 3 lines are corpus-wide duplicates —
+    the realistic boilerplate-removal profile). Merged into
+    BENCH_LLM.json like --ann-scale / --cc-scale."""
+    from pyspark.sql import functions as F
+
+    from kgfarm_spark.operators.dedup import (
+        dedup_lines_corpus,
+        duplicate_ngram_spans,
+    )
+    from kgfarm_spark.operators.textstats import quality_gate
+    from kgfarm_spark.session import get_spark
+
+    ensure_llm_data()
+    path = os.path.join(REPO, "BENCH_LLM.json")
+    out: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    spark = get_spark(app_name="kgfarm_corpus", master="local[8]", shuffle_partitions=64)
+    docs = spark.read.parquet(DOCS_DIR)
+    n_docs = docs.count()
+
+    t0 = time.monotonic()
+    quality_gate(docs, "doc_id", "text").write.format("noop").mode("overwrite").save()
+    dt = time.monotonic() - t0
+    out["quality_gate"] = {
+        "docs": n_docs, "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt)
+    }
+
+    t0 = time.monotonic()
+    duplicate_ngram_spans(docs, "doc_id", "text", n=5, min_docs=2).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    dt = time.monotonic() - t0
+    out["duplicate_ngram_spans"] = {
+        "docs": n_docs, "n": 5, "spans": n_docs * 26,
+        "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt),
+    }
+
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("doc "), (F.col("doc_id") % 7).cast("string"),
+            F.lit(" header\n"), F.col("text"),
+            F.lit("\nsubscribe to our newsletter for weekly updates"),
+        ).alias("text"),
+    )
+    t0 = time.monotonic()
+    dedup_lines_corpus(lined, "doc_id", "text").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.monotonic() - t0
+    out["dedup_lines_corpus"] = {
+        "docs": n_docs, "lines": n_docs * 3,
+        "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt),
+    }
+
+    spark.stop()
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
 def run_cc_scale() -> dict:
     """Dup-cluster resolution at the 1M-doc scaling corpus: MinHash-LSH
     pairs → dedup_components (distributed min-label propagation). Merged
@@ -815,6 +884,10 @@ def main() -> None:
     if "--llm-scale-one" in sys.argv:
         level = int(sys.argv[sys.argv.index("--llm-scale-one") + 1])
         print(json.dumps(run_llm_dedup_one(level)))
+        return
+
+    if "--corpus-scale" in sys.argv:
+        print(json.dumps(run_corpus_scale()))
         return
 
     if "--cc-scale" in sys.argv:

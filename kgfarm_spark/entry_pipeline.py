@@ -663,3 +663,115 @@ def q_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return quality_gate(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# round 5 (late): sequence packing, unigram-LM scoring, source-weighted
+# corpus mixing — the layout/scoring tail of the pretraining pipeline.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "pack_sequences",
+    rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS tokens_before
+  FROM t
+)
+SELECT doc_id, n_tokens, tokens_before,
+       tokens_before // {_PACK_BUDGET} AS seq_id,
+       tokens_before % {_PACK_BUDGET} AS offset_in_seq,
+       (tokens_before % {_PACK_BUDGET}) + n_tokens > {_PACK_BUDGET}
+           AS crosses_boundary
+FROM c
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    from kgfarm_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", budget=_PACK_BUDGET)
+
+
+@register(
+    "unigram_logprob",
+    r"""
+WITH occ AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+census AS (SELECT w, count(*) AS cnt FROM occ GROUP BY 1),
+tot AS (SELECT sum(cnt) AS n FROM census),
+per AS (
+  SELECT occ.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         sum(ln(census.cnt / tot.n)) AS lp
+  FROM occ JOIN census ON occ.w = census.w CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT d.doc_id AS doc_id,
+       COALESCE(p.n_words, 0) AS n_words,
+       round(COALESCE(p.lp, 0.0), 6) AS logprob_sum,
+       round(COALESCE(p.lp / p.n_words, 0.0), 6) AS mean_logprob
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
+)
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    from kgfarm_spark.operators.textstats import unigram_logprob
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return unigram_logprob(docs, "doc_id", "text")
+
+
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1, "src4": 0.0}
+_MIX_BUDGET = 10_000
+
+
+def _mix_oracle() -> str:
+    vals = ", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS.items())
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         'src' || CAST(doc_id % 5 AS VARCHAR) AS source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+w AS (SELECT * FROM (VALUES {vals}) AS v(source, wt)),
+r AS (
+  SELECT t.source, w.wt,
+         least(1.0, w.wt * {float(_MIX_BUDGET)} / sum(t.n_tokens)) AS rate
+  FROM t JOIN w USING (source) GROUP BY t.source, w.wt
+)
+SELECT t.doc_id, t.source, t.n_tokens, round(r.rate, 6) AS rate
+FROM t JOIN r USING (source)
+WHERE CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      / 4294967296.0 < r.rate
+"""
+
+
+@register("source_mix_sample", _mix_oracle())
+def q_source_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from kgfarm_spark.operators.packing import stratified_mix_sample
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("src"), (F.col("doc_id") % 5).cast("string")).alias("source"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    return stratified_mix_sample(
+        docs, "source", "doc_id", "n_tokens",
+        weights=_MIX_WEIGHTS, token_budget=_MIX_BUDGET,
+    )

@@ -620,6 +620,9 @@ _DEFERRED_PAST_DRIVER_CAP = [
     "lag_lead_hot_safe",        # r04 driver-green; == lag_lead oracle, pytest parity vs plain twin
     "role_transitions_hot_safe",# r04 driver-green; == role_transitions oracle, pytest parity
     "hybrid_skew_join_enrich",  # r04 driver-green; family kept: salted_agg_per_conv in-window
+    "lag_lead_features",        # r01-r04 driver-green; window family kept: rolling/sessionize/role/backfill
+    "union_nation_keys",        # r01-r04 driver-green; set-op family kept: customers_without_big_orders
+    "topk_acctbal",             # r01-r04 driver-green; sort/limit family kept: deterministic_sample
     "log_transform",        # family kept: sqrt_square_transform (F4-F6)
     "standard_scale",       # family kept: minmax_scale, robust_scale
     "fill_mean",            # family kept: fill_median_mode, knn_impute_1d

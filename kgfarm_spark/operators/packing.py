@@ -1,0 +1,176 @@
+"""Sequence packing + source-weighted corpus mixing — the two layout
+operators a pretraining-data pipeline runs after filtering/dedup.
+
+``pack_sequences`` lays documents end-to-end in a deterministic global
+order and assigns each to the fixed-token-budget training sequence its
+first token lands in (the standard "concat-and-chunk" packing of GPT-
+style pretraining; a doc straddling a sequence boundary is flagged so
+the materializer knows it must split or truncate). The global-order
+running token sum is the whole problem at scale: a naive
+``sum() OVER (ORDER BY id)`` is a partitionBy-less window that funnels
+the corpus through ONE task. We re-express it with the same range-bucket
++ broadcast-offset decomposition as the distributed quantile rank
+(functions/transforms.py:quantile_rank_transform): bucket by id range,
+ONE tiny per-bucket aggregate for exclusive prefix offsets, then a
+window PARTITIONED by bucket — identical answer, parallel across
+buckets, the shape that survives 100 TB.
+
+``stratified_mix_sample`` hits a target source-mix (DoReMi / The Pile
+style corpus weights) by per-source deterministic hash sampling: one
+tiny per-source token aggregate fixes each source's keep rate
+``min(1, weight·budget / source_tokens)``, and membership is a pure
+function of the row key (md5-derived uniform), so the sample is
+partition-invariant, resumable, and expressible in ANSI SQL for the
+oracle. No driver-side materialization beyond the |sources|-row
+aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Assign every document to its training-sequence id under
+    concat-and-chunk packing with ``budget`` tokens per sequence.
+
+    Documents are laid out in ascending ``id_col`` order (ids must be
+    unique — they define the deterministic corpus order). Returns one
+    row per document:
+      (id, n_tokens, tokens_before, seq_id, offset_in_seq,
+       crosses_boundary)
+    where ``tokens_before`` is the exclusive global running sum,
+    ``seq_id = tokens_before // budget``, ``offset_in_seq =
+    tokens_before % budget`` and ``crosses_boundary`` marks documents
+    that spill into the next sequence (split/truncate decision is the
+    materializer's, not the planner's).
+
+    Scale shape: percentile_approx boundaries on the id (ONE aggregate),
+    per-bucket token sums (ONE tiny collect, |buckets| rows), window
+    partitioned BY BUCKET for the in-bucket prefix — no global window,
+    no driver materialization of data rows.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    spark = df.sparkSession
+    P = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    qs = [i / P for i in range(1, P)]
+    qlist = "array(" + ",".join(str(q) for q in qs) + ")"
+    bounds = df.agg(
+        F.expr(f"percentile_approx(`{id_col}`, {qlist}, 10000)").alias("b")
+    ).first()["b"]
+    uniq = sorted(set(b for b in (bounds or []) if b is not None))
+    arr = F.array(*[F.lit(b) for b in uniq]) if uniq else F.array().cast("array<bigint>")
+    bucket = F.aggregate(
+        arr, F.lit(0), lambda acc, b: acc + F.when(F.col("__id") > b, 1).otherwise(0)
+    )
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(token_col).cast("bigint").alias("__tok"),
+    ).withColumn("__b", bucket)
+
+    # exclusive prefix offset per bucket: |buckets| rows, driver-side scan
+    sums = {
+        r["__b"]: r["s"]
+        for r in base.groupBy("__b").agg(F.sum("__tok").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(sums):
+        offsets.append((b, acc))
+        acc += sums[b]
+    off_expr = F.lit(0).cast("bigint")
+    for b, o in offsets:
+        off_expr = F.when(F.col("__b") == b, F.lit(o).cast("bigint")).otherwise(off_expr)
+
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("__tok").over(w), F.lit(0)) + off_expr
+    out = base.withColumn("__before", before)
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("__tok").alias("n_tokens"),
+        F.col("__before").alias("tokens_before"),
+        F.floor(F.col("__before") / budget).alias("seq_id"),
+        (F.col("__before") % budget).alias("offset_in_seq"),
+        ((F.col("__before") % budget) + F.col("__tok") > budget).alias(
+            "crosses_boundary"
+        ),
+    )
+
+
+#: md5-derived uniform in [0, 1): first 8 hex chars as a 32-bit integer.
+#: Portable — DuckDB: CAST('0x' || substr(md5(k), 1, 8) AS BIGINT); both
+#: engines then divide the identical integer by 2^32 (exact IEEE ops).
+def _md5_uniform(key_col):
+    return F.conv(F.substring(F.md5(key_col.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) / F.lit(float(2**32))
+
+
+def stratified_mix_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    weights: dict[str, float] | None = None,
+    token_budget: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic source-weighted corpus sample targeting
+    ``weights[s] * token_budget`` tokens from each source.
+
+    Per-source keep rate ``min(1, weight·budget / source_tokens)``
+    (a source smaller than its target keeps everything — no upsampling
+    here; repetition policy is a separate epoch-level concern). A row is
+    kept iff its md5-uniform < rate, so membership is a pure function of
+    the row key: partition-invariant, stable under re-runs, and any two
+    samples with nested rates are nested (growing the budget only ADDS
+    documents — the property that makes corpus-size ablations
+    comparable).
+
+    Sources absent from ``weights`` get weight 0 (dropped). Returns kept
+    rows as (id, source, n_tokens, rate).
+
+    Scale shape: one |sources|-row aggregate broadcast-joined back, one
+    codegen'd filter. Expected (not exact) token hit: sampling variance
+    around the target is ~1/sqrt(docs_per_source) — the standard
+    trade for a single-pass, coordination-free sample.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {source: weight} dict")
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))]
+    )
+    per_src = (
+        df.groupBy(source_col)
+        .agg(F.sum(F.col(token_col).cast("bigint")).alias("__src_tok"))
+        .withColumn("__w", F.coalesce(wmap[F.col(source_col)], F.lit(0.0)))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.col("__w") * F.lit(float(token_budget)) / F.col("__src_tok"),
+            ),
+        )
+        .select(source_col, "rate")
+    )
+    joined = df.join(F.broadcast(per_src), source_col)
+    return (
+        joined.filter(_md5_uniform(F.col(id_col)) < F.col("rate"))
+        .select(
+            id_col,
+            source_col,
+            F.col(token_col).cast("bigint").alias(token_col),
+            F.round("rate", 6).alias("rate"),
+        )
+    )

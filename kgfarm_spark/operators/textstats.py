@@ -244,3 +244,66 @@ def quality_gate(
         stopword_ok.alias("stopword_ok"),
         (words_ok & word_len_ok & punct_ok & digit_ok & stopword_ok).alias("keep"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style unigram language-model quality signal (Wenzek et al.
+    2020 train a small LM and keep low-perplexity documents; the unigram
+    flavor is the coordination-free first cut): fit P(w) = count(w)/N on
+    the corpus itself, then score every document by its mean word
+    log-probability. Gibberish / OCR noise / rare-token spam scores far
+    below prose because its words are corpus-rare. Returns
+    ``(id, n_words, logprob_sum, mean_logprob)`` (natural log, rounded
+    to 6 decimals for cross-engine comparability).
+
+    Scale shape — the same three linear shuffles as the span census
+    (dedup.duplicate_ngram_spans): explode words → groupBy 64-bit word
+    hash with map-side partial counts (census); hash-partitioned join of
+    occurrences to the census (no broadcast of anything corpus-sized);
+    groupBy document. The corpus word total N rides along WITH the
+    census join (sum over census broadcast as a 1-row cross join), so
+    the whole thing is one lazy plan — no driver-side fit scalar.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    occ = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(
+            F.when(F.length(F.trim(F.col(text_col))) > 0, words)
+        ).alias("__w"),
+    ).withColumn("__h", F.xxhash64("__w"))
+    census = (
+        occ.filter(F.col("__w").isNotNull())
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    total = census.agg(F.sum("__cnt").alias("__n"))
+    scored = (
+        occ.join(census, "__h", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__id",
+            F.col("__w").isNotNull().cast("int").alias("__is_w"),
+            F.when(
+                F.col("__w").isNotNull(), F.log(F.col("__cnt") / F.col("__n"))
+            ).alias("__lp"),
+        )
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.sum("__is_w").alias("n_words"),
+        F.coalesce(F.sum("__lp"), F.lit(0.0)).alias("__lp_sum"),
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_words",
+        F.round("__lp_sum", 6).alias("logprob_sum"),
+        F.round(
+            F.when(F.col("n_words") > 0, F.col("__lp_sum") / F.col("n_words")).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("mean_logprob"),
+    )

@@ -1232,3 +1232,70 @@ class TestCorpusDedupAndGate:
         got = {r["doc_id"]: r for r in quality_gate(df, min_words=5).collect()}
         for c in ("words_ok", "word_len_ok", "keep"):
             assert got[1][c] == got[2][c]
+
+
+class TestPackingAndMixing:
+    """Sequence packing, unigram-LM scoring, source-weighted mixing."""
+
+    def test_pack_sequences_hand_computed(self, spark):
+        from kgfarm_spark.operators.packing import pack_sequences
+
+        rows = [(1, 4), (2, 6), (3, 3), (4, 8), (5, 2)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        got = {r["doc_id"]: r for r in
+               pack_sequences(df, budget=10).collect()}
+        assert [got[i]["tokens_before"] for i in range(1, 6)] == [0, 4, 10, 13, 21]
+        assert [got[i]["seq_id"] for i in range(1, 6)] == [0, 0, 1, 1, 2]
+        assert [got[i]["offset_in_seq"] for i in range(1, 6)] == [0, 4, 0, 3, 1]
+        # only doc 4 (starts at offset 3, 8 tokens) spills into seq 2
+        assert [got[i]["crosses_boundary"] for i in range(1, 6)] == [
+            False, False, False, True, False]
+
+    def test_pack_sequences_bucket_invariance(self, spark):
+        from kgfarm_spark.operators.packing import pack_sequences
+
+        rows = [(i, (i * 7) % 13 + 1) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(7)
+        a = sorted(pack_sequences(df, budget=64, n_buckets=1).collect())
+        b = sorted(pack_sequences(df, budget=64, n_buckets=16).collect())
+        assert a == b                      # bucket decomposition is exact
+        with pytest.raises(ValueError):
+            pack_sequences(df, budget=0)
+
+    def test_unigram_logprob_hand_computed(self, spark):
+        import math
+
+        from kgfarm_spark.operators.textstats import unigram_logprob
+
+        rows = [(1, "a a b"), (2, "b c"), (3, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+        # counts: a=2, b=2, c=1, N=5
+        assert got[1]["n_words"] == 3
+        assert got[1]["logprob_sum"] == pytest.approx(3 * math.log(0.4), abs=1e-5)
+        assert got[2]["mean_logprob"] == pytest.approx(
+            (math.log(0.4) + math.log(0.2)) / 2, abs=1e-5)
+        assert got[3]["n_words"] == 0 and got[3]["logprob_sum"] == 0.0
+
+    def test_stratified_mix_rates_and_nesting(self, spark):
+        from kgfarm_spark.operators.packing import stratified_mix_sample
+
+        rows = [(i, f"s{i % 2}", 10) for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+        # s0 has 2000 tokens; weight 1.0 * budget 5000 > 2000 -> rate 1, all kept
+        # s1 weight 0 -> dropped entirely
+        full = stratified_mix_sample(
+            df, weights={"s0": 1.0, "s1": 0.0}, token_budget=5000).collect()
+        assert {r["source"] for r in full} == {"s0"}
+        assert len(full) == 200 and all(r["rate"] == 1.0 for r in full)
+        # half-budget targets 1000 of s0's 2000 tokens -> rate 0.5, ~100 docs
+        half = stratified_mix_sample(
+            df, weights={"s0": 1.0}, token_budget=1000).collect()
+        assert 0 < len(half) < 200
+        # nestedness: growing the budget only ADDS documents
+        small_ids = {r["doc_id"] for r in half}
+        big_ids = {r["doc_id"] for r in stratified_mix_sample(
+            df, weights={"s0": 1.0}, token_budget=1500).collect()}
+        assert small_ids <= big_ids
+        with pytest.raises(ValueError):
+            stratified_mix_sample(df, weights={})
