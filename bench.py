@@ -560,7 +560,8 @@ def run_corpus_scale() -> dict:
         dedup_lines_corpus,
         duplicate_ngram_spans,
     )
-    from kgfarm_spark.operators.textstats import quality_gate
+    from kgfarm_spark.operators.packing import pack_sequences
+    from kgfarm_spark.operators.textstats import quality_gate, unigram_logprob
     from kgfarm_spark.session import get_spark
 
     ensure_llm_data()
@@ -605,6 +606,28 @@ def run_corpus_scale() -> dict:
     dt = time.monotonic() - t0
     out["dedup_lines_corpus"] = {
         "docs": n_docs, "lines": n_docs * 3,
+        "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt),
+    }
+
+    t0 = time.monotonic()
+    unigram_logprob(docs, "doc_id", "text").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.monotonic() - t0
+    out["unigram_logprob"] = {
+        "docs": n_docs, "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt)
+    }
+
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+    )
+    t0 = time.monotonic()
+    pack_sequences(toks, "doc_id", "n_tokens", budget=2048).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    dt = time.monotonic() - t0
+    out["pack_sequences"] = {
+        "docs": n_docs, "budget": 2048,
         "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt),
     }
 
