@@ -533,15 +533,22 @@ def duplicate_ngram_spans(
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     occ = base.select("__id", F.explode_outer(spans).alias("__h"))
-    census = (
+    # only spans meeting the min_docs bar matter downstream — filtering
+    # the census BEFORE the flag join drops the (dominant) unique-span
+    # mass from the join's build side: at the 5M-doc bench corpus this
+    # cuts the census-side shuffle from ~|unique spans| rows to just the
+    # duplicated ones, and a left-join miss encodes "not duplicated"
+    dup_spans = (
         occ.filter(F.col("__h").isNotNull())
         .groupBy("__h")
         .agg(F.count_distinct("__id").alias("__docs"))
+        .filter(F.col("__docs") >= min_docs)
+        .select("__h")
     )
-    flagged = occ.join(census, "__h", "left").select(
+    flagged = occ.join(dup_spans.withColumn("__dup1", F.lit(1)), "__h", "left").select(
         "__id",
         F.col("__h").isNotNull().cast("int").alias("__is_span"),
-        (F.col("__docs") >= min_docs).cast("int").alias("__dup"),
+        F.col("__dup1").alias("__dup"),
     )
     per_doc = flagged.groupBy("__id").agg(
         F.sum("__is_span").alias("n_spans"),
