@@ -239,6 +239,89 @@ class FeatureFarm:
             "'twophase', 'exact', or 'lsh'"
         )
 
+    # ---- corpus curation (task-brief pretraining family) ------------------
+    def dedup(
+        self,
+        docs: DataFrame,
+        method: str = "minhash",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        **kw,
+    ) -> DataFrame:
+        """Near/exact-duplicate handling over a document table.
+
+        ``method``: ``'exact'`` (hash groupBy, keeps min id) ·
+        ``'minhash'`` (LSH band-bucket candidate pairs, default — the
+        100 TB-safe near-dup path) · ``'simhash'`` (banded Hamming-ball
+        pairs) · ``'jaccard'`` (exact n-gram pairs, small corpora) ·
+        ``'embedding'`` (cosine near-dup pairs) · ``'lines'``
+        (C4-style corpus-wide line dedup, returns rewritten docs) ·
+        ``'spans'`` (per-doc duplicated n-gram span stats). Pair
+        methods return (id_a, id_b, …) for ``dedup_by_pairs`` /
+        ``dedup_components``."""
+        from kgfarm_spark.operators import dedup as _dd
+
+        routes = {
+            "exact": lambda: _dd.exact_dedup(docs, on=[text_col], order_col=id_col, **kw),
+            "minhash": lambda: _dd.minhash_lsh_dedup_pairs(docs, id_col, text_col, **kw),
+            "simhash": lambda: _dd.simhash_neardup_pairs(docs, id_col, text_col, **kw),
+            "jaccard": lambda: _dd.jaccard_pairs(docs, id_col, text_col, **kw),
+            "embedding": lambda: _dd.embedding_neardup_pairs(docs, id_col, **kw),
+            "lines": lambda: _dd.dedup_lines_corpus(docs, id_col, text_col, **kw),
+            "spans": lambda: _dd.duplicate_ngram_spans(docs, id_col, text_col, **kw),
+        }
+        if method not in routes:
+            raise ValueError(
+                f"unknown dedup method {method!r}; use one of {sorted(routes)}"
+            )
+        return routes[method]()
+
+    def quality(
+        self,
+        docs: DataFrame,
+        method: str = "gate",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        **kw,
+    ) -> DataFrame:
+        """Document-quality signals: ``'gate'`` (Gopher-style composite
+        keep/drop with per-rule audit flags, default) · ``'features'``
+        (raw length/punct/stopword stats) · ``'logprob'`` (corpus-fit
+        unigram-LM mean log-prob) · ``'repetition'`` (dup-line +
+        top-bigram fractions) · ``'langid'`` (stopword-profile language
+        guess)."""
+        from kgfarm_spark.operators import textstats as _ts
+
+        routes = {
+            "gate": lambda: _ts.quality_gate(docs, id_col, text_col, **kw),
+            "features": lambda: _ts.quality_features(docs, text_col, **kw),
+            "logprob": lambda: _ts.unigram_logprob(docs, id_col, text_col, **kw),
+            "repetition": lambda: _ts.repetition_signals(docs, id_col, text_col, **kw),
+            "langid": lambda: _ts.lang_id(docs, text_col, **kw),
+        }
+        if method not in routes:
+            raise ValueError(
+                f"unknown quality method {method!r}; use one of {sorted(routes)}"
+            )
+        return routes[method]()
+
+    def pack(self, docs: DataFrame, budget: int = 2048, **kw) -> DataFrame:
+        """Concat-and-chunk sequence packing (operators/packing.py)."""
+        from kgfarm_spark.operators.packing import pack_sequences
+
+        return pack_sequences(docs, budget=budget, **kw)
+
+    def mix(
+        self, docs: DataFrame, weights: dict, token_budget: int, **kw
+    ) -> DataFrame:
+        """Source-weighted deterministic corpus sample (DoReMi/Pile-style
+        mixing; operators/packing.py)."""
+        from kgfarm_spark.operators.packing import stratified_mix_sample
+
+        return stratified_mix_sample(
+            docs, weights=weights, token_budget=token_budget, **kw
+        )
+
     # ---- model tail (reference pipeline_generator.py:152-191) -------------
     def train_model(self, train: DataFrame, target: str, task: str, **kw):
         from kgfarm_spark.ml import train_model as _tm

@@ -135,3 +135,39 @@ def test_similar_routes_to_ivf_by_default(farm, spark):
 
     with pytest.raises(ValueError, match="unknown similarity method"):
         farm.similar(emb, q, method="annoy")
+
+
+def test_corpus_curation_verbs_route_to_operators(farm, spark):
+    """The corpus-curation facade family (`dedup`/`quality`/`pack`/`mix`)
+    must route to the same operator kernels a direct import reaches."""
+    from kgfarm_spark.operators.dedup import dedup_lines_corpus
+    from kgfarm_spark.operators.packing import pack_sequences
+    from kgfarm_spark.operators.textstats import quality_gate
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog run to a barn it is old"),
+         (2, "the quick brown fox and the lazy dog run to a barn it is old"),
+         (3, "completely different words in this one and that is fine too")],
+        "doc_id long, text string")
+
+    got = sorted(map(repr, farm.dedup(docs, method="lines").collect()))
+    want = sorted(map(repr, dedup_lines_corpus(docs).collect()))
+    assert got == want
+
+    got = sorted(map(repr, farm.quality(docs).collect()))
+    want = sorted(map(repr, quality_gate(docs).collect()))
+    assert got == want
+
+    toks = docs.selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens")
+    got = sorted(map(repr, farm.pack(toks, budget=16).collect()))
+    want = sorted(map(repr, pack_sequences(toks, budget=16).collect()))
+    assert got == want
+
+    src = docs.selectExpr("doc_id", "'s0' AS source", "10 AS n_tokens")
+    kept = farm.mix(src, weights={"s0": 1.0}, token_budget=1000).collect()
+    assert len(kept) == 3  # rate 1: everything kept
+
+    with pytest.raises(ValueError, match="unknown dedup method"):
+        farm.dedup(docs, method="suffixarray")
+    with pytest.raises(ValueError, match="unknown quality method"):
+        farm.quality(docs, method="perplexity9000")
