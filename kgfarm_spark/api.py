@@ -254,7 +254,9 @@ class FeatureFarm:
         ``'minhash'`` (LSH band-bucket candidate pairs, default — the
         100 TB-safe near-dup path) · ``'simhash'`` (banded Hamming-ball
         pairs) · ``'jaccard'`` (exact n-gram pairs, small corpora) ·
-        ``'embedding'`` (cosine near-dup pairs) · ``'lines'``
+        ``'embedding'`` (cosine near-dup pairs, quadratic baseline) ·
+        ``'semantic'`` (SemDeDup: IVF-cell-partitioned cosine pairs —
+        the embedding near-dup scale path) · ``'lines'``
         (C4-style corpus-wide line dedup, returns rewritten docs) ·
         ``'spans'`` (per-doc duplicated n-gram span stats). Pair
         methods return (id_a, id_b, …) for ``dedup_by_pairs`` /
@@ -267,6 +269,7 @@ class FeatureFarm:
             "simhash": lambda: _dd.simhash_neardup_pairs(docs, id_col, text_col, **kw),
             "jaccard": lambda: _dd.jaccard_pairs(docs, id_col, text_col, **kw),
             "embedding": lambda: _dd.embedding_neardup_pairs(docs, id_col, **kw),
+            "semantic": lambda: _dd.semantic_neardup_pairs(docs, id_col, **kw),
             "lines": lambda: _dd.dedup_lines_corpus(docs, id_col, text_col, **kw),
             "spans": lambda: _dd.duplicate_ngram_spans(docs, id_col, text_col, **kw),
         }

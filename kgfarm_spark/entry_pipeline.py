@@ -775,3 +775,25 @@ def q_source_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
         docs, "source", "doc_id", "n_tokens",
         weights=_MIX_WEIGHTS, token_budget=_MIX_BUDGET,
     )
+
+
+@register("semantic_neardup", None)  # rows-only: the IVF coarse quantizer
+# (k-means) is not ANSI-SQL-expressible; exactness is pytest-pinned instead —
+# tests/test_pipeline_ops.py::TestSemanticDedup proves nprobe=n_cells equals
+# the brute-force quadratic answer and nprobe=1 recovers it at the true
+# cluster count.
+def q_semantic_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from kgfarm_spark.operators.dedup import semantic_neardup_pairs
+
+    base = load_table(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    # plant exact duplicates (every 10th vector) so the operator has
+    # guaranteed positives at every scale factor, like _dup_corpus
+    dups = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "embedding"
+    )
+    emb = base.unionByName(dups)
+    return semantic_neardup_pairs(
+        emb, "doc_id", "embedding", threshold=0.95, n_cells=8, nprobe=2
+    )

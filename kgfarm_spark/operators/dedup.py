@@ -636,3 +636,91 @@ def dedup_lines_corpus(
     return out.select(
         F.col("__id").alias(id_col), "text", "n_lines", "n_lines_kept"
     )
+
+
+def semantic_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    nprobe: int = 1,
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023:
+    cluster the embedding space, compare only WITHIN clusters): assign
+    every vector to its ``nprobe`` nearest IVF cells, emit pairs sharing
+    a cell with cosine ≥ ``threshold``. This is the scale path for
+    ``embedding_neardup_pairs`` — the quadratic pair join shrinks from
+    |corpus|² to Σ|cell|², and each cell's pairs compute independently
+    (cell-partitioned self-join, no broadcast of the corpus).
+
+    ``nprobe=1`` is the classic SemDeDup trade (pairs straddling a cell
+    boundary are missed); raising ``nprobe`` multi-probes neighboring
+    cells at nprobe× the rows (``nprobe=n_cells`` degenerates to exact
+    brute force — the pytest parity anchor). Pairs found via two shared
+    cells dedupe through the final ``distinct()`` on (id_a, id_b).
+
+    Returns (id_a, id_b, cosine) with id_a < id_b.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from kgfarm_spark.operators.similarity import (
+        _sq_dists,
+        dot_expr,
+        fit_ivf_centroids,
+        norm_expr,
+    )
+
+    if nprobe < 1 or nprobe > n_cells:
+        raise ValueError(f"nprobe must be in 1..{n_cells}, got {nprobe}")
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            df, vec_col=vec_col, n_cells=n_cells, id_col=id_col
+        )
+    bc = df.sparkSession.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    src = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    out_schema = "__id long, __v array<double>, __cell int"
+
+    def assign(batches):
+        cents = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.array(list(pdf["__v"]), dtype=np.float64)
+            near = np.argsort(_sq_dists(v, cents), axis=1, kind="stable")[:, :nprobe]
+            idx = np.repeat(np.arange(len(pdf)), nprobe)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"].values[idx],
+                    "__v": pdf["__v"].values[idx],
+                    "__cell": near.reshape(-1).astype("int32"),
+                }
+            )
+
+    cells = src.mapInPandas(assign, out_schema)
+    a = cells.select(
+        F.col("__cell"),
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        norm_expr("__v").alias("__na"),
+    )
+    b = cells.select(
+        F.col("__cell"),
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        norm_expr("__v").alias("__nb"),
+    )
+    pairs = (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )
+    return pairs

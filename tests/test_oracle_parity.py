@@ -76,5 +76,6 @@ def test_queries_have_oracles():
         "lof_outliers",      # LOF kernel — loop-twin tested in test_cleaning_transforms
         "pkfk_classified",   # trained classifier head — tested in test_pkfk_model
         "simhash_neardup",   # xxhash64 fingerprint (JVM-only) — banded==brute pinned in test_pipeline_ops
+        "semantic_neardup",  # IVF k-means quantizer — full-probe==brute pinned in test_pipeline_ops
     }
     assert missing <= allowed_rows_only

@@ -1299,3 +1299,51 @@ class TestPackingAndMixing:
         assert small_ids <= big_ids
         with pytest.raises(ValueError):
             stratified_mix_sample(df, weights={})
+
+
+class TestSemanticDedup:
+    def test_semantic_neardup_full_probe_equals_bruteforce(self, spark):
+        """nprobe=n_cells puts every vector in every cell, so the
+        cell-partitioned join must reproduce the exact quadratic answer;
+        nprobe=1 (classic SemDeDup) must be a subset of it."""
+        from kgfarm_spark.operators.dedup import (
+            embedding_neardup_pairs,
+            semantic_neardup_pairs,
+        )
+
+        rng = np.random.RandomState(7)
+        # two tight clusters + noise, with planted near-dups
+        base = []
+        for i in range(30):
+            c = rng.randn(8) * 0.05 + (5.0 if i % 2 else -5.0)
+            base.append((i, c.tolist()))
+        emb = spark.createDataFrame(base, "doc_id long, embedding array<double>")
+        brute = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_neardup_pairs(emb, "doc_id", "embedding", 0.99).collect()
+        }
+        assert brute  # fixture sanity: planted dups exist
+        full = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_neardup_pairs(
+                emb, threshold=0.99, n_cells=4, nprobe=4).collect()
+        }
+        assert full == brute
+        # classic SemDeDup (nprobe=1) at the true cluster count: the two
+        # clusters are IVF-separable, so every within-cluster pair lands
+        # in one cell and recall is total; over-segmenting (n_cells=4)
+        # must still return a subset
+        semdedup = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_neardup_pairs(
+                emb, threshold=0.99, n_cells=2, nprobe=1).collect()
+        }
+        assert semdedup == brute
+        overseg = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_neardup_pairs(
+                emb, threshold=0.99, n_cells=4, nprobe=1).collect()
+        }
+        assert overseg <= brute
+        with pytest.raises(ValueError):
+            semantic_neardup_pairs(emb, n_cells=4, nprobe=5)
