@@ -1347,3 +1347,32 @@ class TestSemanticDedup:
         assert overseg <= brute
         with pytest.raises(ValueError):
             semantic_neardup_pairs(emb, n_cells=4, nprobe=5)
+
+
+def test_stream_quality_gate_matches_batch(spark, tmp_path):
+    """The corpus quality/scoring projections are STATELESS single-pass
+    expressions, so the identical operator call works on a readStream
+    source with append output and must emit exactly the batch answer —
+    the property that lets a quality gate run inline in an ingestion
+    stream with zero state store."""
+    from kgfarm_spark.operators.textstats import quality_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        quality_gate(stream)                     # same call as batch
+        .writeStream.format("memory")
+        .queryName("qg_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(repr, spark.sql("select * from qg_out").collect()))
+    want = sorted(map(repr, quality_gate(docs).collect()))
+    assert got == want and len(got) > 0
