@@ -268,7 +268,9 @@ class FeatureFarm:
             "minhash": lambda: _dd.minhash_lsh_dedup_pairs(docs, id_col, text_col, **kw),
             "simhash": lambda: _dd.simhash_neardup_pairs(docs, id_col, text_col, **kw),
             "jaccard": lambda: _dd.jaccard_pairs(docs, id_col, text_col, **kw),
-            "embedding": lambda: _dd.embedding_neardup_pairs(docs, id_col, **kw),
+            "embedding": lambda: _dd.embedding_neardup_pairs(
+                docs, id_col, **{"vec_col": "embedding", **kw}
+            ),
             "semantic": lambda: _dd.semantic_neardup_pairs(docs, id_col, **kw),
             "lines": lambda: _dd.dedup_lines_corpus(docs, id_col, text_col, **kw),
             "spans": lambda: _dd.duplicate_ngram_spans(docs, id_col, text_col, **kw),

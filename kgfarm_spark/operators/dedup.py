@@ -596,7 +596,11 @@ def dedup_lines_corpus(
          to reassemble (per-doc lists are document-sized, never
          corpus-sized).
     """
-    lines = F.split(F.col(text_col), "\n")
+    # NULL text normalizes to '' (one empty line) so every document gets
+    # well-defined non-null counts; without this, the null explode row's
+    # NULL index poisons __keep into NULL for whichever null-text doc
+    # wins the empty-key election
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
     base = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode_outer(lines).alias("__idx", "__line"),
@@ -679,10 +683,17 @@ def semantic_neardup_pairs(
         centroids = fit_ivf_centroids(
             df, vec_col=vec_col, n_cells=n_cells, id_col=id_col
         )
+    # a tiny corpus (or caller-supplied centroids) can carry fewer cells
+    # than requested — probing more cells than exist is a no-op, so clamp
+    nprobe = min(nprobe, len(centroids))
     bc = df.sparkSession.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
 
-    src = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    out_schema = "__id long, __v array<double>, __cell int"
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    out_schema = f"__id {id_type}, __v array<double>, __cell int"
 
     def assign(batches):
         cents = bc.value
@@ -700,7 +711,9 @@ def semantic_neardup_pairs(
                 }
             )
 
-    cells = src.mapInPandas(assign, out_schema)
+    # both join sides derive from `cells`; without materialization the
+    # Python/Arrow assignment stage would run twice per action
+    cells = src.mapInPandas(assign, out_schema).localCheckpoint(eager=True)
     a = cells.select(
         F.col("__cell"),
         F.col("__id").alias("id_a"),

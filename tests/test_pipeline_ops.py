@@ -1376,3 +1376,51 @@ def test_stream_quality_gate_matches_batch(spark, tmp_path):
     got = sorted(map(repr, spark.sql("select * from qg_out").collect()))
     want = sorted(map(repr, quality_gate(docs).collect()))
     assert got == want and len(got) > 0
+
+
+class TestCurationEdgeCases:
+    """Round-5 review findings: tiny corpora, NULL text, string ids,
+    facade embedding route."""
+
+    def test_semantic_neardup_tiny_corpus_and_string_ids(self, spark):
+        from kgfarm_spark.operators.dedup import semantic_neardup_pairs
+
+        one = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "doc_id long, embedding array<double>")
+        # fewer rows than nprobe: must clamp, not crash
+        assert semantic_neardup_pairs(one, n_cells=4, nprobe=2).count() == 0
+        # string ids and float vectors: same contract as the quadratic baseline
+        s = spark.createDataFrame(
+            [("a", [1.0, 0.0]), ("b", [1.0, 0.0]), ("c", [0.0, 1.0])],
+            "doc_id string, embedding array<float>")
+        got = {(r["id_a"], r["id_b"])
+               for r in semantic_neardup_pairs(s, n_cells=2, nprobe=2).collect()}
+        assert got == {("a", "b")}
+
+    def test_dedup_lines_corpus_null_text(self, spark):
+        from kgfarm_spark.operators.dedup import dedup_lines_corpus
+
+        rows = [(1, "a\nb"), (2, None), (3, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in dedup_lines_corpus(df).collect()}
+        # NULL text behaves as '' — one empty line, deduped corpus-wide,
+        # counts always non-null
+        assert (got[2]["n_lines"], got[2]["n_lines_kept"]) == (1, 1)
+        assert (got[3]["n_lines"], got[3]["n_lines_kept"]) == (1, 0)
+        assert got[1]["text"] == "a\nb"
+
+    def test_facade_embedding_dedup_route(self, farm_spark_pair):
+        farm, spark = farm_spark_pair
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+            "doc_id long, embedding array<double>")
+        got = {(r["id_a"], r["id_b"])
+               for r in farm.dedup(emb, method="embedding").collect()}
+        assert got == {(1, 2)}
+
+
+@pytest.fixture
+def farm_spark_pair(spark):
+    from kgfarm_spark.api import FeatureFarm
+
+    return FeatureFarm(spark), spark
