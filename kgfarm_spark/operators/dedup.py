@@ -650,6 +650,8 @@ def semantic_neardup_pairs(
     n_cells: int = 16,
     nprobe: int = 1,
     centroids=None,
+    kernel: str = "arrow",
+    max_cell_rows: int = 200_000,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023:
     cluster the embedding space, compare only WITHIN clusters): assign
@@ -664,6 +666,15 @@ def semantic_neardup_pairs(
     cells at nprobe× the rows (``nprobe=n_cells`` degenerates to exact
     brute force — the pytest parity anchor). Pairs found via two shared
     cells dedupe through the final ``distinct()`` on (id_a, id_b).
+
+    ``kernel='arrow'`` (default) computes each cell's pairs with one
+    Arrow-batched numpy matmul (`applyInPandas` per cell — normalized
+    block-wise N·Nᵀ, strict upper triangle); ``'expr'`` is the pure-JVM
+    join-expression twin (same pairs, pytest-pinned). The arrow kernel
+    is ~100× faster per candidate (BENCH.md §5b) because the JVM
+    higher-order-function cosine is interpreted per element;
+    ``max_cell_rows`` bounds per-task memory and fails loudly with
+    "raise n_cells" advice instead of letting one giant cell OOM.
 
     Returns (id_a, id_b, cosine) with id_a < id_b.
     """
@@ -714,6 +725,54 @@ def semantic_neardup_pairs(
     # both join sides derive from `cells`; without materialization the
     # Python/Arrow assignment stage would run twice per action
     cells = src.mapInPandas(assign, out_schema).localCheckpoint(eager=True)
+
+    if kernel == "arrow":
+        # per-cell BLAS: normalize once, block-wise N_b @ N^T, upper
+        # triangle >= threshold. ~100x the JVM expression path's
+        # per-candidate throughput (BENCH.md §5b); block_rows bounds the
+        # similarity buffer at block_rows x |cell| doubles. A cell far
+        # above ~10^5 rows signals too few cells for the corpus — the
+        # guard raises with that advice rather than OOMing an executor.
+        pair_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+        block_rows = 1024
+
+        def per_cell(pdf):
+            n_rows = len(pdf)
+            if n_rows > max_cell_rows:
+                raise ValueError(
+                    f"IVF cell with {n_rows} rows exceeds max_cell_rows="
+                    f"{max_cell_rows}; raise n_cells (or max_cell_rows)"
+                )
+            if n_rows < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            v = np.array(list(pdf["__v"]), dtype=np.float64)
+            norms = np.linalg.norm(v, axis=1)
+            norms[norms == 0.0] = 1.0  # zero vectors match nothing at t>0
+            nv = v / norms[:, None]
+            ids = pdf["__id"].values
+            order = np.argsort(ids, kind="stable")  # id_a < id_b by value
+            nv, ids = nv[order], ids[order]
+            out_a, out_b, out_c = [], [], []
+            for lo in range(0, n_rows, block_rows):
+                hi = min(lo + block_rows, n_rows)
+                sims = nv[lo:hi] @ nv.T
+                rows, cols = np.nonzero(sims >= threshold)
+                keep = (rows + lo) < cols  # strict upper triangle
+                out_a.append(ids[rows[keep] + lo])
+                out_b.append(ids[cols[keep]])
+                out_c.append(sims[rows[keep], cols[keep]])
+            return pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else [],
+                    "id_b": np.concatenate(out_b) if out_b else [],
+                    "cosine": np.concatenate(out_c) if out_c else [],
+                }
+            )
+
+        return cells.groupBy("__cell").applyInPandas(per_cell, pair_schema).distinct()
+
+    if kernel != "expr":
+        raise ValueError(f"kernel must be 'arrow' or 'expr', got {kernel!r}")
     a = cells.select(
         F.col("__cell"),
         F.col("__id").alias("id_a"),

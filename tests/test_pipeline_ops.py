@@ -1329,6 +1329,16 @@ class TestSemanticDedup:
                 emb, threshold=0.99, n_cells=4, nprobe=4).collect()
         }
         assert full == brute
+        # the JVM expression kernel must emit the identical pair set
+        expr_kernel = {
+            (r["id_a"], r["id_b"])
+            for r in semantic_neardup_pairs(
+                emb, threshold=0.99, n_cells=4, nprobe=4,
+                kernel="expr").collect()
+        }
+        assert expr_kernel == brute
+        with pytest.raises(ValueError, match="kernel"):
+            semantic_neardup_pairs(emb, n_cells=4, kernel="faiss").collect()
         # classic SemDeDup (nprobe=1) at the true cluster count: the two
         # clusters are IVF-separable, so every within-cluster pair lands
         # in one cell and recall is total; over-segmenting (n_cells=4)
