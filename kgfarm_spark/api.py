@@ -310,6 +310,23 @@ class FeatureFarm:
             )
         return routes[method]()
 
+    def decontaminate(
+        self,
+        docs: DataFrame,
+        eval_set: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 13,
+        **kw,
+    ) -> DataFrame:
+        """Flag training docs sharing word n-grams with a benchmark/eval
+        set (GPT-3 appendix-C recipe; eval shingles broadcast, corpus
+        probed map-side — operators/dedup.py:decontaminate). Returns
+        (id, n_overlap) for contaminated docs; anti-join to drop them."""
+        from kgfarm_spark.operators.dedup import decontaminate
+
+        return decontaminate(docs, eval_set, id_col, text_col, n=n, **kw)
+
     def pack(self, docs: DataFrame, budget: int = 2048, **kw) -> DataFrame:
         """Concat-and-chunk sequence packing (operators/packing.py)."""
         from kgfarm_spark.operators.packing import pack_sequences

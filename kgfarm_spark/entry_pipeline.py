@@ -797,3 +797,43 @@ def q_semantic_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return semantic_neardup_pairs(
         emb, "doc_id", "embedding", threshold=0.95, n_cells=8, nprobe=2
     )
+
+
+@register(
+    "decontaminate_vs_eval",
+    """
+WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+evalb AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+esh AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM (SELECT string_split(text, ' ') AS w FROM evalb)
+  )
+),
+tsh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 2),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train)
+  )
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM tsh JOIN esh USING (shingle)
+GROUP BY doc_id
+HAVING count(*) >= 2
+""",
+)
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-3-style benchmark decontamination (dedup.py:decontaminate):
+    every 97th document plays the held-out eval set; training docs
+    sharing >= 2 distinct 3-grams with it are flagged with their overlap
+    count. Production uses 13-grams; 3 here because the test corpus
+    documents are short."""
+    from kgfarm_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    evalb = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(train, evalb, "doc_id", "text", n=3, min_overlap=2)

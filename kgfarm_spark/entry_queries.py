@@ -408,6 +408,70 @@ def q_flagship(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "flagship_probe_pushdown",
+    _cte(
+        """
+SELECT p.probe_id, p.conv_id, p.query_ts,
+       f.ts AS matched_ts,
+       f.turns_so_far, f.tool_calls_so_far,
+       round(f.tool_call_rate, 4) AS tool_call_rate,
+       round(f.text_len_avg, 4)   AS text_len_avg,
+       f.user_turns_so_far
+FROM (SELECT * FROM probes WHERE conv_id LIKE '%3') p
+LEFT JOIN (
+  SELECT conv_id, turn_idx, ts,
+         count(*) OVER w AS turns_so_far,
+         CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w
+              AS BIGINT) AS tool_calls_so_far,
+         CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER w AS DOUBLE)
+           / count(*) OVER w AS tool_call_rate,
+         avg(length(text)) OVER w AS text_len_avg,
+         CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) OVER w
+              AS BIGINT) AS user_turns_so_far
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+) f
+  ON p.conv_id = f.conv_id
+ AND f.ts <= p.query_ts
+ AND f.ts >= p.query_ts - INTERVAL 1 DAY
+QUALIFY row_number() OVER (
+  PARTITION BY p.probe_id ORDER BY f.ts DESC, f.turn_idx DESC) = 1
+"""
+    ),
+)
+def q_flagship_probe_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship with ``probe_pushdown=True`` on a 10%-of-conversations
+    probe subset (conv ids ending in '3'): the broadcast semi-join
+    reduces the transcript side to probed conversations BEFORE the
+    union-window shuffle — the oracle is the plain flagship SQL over the
+    same probe subset, proving the pushdown is exactness-preserving
+    (backfill.py:probe_pushdown; at 10^12 turns this is the
+    sample-backfill fast path)."""
+    p_sub = probes(spark, sf).filter(F.col("conv_id").endswith("3"))
+    out = backfill_asof_fused(
+        transcripts(spark, sf),
+        p_sub,
+        key="conv_id",
+        ts="ts",
+        probe_ts="query_ts",
+        tolerance="1 DAY",
+        probe_pushdown=True,
+    )
+    return out.select(
+        "probe_id",
+        "conv_id",
+        "query_ts",
+        "matched_ts",
+        "turns_so_far",
+        "tool_calls_so_far",
+        F.round("tool_call_rate", 4).alias("tool_call_rate"),
+        F.round("text_len_avg", 4).alias("text_len_avg"),
+        "user_turns_so_far",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extended operator families register themselves via @register on import
 # (kept in separate modules to keep each file focused).
@@ -637,6 +701,10 @@ _DEFERRED_PAST_DRIVER_CAP = [
     "iqr_outlier_filter",   # family kept: robust_scale (same quantile machinery)
     "ordinal_encode",       # family kept: one_hot_encode
     "dedup_exact",          # family kept: dedup_minhash_lsh + streaming dedup pytest
+    # r05 additions to the deferred set, making window room for the two new
+    # oracle queries (flagship_probe_pushdown, decontaminate_vs_eval):
+    "one_hot_encode",       # r01-r04 driver-green (4 consecutive rounds)
+    "knn_impute_1d",        # r04 driver-green; family kept: fill_median_mode in-window
 ]
 
 

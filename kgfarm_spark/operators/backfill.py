@@ -363,6 +363,7 @@ def backfill_asof_fused(
     tolerance: str | None = None,
     hot_conv_turns: int | str | None = None,
     n_hot_buckets: int = 32,
+    probe_pushdown: bool = False,
 ) -> DataFrame:
     """Resolve each probe (key, probe_ts) to the cumulative transcript
     features as of that instant. Returns probe columns + matched_ts +
@@ -375,7 +376,24 @@ def backfill_asof_fused(
     single-window plan. Pass ``"auto"`` to apply the measured crossover
     rule (engage iff some conversation holds > ~1/n_cores of the rows —
     see ``_auto_hot_threshold``) instead of hand-tuning.
-    """
+
+    ``probe_pushdown``: semi-join the transcript side down to the
+    probe frame's conversation set BEFORE the union-window shuffle.
+    Every feature here is conversation-local (all windows partition by
+    ``key``), so rows of unprobed conversations can never influence any
+    probe's output — the filter is exactness-preserving (driver
+    oracle-gated). Turn it on when the probe frame touches a small
+    fraction of the corpus (the common backfill-a-sample case): the
+    distinct probe-key set is broadcast, so the corpus side is reduced
+    map-side at the scan — at 10^12 turns with 0.1 percent of conversations
+    probed the window shuffle drops from ~1 PB to ~1 TB, and on
+    Iceberg/DSv2 sources the runtime filter can prune whole files.
+    Leave it off when probes cover most conversations (the semi-join
+    then only adds work) or when the probe key set is too large to
+    broadcast (>~100M keys)."""
+    if probe_pushdown:
+        keyset = probes.select(key).distinct()
+        transcripts = transcripts.join(F.broadcast(keyset), key, "left_semi")
     if isinstance(hot_conv_turns, str):
         if hot_conv_turns != "auto":
             raise ValueError(

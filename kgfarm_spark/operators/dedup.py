@@ -642,6 +642,45 @@ def dedup_lines_corpus(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share at
+    least ``min_overlap`` distinct word n-grams with an evaluation /
+    benchmark set (the GPT-3 appendix-C recipe uses 13-grams; reference
+    has no equivalent — this is a training-data-pipeline op from the
+    task brief, sibling of the dedup family).
+
+    Returns ``(id_col, n_overlap)`` for contaminated documents only —
+    callers anti-join this against the corpus to drop them, or keep the
+    counts for an audit table.
+
+    Scale shape: the eval side is small by construction (benchmarks are
+    10^4–10^6 shingles next to a 100 TB corpus), so its distinct shingle
+    set is **broadcast** — the corpus side is probed map-side with NO
+    shuffle of corpus shingles; only the matched (doc, shingle) hits
+    (rare) enter the single groupBy(doc) shuffle. Corpus cost is one
+    scan + tokenize, independent of eval-set count.
+    """
+    doc_sh = _doc_shingles(docs, id_col, text_col, n)
+    eval_sh = (
+        word_shingles(eval_set.select(text_col), text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = doc_sh.join(F.broadcast(eval_sh), "shingle")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
 def semantic_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -319,3 +319,24 @@ def test_fused_hot_guard_exact_ts_ties_at_bucket_boundaries(spark):
     # inclusive backward at a tie: the probe at minute 0 sees all 4 turns
     r = guarded.filter(F.col("probe_id") == "p0").first()
     assert r["turns_so_far"] == 4
+
+
+def test_probe_pushdown_equals_plain_and_prunes_plan(spark):
+    """probe_pushdown semi-joins the transcript side down to probed
+    conversations before the union-window shuffle; features are
+    conversation-local so the output must be IDENTICAL to the plain
+    plan on the same probe frame, and the executed plan must carry a
+    broadcast left-semi join (the map-side corpus reduction)."""
+    t = gen_transcripts(spark, n_turns=20_000, n_convs=40, seed=23)
+    all_probes = gen_probes(spark, t)
+    sub = all_probes.filter(F.crc32(F.col("conv_id")) % 4 == 0)
+    assert 0 < sub.select("conv_id").distinct().count() < 40
+
+    plain = backfill_asof_fused(t, sub, tolerance="1 DAY")
+    pushed = backfill_asof_fused(t, sub, tolerance="1 DAY", probe_pushdown=True)
+    assert plain.columns == pushed.columns
+    assert _frames_equal(plain, pushed)
+
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, "pushdown must plan a left-semi reduction"
+    assert "Broadcast" in plan, "the probe key set must broadcast"

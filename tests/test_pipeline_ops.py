@@ -1434,3 +1434,52 @@ def farm_spark_pair(spark):
     from kgfarm_spark.api import FeatureFarm
 
     return FeatureFarm(spark), spark
+
+
+class TestDecontaminate:
+    """GPT-3-style benchmark decontamination (dedup.decontaminate)."""
+
+    def _frames(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely unrelated words here only"),
+                (3, "quick brown fox appears here and quick brown fox again"),
+                (4, None),
+            ],
+            "doc_id int, text string",
+        )
+        evalb = spark.createDataFrame(
+            [(100, "a quick brown fox jumps high")], "doc_id int, text string"
+        )
+        return docs, evalb
+
+    def test_flags_overlapping_docs_with_distinct_counts(self, spark):
+        from kgfarm_spark.operators.dedup import decontaminate
+
+        docs, evalb = self._frames(spark)
+        out = {
+            r["doc_id"]: r["n_overlap"]
+            for r in decontaminate(docs, evalb, n=3, min_overlap=1).collect()
+        }
+        # eval 3-grams: {a quick brown, quick brown fox, brown fox jumps,
+        # fox jumps high}; doc1 shares 2, doc3 shares 1 (distinct per doc
+        # even though 'quick brown fox' repeats), doc2/doc4 none
+        assert out == {1: 2, 3: 1}
+
+    def test_min_overlap_threshold(self, spark):
+        from kgfarm_spark.operators.dedup import decontaminate
+
+        docs, evalb = self._frames(spark)
+        out = decontaminate(docs, evalb, n=3, min_overlap=2).collect()
+        assert [(r["doc_id"], r["n_overlap"]) for r in out] == [(1, 2)]
+
+    def test_eval_side_broadcasts(self, spark):
+        from kgfarm_spark.operators.dedup import decontaminate
+
+        docs, evalb = self._frames(spark)
+        plan = (
+            decontaminate(docs, evalb, n=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Broadcast" in plan, "eval shingle set must broadcast"
