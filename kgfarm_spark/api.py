@@ -125,18 +125,23 @@ class FeatureFarm:
         tolerance: str = "1 DAY",
         hot_conv_turns: int | str | None = "auto",
         n_hot_buckets: int = 32,
+        probe_pushdown: bool = False,
     ) -> DataFrame:
         """Facade default is ``hot_conv_turns='auto'``: the measured
         crossover rule (engage the exact bucket+carry guard iff one
         conversation holds > ~1/n_cores of the rows) costs one cheap
         count-aggregate and means cluster users never hand-tune the
-        straggler threshold. Pass an int to pin it, None to disable."""
+        straggler threshold. Pass an int to pin it, None to disable.
+        ``probe_pushdown=True`` broadcast-semi-joins the corpus down to
+        the probed conversations first (9.5× at 48M turns / 1% probes,
+        BENCH.md §2b2) — set it when probing a small sample."""
         return backfill_asof_fused(
             transcripts,
             probes,
             tolerance=tolerance,
             hot_conv_turns=hot_conv_turns,
             n_hot_buckets=n_hot_buckets,
+            probe_pushdown=probe_pushdown,
         )
 
     # ---- cleaning (reference apis.py:139-226) -----------------------------

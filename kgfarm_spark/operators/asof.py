@@ -64,6 +64,7 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     tiebreak: str | None = None,
     strategy: str = "union_window",
+    probe_pushdown: bool = False,
 ) -> DataFrame:
     """As-of join ``left`` (entity frame) against ``right`` (feature view).
 
@@ -81,8 +82,17 @@ def asof_join(
             as ``matched_ts``.
         tiebreak: right column ordering equal-ts matches (e.g. 'turn_idx').
         strategy: 'union_window' | 'merge_asof' (latest mode only).
+        probe_pushdown: broadcast the left frame's distinct key set and
+            left-semi reduce the right side BEFORE the join/window
+            shuffle. Exactness-preserving for every mode/direction (an
+            as-of match shares the probe's key by definition). Set it
+            when the left frame touches a small fraction of the right
+            side's keys — see backfill.backfill_asof_fused for the
+            measured 9.5× and the when-not-to note.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if probe_pushdown:
+        right = right.join(F.broadcast(left.select(*keys).distinct()), keys, "left_semi")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_ts]
     right_cols = list(right_cols)

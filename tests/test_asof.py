@@ -154,3 +154,34 @@ class TestMergeAsofStrategy:
         ka = {r["probe_id"]: (r["matched_ts"], r["val"]) for r in a.collect()}
         kb = {r["probe_id"]: (r["matched_ts"], r["val"]) for r in b.collect()}
         assert ka == kb
+
+
+class TestProbePushdown:
+    """probe_pushdown semi-reduces the right side to the left key set —
+    output must equal the plain plan in every mode/direction."""
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(direction="backward", tolerance="10 minutes", tiebreak="turn_idx"),
+            dict(direction="forward", tiebreak="turn_idx"),
+            dict(direction="nearest", tiebreak="turn_idx"),
+            dict(mode="all_in_window", tolerance="10 minutes"),
+        ],
+        ids=["backward", "forward", "nearest", "all_in_window"],
+    )
+    def test_equals_plain(self, tiny, kw):
+        left, right = tiny
+        plain = asof_join(left, right, **kw)
+        pushed = asof_join(left, right, probe_pushdown=True, **kw)
+        assert plain.columns == pushed.columns
+        cols = sorted(plain.columns)
+        a = sorted(map(str, plain.select(*cols).collect()))
+        b = sorted(map(str, pushed.select(*cols).collect()))
+        assert a == b
+
+    def test_plan_has_semi_reduction(self, tiny):
+        left, right = tiny
+        pushed = asof_join(left, right, probe_pushdown=True)
+        plan = pushed._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
