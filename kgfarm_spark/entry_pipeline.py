@@ -837,3 +837,51 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 97 != 0)
     evalb = docs.filter(F.col("doc_id") % 97 == 0)
     return decontaminate(train, evalb, "doc_id", "text", n=3, min_overlap=2)
+
+
+@register(
+    "ccnet_buckets",
+    r"""
+WITH occ AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+census AS (SELECT w, count(*) AS cnt FROM occ GROUP BY 1),
+tot AS (SELECT sum(cnt) AS n FROM census),
+per AS (
+  SELECT occ.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         sum(ln(census.cnt / tot.n)) AS lp
+  FROM occ JOIN census ON occ.w = census.w CROSS JOIN tot
+  GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id AS doc_id,
+         COALESCE(p.n_words, 0) AS n_words,
+         round(COALESCE(p.lp / p.n_words, 0.0), 6) AS mean_logprob
+  FROM documents d LEFT JOIN per p USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, n_words, mean_logprob,
+         percent_rank() OVER (ORDER BY mean_logprob) AS pr
+  FROM scored WHERE n_words > 0
+)
+SELECT doc_id, n_words, mean_logprob,
+       round(pr, 6) AS ptile,
+       CASE WHEN pr >= 0.666667 THEN 'head'
+            WHEN pr >= 0.333333 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+UNION ALL
+SELECT doc_id, n_words, mean_logprob,
+       CAST(NULL AS DOUBLE) AS ptile, 'tail' AS bucket
+FROM scored WHERE n_words = 0
+""",
+)
+def q_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail split (textstats.ccnet_buckets): unigram-LM
+    score -> exact distributed percent_rank -> tercile labels."""
+    from kgfarm_spark.operators.textstats import ccnet_buckets
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return ccnet_buckets(docs, "doc_id", "text")

@@ -705,6 +705,8 @@ _DEFERRED_PAST_DRIVER_CAP = [
     # oracle queries (flagship_probe_pushdown, decontaminate_vs_eval):
     "one_hot_encode",       # r01-r04 driver-green (4 consecutive rounds)
     "knn_impute_1d",        # r04 driver-green; family kept: fill_median_mode in-window
+    "text_quality",         # r01-r04 driver-green; family kept: quality_gate, lang_id,
+                            # repetition_signals, unigram_logprob, ccnet_buckets in-window
 ]
 
 

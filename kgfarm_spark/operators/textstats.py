@@ -307,3 +307,51 @@ def unigram_logprob(
             6,
         ).alias("mean_logprob"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cuts: tuple[float, float] = (0.333333, 0.666667),
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020
+    §4.3 bucket documents by LM perplexity terciles; head = most fluent
+    third): rank documents by their ``unigram_logprob`` mean score with
+    the EXACT distributed percent_rank (range-bucket + offset — no
+    global single-task window, transforms.quantile_rank_transform), then
+    label by the given rank ``cuts``. Higher mean log-prob = lower
+    perplexity, so rank >= cuts[1] is ``head``. Empty documents
+    (n_words = 0) are excluded from the ranking and labeled ``tail``
+    with a NULL ptile.
+
+    Returns ``(id, n_words, mean_logprob, ptile, bucket)``. Downstream
+    samplers take head+middle (the CCNet recipe) or reweight per bucket
+    via packing.stratified_mix_sample.
+    """
+    from kgfarm_spark.functions.transforms import quantile_rank_transform
+
+    scored = unigram_logprob(df, id_col, text_col)
+    nonempty = scored.filter(F.col("n_words") > 0).withColumn(
+        "__r", F.col("mean_logprob")
+    )
+    ranked = quantile_rank_transform(nonempty, ["__r"])
+    lo, hi = cuts
+    labeled = ranked.select(
+        id_col,
+        "n_words",
+        "mean_logprob",
+        F.round("__r", 6).alias("ptile"),
+        F.when(F.col("__r") >= hi, "head")
+        .when(F.col("__r") >= lo, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    empty = scored.filter(F.col("n_words") == 0).select(
+        id_col,
+        "n_words",
+        "mean_logprob",
+        F.lit(None).cast("double").alias("ptile"),
+        F.lit("tail").alias("bucket"),
+    )
+    return labeled.unionByName(empty)

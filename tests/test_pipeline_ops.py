@@ -1483,3 +1483,46 @@ class TestDecontaminate:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Broadcast" in plan, "eval shingle set must broadcast"
+
+
+class TestCCNetBuckets:
+    """Head/middle/tail split by unigram-LM score (textstats.ccnet_buckets)."""
+
+    def test_fluency_order_maps_to_terciles(self, spark):
+        from kgfarm_spark.operators.textstats import ccnet_buckets
+
+        # doc i = (i+1) copies of the corpus-dominant word + one unique rare
+        # word -> mean log-prob strictly increases with i (no ties), so the
+        # 9 ranked docs split 3/3/3 exactly at the percent_rank tercile cuts
+        rows = [(i, " ".join(["the"] * (i + 1) + [f"zz{i}"])) for i in range(9)]
+        rows += [(30, "   ")]  # empty -> tail, NULL ptile
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {r["doc_id"]: r for r in ccnet_buckets(docs).collect()}
+
+        assert [out[i]["bucket"] for i in range(9)] == (
+            ["tail"] * 3 + ["middle"] * 3 + ["head"] * 3
+        )
+        # score really is monotone in fluency
+        scores = [out[i]["mean_logprob"] for i in range(9)]
+        assert scores == sorted(scores)
+        assert out[30]["bucket"] == "tail" and out[30]["ptile"] is None
+        assert out[30]["n_words"] == 0
+
+    def test_bucket_sizes_roughly_terciles(self, spark):
+        from kgfarm_spark.operators.textstats import ccnet_buckets
+        from kgfarm_spark.sources.transcripts import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text"
+        )
+        counts = {
+            r["bucket"]: r["n"]
+            for r in ccnet_buckets(docs).groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        n = sum(counts.values())
+        # percent_rank terciles: each bucket within a loose band (ties can
+        # shift mass but not collapse a bucket)
+        for b in ("head", "middle", "tail"):
+            assert counts.get(b, 0) > n * 0.15, counts
