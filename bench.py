@@ -631,6 +631,31 @@ def run_corpus_scale() -> dict:
         "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt),
     }
 
+    # benchmark decontamination: every 1000th doc plays the eval set
+    from kgfarm_spark.operators.dedup import decontaminate
+
+    train = docs.filter(F.col("doc_id") % 1000 != 0)
+    evalb = docs.filter(F.col("doc_id") % 1000 == 0)
+    t0 = time.monotonic()
+    flagged = decontaminate(train, evalb, "doc_id", "text", n=5, min_overlap=2)
+    n_flagged = flagged.count()
+    dt = time.monotonic() - t0
+    out["decontaminate"] = {
+        "docs": n_docs, "eval_docs": n_docs // 1000, "n": 5, "flagged": n_flagged,
+        "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt),
+    }
+
+    from kgfarm_spark.operators.textstats import ccnet_buckets
+
+    t0 = time.monotonic()
+    ccnet_buckets(docs, "doc_id", "text").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.monotonic() - t0
+    out["ccnet_buckets"] = {
+        "docs": n_docs, "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt)
+    }
+
     spark.stop()
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
