@@ -885,3 +885,89 @@ def q_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return ccnet_buckets(docs, "doc_id", "text")
+
+
+@register(
+    "dsir_importance",
+    r"""
+WITH occ AS (
+  SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
+         unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+census AS (SELECT w, sum(tgt) AS ct, count(*) AS cr FROM occ GROUP BY 1),
+tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM census),
+per AS (
+  SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         sum( ln((census.ct + 0.5) / (tot.nt + 0.5 * tot.v))
+            - ln((census.cr + 0.5) / (tot.nr + 0.5 * tot.v)) ) AS s
+  FROM occ JOIN census USING (w) CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT d.doc_id AS doc_id,
+       CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+       round(COALESCE(p.s, 0.0), 6) AS dsir_logweight
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
+)
+def q_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights toward the English-document target
+    distribution (textstats.dsir_importance, Xie et al. 2023)."""
+    from kgfarm_spark.operators.textstats import dsir_importance
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    return dsir_importance(docs, F.col("lang") == "en", "doc_id", "text")
+
+
+@register(
+    "gopher_line_rules",
+    r"""
+WITH b AS (
+  SELECT doc_id,
+    string_split_regex(trim(text), '\s+') AS words,
+    list_filter(string_split(text, chr(10)),
+                x -> length(trim(x)) > 0) AS lines,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    (length(text) - length(replace(text, '...', ''))) / 3.0
+      + (length(text) - length(replace(text, '…', ''))) AS n_ell
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    greatest(len(words), 1) AS n_words,
+    greatest(len(lines), 1) AS n_lines,
+    n_hash, n_ell,
+    len(list_filter(lines,
+        x -> substr(trim(x), 1, 1) IN ('-', '*', '•'))) AS bullet_lines,
+    len(list_filter(lines,
+        x -> right(trim(x), 3) = '...' OR right(trim(x), 1) = '…'))
+        AS ell_lines,
+    len(list_filter(words,
+        w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words
+  FROM b
+)
+SELECT doc_id,
+  round(n_hash * 1.0 / n_words, 6) AS hash_word_ratio,
+  round(n_ell / n_words, 6) AS ellipsis_word_ratio,
+  round(bullet_lines * 1.0 / n_lines, 6) AS bullet_line_frac,
+  round(ell_lines * 1.0 / n_lines, 6) AS ellipsis_line_frac,
+  round(alpha_words * 1.0 / n_words, 6) AS alpha_word_frac,
+  n_hash * 1.0 / n_words <= 0.1 AS hash_ok,
+  n_ell / n_words <= 0.1 AS ellipsis_ok,
+  bullet_lines * 1.0 / n_lines <= 0.9 AS bullet_ok,
+  ell_lines * 1.0 / n_lines <= 0.3 AS ellipsis_line_ok,
+  alpha_words * 1.0 / n_words >= 0.8 AS alpha_ok,
+  (n_hash * 1.0 / n_words <= 0.1 AND n_ell / n_words <= 0.1
+   AND bullet_lines * 1.0 / n_lines <= 0.9
+   AND ell_lines * 1.0 / n_lines <= 0.3
+   AND alpha_words * 1.0 / n_words >= 0.8) AS keep
+FROM c
+""",
+)
+def q_gopher_line_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher symbol-ratio + line-shape rules (textstats.gopher_line_rules)
+    completing the Rae et al. 2021 Table A1 set."""
+    from kgfarm_spark.operators.textstats import gopher_line_rules
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return gopher_line_rules(docs, "doc_id", "text")

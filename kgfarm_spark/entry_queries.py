@@ -707,6 +707,13 @@ _DEFERRED_PAST_DRIVER_CAP = [
     "knn_impute_1d",        # r04 driver-green; family kept: fill_median_mode in-window
     "text_quality",         # r01-r04 driver-green; family kept: quality_gate, lang_id,
                             # repetition_signals, unigram_logprob, ccnet_buckets in-window
+    # late-r05: two more corpus-scoring oracles (dsir_importance,
+    # gopher_line_rules) enter the window; the two hot-safe variants below
+    # defer on the same rationale as their siblings above — r04
+    # driver-green AND exact-equality-vs-plain-twin pytest-enforced, so
+    # the driver loses no independent signal:
+    "sessionize_hot_safe",
+    "rolling_hot_safe",
 ]
 
 

@@ -371,3 +371,169 @@ def ccnet_buckets(
         F.lit("tail").alias("bucket"),
     )
     return labeled.unionByName(empty)
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    fit a target unigram LM on the documents matching the ``target``
+    predicate and a raw LM on the whole corpus, then weight every
+    document by its log importance ratio
+
+        log w(d) = sum_over_tokens  ln p_target(tok) - ln p_raw(tok)
+
+    with add-``alpha`` smoothing over the SHARED corpus vocabulary (both
+    LMs smooth over the same V, so out-of-target words get a finite
+    negative contribution rather than -inf). Downstream, sampling
+    documents with probability proportional to exp(log w) (or gumbel
+    top-k on ``dsir_logweight``) reweights the raw corpus toward the
+    target distribution — the DSIR recipe.
+
+    DSIR's paper buckets n-grams into B ~ 10^4 hash buckets to keep the
+    LM small; here the census is keyed by the 64-bit ``xxhash64`` of the
+    word — i.e. the hashed variant with B = 2^64, which at any corpus
+    size keeps the census linear in distinct words and never
+    materializes a driver-side vocabulary. Scale shape is identical to
+    ``unigram_logprob``: explode -> census groupBy (map-side partial
+    sums, two conditional counters in ONE pass) -> hash-partitioned join
+    of occurrences to census -> groupBy document. The three totals
+    (N_target, N_raw, |V|) ride along as a broadcast 1-row cross join,
+    so the whole computation is a single lazy plan with three linear
+    shuffles and no driver-side fit.
+
+    ``target`` is a boolean Column evaluated per document (e.g.
+    ``F.col("lang") == "en"`` or a quality-gate verdict). Returns
+    ``(id, n_words, dsir_logweight)`` rounded to 6 decimals; empty
+    documents get weight 0.0.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    occ = df.select(
+        F.col(id_col).alias("__id"),
+        target.cast("int").alias("__tgt"),
+        F.explode_outer(
+            F.when(F.length(F.trim(F.col(text_col))) > 0, words)
+        ).alias("__w"),
+    ).withColumn("__h", F.xxhash64("__w"))
+    census = (
+        occ.filter(F.col("__w").isNotNull())
+        .groupBy("__h")
+        .agg(
+            F.sum("__tgt").alias("__ct"),
+            F.count(F.lit(1)).alias("__cr"),
+        )
+    )
+    tot = census.agg(
+        F.sum("__ct").alias("__nt"),
+        F.sum("__cr").alias("__nr"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    lam = F.log(
+        (F.col("__ct") + F.lit(alpha)) / (F.col("__nt") + F.lit(alpha) * F.col("__v"))
+    ) - F.log(
+        (F.col("__cr") + F.lit(alpha)) / (F.col("__nr") + F.lit(alpha) * F.col("__v"))
+    )
+    scored = (
+        occ.join(census, "__h", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__id",
+            F.col("__w").isNotNull().cast("int").alias("__is_w"),
+            F.when(F.col("__w").isNotNull(), lam).alias("__lam"),
+        )
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.sum("__is_w").alias("n_words"),
+        F.coalesce(F.sum("__lam"), F.lit(0.0)).alias("__s"),
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_words",
+        F.round("__s", 6).alias("dsir_logweight"),
+    )
+
+
+def gopher_line_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hash_word_ratio: float = 0.1,
+    max_ellipsis_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021 Table A1) that
+    ``quality_gate`` and ``repetition_signals`` do not already cover —
+    the symbol-ratio and line-shape family:
+
+    - ``hash_word_ratio``: '#' symbols per word <= 0.1
+    - ``ellipsis_word_ratio``: '...'/'…' per word <= 0.1
+    - ``bullet_line_frac``: fraction of lines starting with a bullet
+      ('-', '*', '•') <= 0.9
+    - ``ellipsis_line_frac``: fraction of lines ending with an ellipsis
+      <= 0.3
+    - ``alpha_word_frac``: fraction of words containing at least one
+      [A-Za-z] character >= 0.8
+
+    Together with quality_gate (word count / mean word length / punct /
+    digit / stopwords) and repetition_signals (dup-line + top-bigram
+    fractions) this completes the published Gopher rule set. All pure
+    per-row JVM expressions (split + higher-order array filters) — one
+    codegen'd projection, zero shuffles, no Python in the row path; the
+    DuckDB oracle applies identical formulas via list_filter lambdas.
+    Returns the five rounded ratios, per-rule flags, and ``keep``.
+    """
+    txt = F.col(text_col)
+    words = F.split(F.trim(txt), r"\s+")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    n_hash = F.length(txt) - F.length(F.regexp_replace(txt, "#", ""))
+    n_ell = (
+        (F.length(txt) - F.length(F.replace(txt, F.lit("...")))) / 3
+        + (F.length(txt) - F.length(F.replace(txt, F.lit("…"))))
+    )
+    lines = F.filter(
+        F.split(txt, "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_lines = F.size(
+        F.filter(lines, lambda x: F.trim(x).substr(1, 1).isin("-", "*", "•"))
+    )
+    ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: F.trim(x).endswith("...") | F.trim(x).endswith("…"),
+        )
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+
+    hash_ratio = n_hash / n_words
+    ell_ratio = n_ell / n_words
+    bullet_frac = bullet_lines / n_lines
+    ell_line_frac = ell_lines / n_lines
+    alpha_frac = alpha_words / n_words
+
+    hash_ok = hash_ratio <= max_hash_word_ratio
+    ell_ok = ell_ratio <= max_ellipsis_word_ratio
+    bullet_ok = bullet_frac <= max_bullet_line_frac
+    ell_line_ok = ell_line_frac <= max_ellipsis_line_frac
+    alpha_ok = alpha_frac >= min_alpha_word_frac
+    return df.select(
+        id_col,
+        F.round(hash_ratio, 6).alias("hash_word_ratio"),
+        F.round(ell_ratio, 6).alias("ellipsis_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ell_line_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        hash_ok.alias("hash_ok"),
+        ell_ok.alias("ellipsis_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ell_line_ok.alias("ellipsis_line_ok"),
+        alpha_ok.alias("alpha_ok"),
+        (hash_ok & ell_ok & bullet_ok & ell_line_ok & alpha_ok).alias("keep"),
+    )

@@ -1526,3 +1526,85 @@ class TestCCNetBuckets:
         # shift mass but not collapse a bucket)
         for b in ("head", "middle", "tail"):
             assert counts.get(b, 0) > n * 0.15, counts
+
+
+class TestDSIRImportance:
+    """textstats.dsir_importance — hashed-ngram importance weights
+    (Xie et al. 2023), add-alpha smoothing over the shared vocab."""
+
+    def test_hand_computed_log_ratio(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from kgfarm_spark.operators.textstats import dsir_importance
+
+        # target docs (lang=en) say "alpha", raw corpus also has "beta"
+        rows = [
+            (1, "en", "alpha alpha"),
+            (2, "en", "alpha"),
+            (3, "xx", "beta beta beta"),
+            (4, "xx", ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got = {
+            r["doc_id"]: r
+            for r in dsir_importance(df, F.col("lang") == "en").collect()
+        }
+        # census: alpha ct=3 cr=3; beta ct=0 cr=3. nt=3 nr=6 v=2 alpha=.5
+        lam_a = math.log(3.5 / 4.0) - math.log(3.5 / 7.0)
+        lam_b = math.log(0.5 / 4.0) - math.log(3.5 / 7.0)
+        assert got[1]["n_words"] == 2
+        assert got[1]["dsir_logweight"] == pytest.approx(2 * lam_a, abs=1e-5)
+        assert got[3]["dsir_logweight"] == pytest.approx(3 * lam_b, abs=1e-5)
+        # target-typical text weighs ABOVE raw-typical text
+        assert got[1]["dsir_logweight"] > 0 > got[3]["dsir_logweight"]
+        assert got[4]["n_words"] == 0 and got[4]["dsir_logweight"] == 0.0
+
+    def test_partition_invariance(self, spark):
+        from pyspark.sql import functions as F
+
+        from kgfarm_spark.operators.textstats import dsir_importance
+
+        rows = [(i, "en" if i % 3 == 0 else "xx", f"w{i % 7} w{i % 5} common")
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        a = dsir_importance(df.repartition(1), F.col("lang") == "en")
+        b = dsir_importance(df.repartition(16), F.col("lang") == "en")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestGopherLineRules:
+    """textstats.gopher_line_rules — the symbol-ratio / line-shape half of
+    the Gopher Table A1 rule set."""
+
+    def test_flags_hand_computed(self, spark):
+        from kgfarm_spark.operators.textstats import gopher_line_rules
+
+        rows = [
+            (1, "plain prose line\nanother good line here"),
+            (2, "- one\n- two\n- three\nprose..."),     # 3/4 bullets, 1/4 ellipsis-end
+            (3, "# # # # tag"),                          # hash-heavy
+            (4, "1 2 3 4 5"),                            # no alpha words
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in gopher_line_rules(df).collect()}
+        assert got[1]["keep"] is True
+        assert got[2]["bullet_line_frac"] == pytest.approx(0.75)
+        assert got[2]["ellipsis_line_frac"] == pytest.approx(0.25)
+        assert got[2]["bullet_ok"] is True and got[2]["ellipsis_line_ok"] is True
+        # doc 3: 4 '#' / 5 words = 0.8 > 0.1 -> hash rule trips
+        assert got[3]["hash_word_ratio"] == pytest.approx(0.8)
+        assert got[3]["hash_ok"] is False and got[3]["keep"] is False
+        # doc 4: zero alpha words
+        assert got[4]["alpha_word_frac"] == 0.0
+        assert got[4]["alpha_ok"] is False and got[4]["keep"] is False
+
+    def test_unicode_ellipsis_and_bullet(self, spark):
+        from kgfarm_spark.operators.textstats import gopher_line_rules
+
+        rows = [(1, "• bullet line\nends with dots…")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = gopher_line_rules(df).collect()[0]
+        assert r["bullet_line_frac"] == pytest.approx(0.5)
+        assert r["ellipsis_line_frac"] == pytest.approx(0.5)
