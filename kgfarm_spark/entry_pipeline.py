@@ -971,3 +971,46 @@ def q_gopher_line_rules(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return gopher_line_rules(docs, "doc_id", "text")
+
+
+@register(
+    "bpe_pair_counts",
+    r"""
+WITH census AS (
+  SELECT w AS word, count(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents WHERE length(trim(text)) > 0)
+  WHERE length(w) > 0 GROUP BY 1
+),
+pos AS (
+  SELECT word, cnt, unnest(range(1, length(word))) AS i
+  FROM census WHERE length(word) >= 2
+)
+SELECT substr(word, CAST(i AS INT), 1) AS "left",
+       substr(word, CAST(i AS INT) + 1, 1) AS "right",
+       CAST(sum(cnt) AS BIGINT) AS pair_count
+FROM pos GROUP BY 1, 2
+""",
+)
+def q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-0 BPE pair statistics (bpe.bpe_pair_counts): word-frequency-
+    weighted character-bigram counts — the stat that picks the first merge."""
+    from kgfarm_spark.operators.bpe import bpe_pair_counts
+
+    docs = load_table(spark, sf, "documents").select("text")
+    return bpe_pair_counts(docs, "text")
+
+
+# bpe_merges is rows-only BY CONTRACT: the merge sequence is an iterative
+# k-round algorithm (argmax + re-segmentation per round) that plain SQL
+# cannot express; exact parity vs a pure-Python reference BPE is
+# pytest-enforced (tests/test_pipeline_ops.py::TestBPE), and round-0 of
+# the same machinery IS oracle-checked above via bpe_pair_counts.
+@register("bpe_merges")
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """First 8 learned BPE merges over the documents corpus (bpe.bpe_train)."""
+    from kgfarm_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf, "documents").select("text")
+    merges, _ = bpe_train(docs, "text", n_merges=8)
+    return merges

@@ -1,0 +1,145 @@
+"""Distributed BPE tokenizer induction (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units").
+
+A 100 TB corpus can't run the textbook in-memory BPE loop, but the
+classic map-reduce decomposition holds: the merge statistics only depend
+on the WORD CENSUS (distinct word, count) — corpus-linear work happens
+once, in the census groupBy; every merge round after that is
+census-sized, i.e. distinct-words-sized, typically 4-6 orders of
+magnitude smaller than the corpus. Each round is one explode + one
+map-side-combined aggregate over the cached census, a 1-row driver
+collect (the argmax pair — the model step, legitimately driver-side),
+and one codegen'd fold projection applying the merge. No Python in any
+row path: the greedy left-to-right merge application is a higher-order
+``aggregate`` lambda on the symbols array.
+
+Parity: ``tests/test_pipeline_ops.py`` checks the merge sequence and
+final segmentations are EXACTLY equal to a pure-Python reference BPE on
+the same corpus (same greedy semantics, same deterministic tie-break:
+max count, then lexicographically smallest (left, right) pair).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_census(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) census — the only corpus-linear pass in BPE training.
+    One explode + one map-side-combined groupBy; whitespace tokenization
+    to match the rest of the textstats family."""
+    words = F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+    return (
+        df.select(words.alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _adjacent_pairs(syms_col: str) -> F.Column:
+    """Array of adjacent (l, r) symbol structs; empty for 1-symbol words."""
+    return F.when(
+        F.size(F.col(syms_col)) >= 2,
+        F.expr(
+            f"transform(sequence(0, size({syms_col}) - 2), "
+            f"i -> struct({syms_col}[i] AS l, {syms_col}[i + 1] AS r))"
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+
+def pair_counts(census: DataFrame) -> DataFrame:
+    """Occurrence-weighted adjacent-symbol pair counts over a census that
+    carries a ``__syms`` array (or over raw words via ``bpe_pair_counts``).
+    Overlapping pairs count individually ('aaa' contributes (a,a) twice) —
+    the textbook get_stats semantics."""
+    col = "__syms" if "__syms" in census.columns else None
+    if col is None:
+        census = census.withColumn("__syms", F.split("word", ""))
+    return (
+        census.select("count", F.explode(_adjacent_pairs("__syms")).alias("__p"))
+        .groupBy(F.col("__p.l").alias("left"), F.col("__p.r").alias("right"))
+        .agg(F.sum("count").alias("pair_count"))
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Round-0 BPE pair statistics straight off a document table: the
+    character-bigram counts (weighted by word frequency) that pick the
+    first merge. Oracle-checkable — the census + lateral position explode
+    is plain SQL in both engines."""
+    return pair_counts(word_census(df, text_col))
+
+
+def _apply_merge(syms_col: F.Column, left: str, right: str) -> F.Column:
+    """Greedy left-to-right application of one merge (left, right) ->
+    left||right over a symbols array, as a pure JVM fold — the acc-array
+    grows by slices, fine for word-length arrays."""
+    l, r = F.lit(left), F.lit(right)
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == l) & (x == r),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``n_merges`` BPE merges over a document table. Returns
+    ``(merges, segmented_census)``:
+
+    - ``merges``: (rank, left, right, pair_count) — the model, in merge
+      order. Tie-break is deterministic: max pair_count, then smallest
+      (left, right) lexicographically, so two runs (and the pure-Python
+      twin) produce the identical sequence.
+    - ``segmented_census``: (word, count, symbols) — every distinct word
+      with its final subword segmentation, ready to broadcast-join back
+      onto the corpus as the tokenizer's apply step.
+
+    Per round: one aggregate over the CACHED census (distinct-words
+    sized, not corpus sized), one 1-row collect, one fold projection.
+    The census is re-persisted every round and the prior round's cache
+    is freed, so lineage stays one projection deep — no exponential
+    plan growth over merge rounds.
+    """
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    spark = df.sparkSession
+    census = (
+        word_census(df, text_col)
+        .withColumn("__syms", F.split("word", ""))
+        .persist()
+    )
+    census.count()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            pair_counts(census)
+            .orderBy(F.desc("pair_count"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        merges.append((rank, row["left"], row["right"], row["pair_count"]))
+        nxt = census.withColumn(
+            "__syms", _apply_merge(F.col("__syms"), row["left"], row["right"])
+        ).persist()
+        nxt.count()
+        census.unpersist()
+        census = nxt
+    merges_df = spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )
+    segmented = census.select("word", "count", F.col("__syms").alias("symbols"))
+    return merges_df, segmented

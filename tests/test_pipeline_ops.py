@@ -1608,3 +1608,85 @@ class TestGopherLineRules:
         r = gopher_line_rules(df).collect()[0]
         assert r["bullet_line_frac"] == pytest.approx(0.5)
         assert r["ellipsis_line_frac"] == pytest.approx(0.5)
+
+
+def _py_bpe(words: list, n_merges: int):
+    """Textbook BPE reference (Sennrich et al. 2016 get_stats/merge loop)
+    with the same deterministic tie-break as operators.bpe.bpe_train."""
+    from collections import Counter
+
+    census = Counter(words)
+    syms = {w: list(w) for w in census}
+    merges = []
+    for rank in range(n_merges):
+        stats = Counter()
+        for w, c in census.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] += c
+        if not stats:
+            break
+        mx = max(stats.values())
+        left, right = min(p for p, c in stats.items() if c == mx)
+        merges.append((rank, left, right, mx))
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges, {w: (census[w], syms[w]) for w in census}
+
+
+class TestBPE:
+    """operators.bpe — distributed BPE training vs the pure-Python
+    textbook loop: identical merge sequence AND segmentations."""
+
+    CORPUS = [
+        (1, "low low low lower lower newest newest newest newest widest"),
+        (2, "widest widest low newest the the the cat sat"),
+        (3, ""),
+    ]
+
+    def test_merges_and_segmentation_match_reference(self, spark):
+        from kgfarm_spark.operators.bpe import bpe_train
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        merges_df, seg_df = bpe_train(df, "text", n_merges=12)
+        words = " ".join(t for _, t in self.CORPUS).split()
+        ref_merges, ref_seg = _py_bpe(words, 12)
+        got = [(r["rank"], r["left"], r["right"], r["pair_count"])
+               for r in merges_df.orderBy("rank").collect()]
+        assert got == ref_merges
+        got_seg = {r["word"]: (r["count"], list(r["symbols"]))
+                   for r in seg_df.collect()}
+        assert got_seg == ref_seg
+
+    def test_early_stop_and_zero_merges(self, spark):
+        from kgfarm_spark.operators.bpe import bpe_train
+
+        # single-char words: no pairs ever -> early break
+        df = spark.createDataFrame([(1, "a b a c")], "doc_id long, text string")
+        merges, seg = bpe_train(df, "text", n_merges=5)
+        assert merges.count() == 0
+        assert {r["word"] for r in seg.collect()} == {"a", "b", "c"}
+        merges0, _ = bpe_train(df, "text", n_merges=0)
+        assert merges0.count() == 0
+        with pytest.raises(ValueError):
+            bpe_train(df, "text", n_merges=-1)
+
+    def test_overlapping_pairs_greedy(self, spark):
+        from kgfarm_spark.operators.bpe import bpe_train
+
+        # 'aaaa' x3 + 'ab': (a,a) counted overlapping (9 > ...); greedy
+        # left-to-right gives [aa, aa]
+        df = spark.createDataFrame(
+            [(1, "aaaa aaaa aaaa ab")], "doc_id long, text string")
+        merges_df, seg_df = bpe_train(df, "text", n_merges=1)
+        m = merges_df.collect()[0]
+        assert (m["left"], m["right"], m["pair_count"]) == ("a", "a", 9)
+        seg = {r["word"]: list(r["symbols"]) for r in seg_df.collect()}
+        assert seg["aaaa"] == ["aa", "aa"]
+        assert seg["ab"] == ["a", "b"]
