@@ -714,6 +714,10 @@ _DEFERRED_PAST_DRIVER_CAP = [
     # the driver loses no independent signal:
     "sessionize_hot_safe",
     "rolling_hot_safe",
+    # late-r05: bpe_pair_counts enters; backfill_features_hot defers on
+    # the same twin-parity rationale (flagship_hot_guard, which exercises
+    # the same hot-guard machinery END-TO-END, stays in-window):
+    "backfill_features_hot",
 ]
 
 
