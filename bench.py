@@ -656,6 +656,40 @@ def run_corpus_scale() -> dict:
         "docs": n_docs, "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt)
     }
 
+    from kgfarm_spark.operators.textstats import dsir_importance, gopher_line_rules
+
+    t0 = time.monotonic()
+    dsir_importance(docs, (F.col("doc_id") % 10) == 0, "doc_id", "text").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    dt = time.monotonic() - t0
+    out["dsir_importance"] = {
+        "docs": n_docs, "target_frac": 0.1,
+        "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt),
+    }
+
+    t0 = time.monotonic()
+    gopher_line_rules(docs, "doc_id", "text").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.monotonic() - t0
+    out["gopher_line_rules"] = {
+        "docs": n_docs, "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt)
+    }
+
+    from kgfarm_spark.operators.bpe import bpe_train, word_census
+
+    n_vocab = word_census(docs, "text").count()
+    t0 = time.monotonic()
+    merges, _seg = bpe_train(docs, "text", n_merges=20)
+    n_merges_learned = merges.count()
+    dt = time.monotonic() - t0
+    out["bpe_train"] = {
+        "docs": n_docs, "distinct_words": n_vocab, "n_merges": n_merges_learned,
+        "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt),
+        "note": "corpus-linear census once, then census-sized merge rounds",
+    }
+
     spark.stop()
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

@@ -300,7 +300,10 @@ class FeatureFarm:
         unigram-LM mean log-prob) · ``'buckets'`` (CCNet head/middle/
         tail split by LM-score percent-rank terciles) · ``'repetition'``
         (dup-line + top-bigram fractions) · ``'langid'``
-        (stopword-profile language guess)."""
+        (stopword-profile language guess) · ``'line_rules'`` (Gopher
+        symbol-ratio + bullet/ellipsis line-shape rules — together with
+        'gate' and 'repetition' this is the full Rae et al. Table A1
+        set)."""
         from kgfarm_spark.operators import textstats as _ts
 
         routes = {
@@ -310,6 +313,7 @@ class FeatureFarm:
             "buckets": lambda: _ts.ccnet_buckets(docs, id_col, text_col, **kw),
             "repetition": lambda: _ts.repetition_signals(docs, id_col, text_col, **kw),
             "langid": lambda: _ts.lang_id(docs, text_col, **kw),
+            "line_rules": lambda: _ts.gopher_line_rules(docs, id_col, text_col, **kw),
         }
         if method not in routes:
             raise ValueError(
@@ -352,6 +356,32 @@ class FeatureFarm:
         )
 
     # ---- model tail (reference pipeline_generator.py:152-191) -------------
+    def importance(
+        self,
+        docs: DataFrame,
+        target,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        **kw,
+    ) -> DataFrame:
+        """DSIR importance-resampling weights toward the ``target``
+        boolean-Column predicate (textstats.dsir_importance): sample
+        downstream with probability ∝ exp(dsir_logweight) to reshape the
+        raw corpus toward the target distribution."""
+        from kgfarm_spark.operators.textstats import dsir_importance
+
+        return dsir_importance(docs, target, id_col, text_col, **kw)
+
+    def train_tokenizer(
+        self, docs: DataFrame, text_col: str = "text", n_merges: int = 10
+    ):
+        """Learn a BPE merge table over the corpus (operators.bpe.bpe_train).
+        Returns (merges, segmented_census) — broadcast-join the census back
+        onto the corpus as the apply step."""
+        from kgfarm_spark.operators.bpe import bpe_train
+
+        return bpe_train(docs, text_col, n_merges)
+
     def train_model(self, train: DataFrame, target: str, task: str, **kw):
         from kgfarm_spark.ml import train_model as _tm
 

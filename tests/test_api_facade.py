@@ -171,3 +171,25 @@ def test_corpus_curation_verbs_route_to_operators(farm, spark):
         farm.dedup(docs, method="suffixarray")
     with pytest.raises(ValueError, match="unknown quality method"):
         farm.quality(docs, method="perplexity9000")
+
+
+def test_facade_importance_line_rules_tokenizer(farm):
+    docs = farm.load_table("documents").select("doc_id", "lang", "text").limit(40)
+
+    from kgfarm_spark.operators.bpe import bpe_train
+    from kgfarm_spark.operators.textstats import dsir_importance, gopher_line_rules
+
+    w_f = farm.importance(docs, F.col("lang") == "en")
+    w_d = dsir_importance(docs, F.col("lang") == "en")
+    assert sorted(map(repr, w_f.collect())) == sorted(map(repr, w_d.collect()))
+
+    q_f = farm.quality(docs, method="line_rules")
+    q_d = gopher_line_rules(docs)
+    assert sorted(map(repr, q_f.collect())) == sorted(map(repr, q_d.collect()))
+
+    m_f, seg_f = farm.train_tokenizer(docs, n_merges=3)
+    m_d, _ = bpe_train(docs, "text", n_merges=3)
+    assert [tuple(r) for r in m_f.orderBy("rank").collect()] == [
+        tuple(r) for r in m_d.orderBy("rank").collect()
+    ]
+    assert "symbols" in seg_f.columns
