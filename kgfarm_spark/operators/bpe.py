@@ -143,3 +143,55 @@ def bpe_train(
     )
     segmented = census.select("word", "count", F.col("__syms").alias("symbols"))
     return merges_df, segmented
+
+
+def bpe_apply(
+    df: DataFrame,
+    segmented_census: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize a document table with a learned segmentation: explode the
+    corpus to (doc, position, word), broadcast-or-hash join the word ->
+    symbols census, and reassemble per-doc token arrays in word order.
+
+    The census is the tokenizer model (distinct-words sized); Spark's
+    optimizer broadcasts it when it fits (typical) and falls back to a
+    hash join at extreme vocabulary sizes — both corpus-linear. Words
+    absent from the census (unseen at train time) fall back to their
+    character segmentation, the standard open-vocabulary behavior.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    occ = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.when(F.length(F.trim(F.col(text_col))) > 0, words).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("__pos", "__w"),
+    )
+    model = segmented_census.select(
+        F.col("word").alias("__w"), F.col("symbols").alias("__syms")
+    )
+    joined = occ.join(model, "__w", "left").select(
+        "__id",
+        "__pos",
+        F.coalesce(F.col("__syms"), F.split("__w", "")).alias("__syms"),
+    )
+    per_doc = joined.groupBy("__id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__syms"))
+                ),
+                lambda x: x["__syms"],
+            )
+        ).alias(out_col)
+    )
+    return df.select(id_col).join(
+        per_doc.withColumnRenamed("__id", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col(out_col), F.array().cast("array<string>")).alias(out_col),
+    )

@@ -1690,3 +1690,21 @@ class TestBPE:
         seg = {r["word"]: list(r["symbols"]) for r in seg_df.collect()}
         assert seg["aaaa"] == ["aa", "aa"]
         assert seg["ab"] == ["a", "b"]
+
+    def test_bpe_apply_matches_reference_segmentation(self, spark):
+        from kgfarm_spark.operators.bpe import bpe_apply, bpe_train
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        _, seg = bpe_train(df, "text", n_merges=12)
+        toks = {r["doc_id"]: list(r["tokens"])
+                for r in bpe_apply(df, seg, "text", "doc_id").collect()}
+        words = " ".join(t for _, t in self.CORPUS).split()
+        _, ref_seg = _py_bpe(words, 12)
+        for doc_id, text in self.CORPUS:
+            expect = [s for w in text.split() for s in ref_seg[w][1]] if text else []
+            assert toks[doc_id] == expect
+        # unseen word falls back to character segmentation
+        new = spark.createDataFrame([(9, "low zzz")], "doc_id long, text string")
+        got = {r["doc_id"]: list(r["tokens"])
+               for r in bpe_apply(new, seg, "text", "doc_id").collect()}
+        assert got[9][-3:] == ["z", "z", "z"]
