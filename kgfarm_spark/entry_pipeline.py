@@ -924,12 +924,15 @@ def q_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     r"""
 WITH b AS (
   SELECT doc_id,
-    string_split_regex(trim(text), '\s+') AS words,
-    list_filter(string_split(text, chr(10)),
+    string_split_regex(trim(coalesce(text, '')), '\s+') AS words,
+    list_filter(string_split(coalesce(text, ''), chr(10)),
                 x -> length(trim(x)) > 0) AS lines,
-    length(text) - length(replace(text, '#', '')) AS n_hash,
-    (length(text) - length(replace(text, '...', ''))) / 3.0
-      + (length(text) - length(replace(text, '…', ''))) AS n_ell
+    length(coalesce(text, ''))
+      - length(replace(coalesce(text, ''), '#', '')) AS n_hash,
+    (length(coalesce(text, ''))
+      - length(replace(coalesce(text, ''), '...', ''))) / 3.0
+      + (length(coalesce(text, ''))
+      - length(replace(coalesce(text, ''), '…', ''))) AS n_ell
   FROM documents
 ),
 c AS (

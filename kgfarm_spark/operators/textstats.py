@@ -489,7 +489,9 @@ def gopher_line_rules(
     DuckDB oracle applies identical formulas via list_filter lambdas.
     Returns the five rounded ratios, per-rule flags, and ``keep``.
     """
-    txt = F.col(text_col)
+    # NULL text normalizes to '' (house rule from dedup_lines_corpus):
+    # every document gets well-defined non-null ratios and flags
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     words = F.split(F.trim(txt), r"\s+")
     n_words = F.greatest(F.size(words), F.lit(1))
     n_hash = F.length(txt) - F.length(F.regexp_replace(txt, "#", ""))

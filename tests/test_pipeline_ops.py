@@ -1708,3 +1708,21 @@ class TestBPE:
         got = {r["doc_id"]: list(r["tokens"])
                for r in bpe_apply(new, seg, "text", "doc_id").collect()}
         assert got[9][-3:] == ["z", "z", "z"]
+
+
+def test_gopher_and_dsir_null_text(spark):
+    """NULL text: gopher rules coalesce to '' (well-defined flags, house
+    rule); dsir gives n_words=0 / weight 0.0."""
+    from pyspark.sql import functions as F
+
+    from kgfarm_spark.operators.textstats import dsir_importance, gopher_line_rules
+
+    df = spark.createDataFrame(
+        [(1, "en", None), (2, "en", "real prose here")],
+        "doc_id long, lang string, text string",
+    )
+    g = {r["doc_id"]: r for r in gopher_line_rules(df).collect()}
+    assert g[1]["keep"] is False and g[1]["alpha_word_frac"] == 0.0
+    assert g[1]["hash_word_ratio"] == 0.0
+    d = {r["doc_id"]: r for r in dsir_importance(df, F.col("lang") == "en").collect()}
+    assert d[1]["n_words"] == 0 and d[1]["dsir_logweight"] == 0.0
