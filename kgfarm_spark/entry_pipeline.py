@@ -1017,3 +1017,58 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("text")
     merges, _ = bpe_train(docs, "text", n_merges=8)
     return merges
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+WITH RECURSIVE {_DUP_CORPUS_SQL},
+{_SHINGLES_SQL},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.id_a
+  JOIN sizes sb ON sb.doc_id = inter.id_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+),
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+),
+comp AS (SELECT src AS id, least(src, min(dst)) AS component
+         FROM reach GROUP BY src),
+ranked AS (
+  SELECT c.doc_id, comp.component,
+         row_number() OVER (PARTITION BY comp.component
+                            ORDER BY length(c.text) DESC, c.doc_id DESC) AS rn
+  FROM corpus c JOIN comp ON comp.id = c.doc_id
+)
+SELECT doc_id FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware cluster resolution (dedup.dedup_keep_component_best):
+    near-dup components over exact-Jaccard pairs, keep the LONGEST doc per
+    cluster (ties -> larger id); oracle replays the recursive transitive
+    closure + a per-component rank in DuckDB."""
+    from kgfarm_spark.operators.dedup import dedup_keep_component_best
+
+    corpus = _dup_corpus(spark, sf).withColumn("__score", F.length("text"))
+    pairs = jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=None
+    )
+    kept = dedup_keep_component_best(corpus, pairs, "doc_id", "__score")
+    return kept.select("doc_id")

@@ -718,6 +718,10 @@ _DEFERRED_PAST_DRIVER_CAP = [
     # the same twin-parity rationale (flagship_hot_guard, which exercises
     # the same hot-guard machinery END-TO-END, stays in-window):
     "backfill_features_hot",
+    # late-r05: dedup_keep_best (quality-aware cluster resolution) enters;
+    # normalize_null_tokens defers — r01-r04 driver-green, null family
+    # still in-window via null_scan_transcripts + fill_median_mode:
+    "normalize_null_tokens",
 ]
 
 

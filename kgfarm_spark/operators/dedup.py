@@ -228,6 +228,42 @@ def dedup_keep_component_min(
     return df.join(losers, id_col, "left_anti")
 
 
+def dedup_keep_component_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Keep the BEST-``score_col`` row per near-dup component (ties break
+    toward the larger id — struct-max, deterministic), plus every row in
+    no pair. The quality-aware resolution production dedup pipelines use
+    instead of the arbitrary min-id rule: score with length, LM score
+    (``unigram_logprob``), or a quality-gate signal so the cluster's most
+    useful duplicate survives.
+
+    Cost over ``dedup_keep_component_min``: one extra groupBy over the
+    LABELED rows only (component members, usually a small fraction of
+    the corpus) — the argmax is a map-side-combinable struct max, never
+    a window over the whole table."""
+    comp = dedup_components(pairs, max_iter=max_iter)
+    labeled = df.join(
+        comp.withColumnRenamed("id", id_col).select(id_col, "component"),
+        id_col,
+    ).select(id_col, "component", score_col)
+    winners = (
+        labeled.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.col(score_col).alias("s"), F.col(id_col).alias("i"))
+            ).alias("__w")
+        )
+        .select(F.col("__w.i").alias(id_col))
+    )
+    losers = labeled.join(winners, id_col, "left_anti").select(id_col)
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

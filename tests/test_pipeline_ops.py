@@ -1726,3 +1726,20 @@ def test_gopher_and_dsir_null_text(spark):
     assert g[1]["hash_word_ratio"] == 0.0
     d = {r["doc_id"]: r for r in dsir_importance(df, F.col("lang") == "en").collect()}
     assert d[1]["n_words"] == 0 and d[1]["dsir_logweight"] == 0.0
+
+
+def test_dedup_keep_component_best_semantics(spark):
+    """Chain a-b-c is ONE component; the best score survives, ties break
+    toward the larger id; unpaired rows always survive."""
+    from kgfarm_spark.operators.dedup import dedup_keep_component_best
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (9, 1)], "doc_id long, score long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_keep_component_best(df, pairs, "doc_id", "score").collect()
+    )
+    # component {1,2,3}: max score 30 shared by 2 and 3 -> larger id 3 wins
+    assert kept == [3, 9]
