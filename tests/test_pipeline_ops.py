@@ -1743,3 +1743,35 @@ def test_dedup_keep_component_best_semantics(spark):
     )
     # component {1,2,3}: max score 30 shared by 2 and 3 -> larger id 3 wins
     assert kept == [3, 9]
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """decontaminate streams UNCHANGED: the eval side is a static
+    broadcast (stream-static join), the only state is the per-doc
+    overlap count (one streaming agg, complete mode) — so an ingestion
+    stream can drop contaminated docs online with state bounded by the
+    number of CONTAMINATED docs, not the corpus."""
+    from kgfarm_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    evalb = docs.filter((F.col("doc_id") % 11) == 0).select("text")
+    src = str(tmp_path / "decon_src")
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        decontaminate(stream, evalb, "doc_id", "text", n=5, min_overlap=2)
+        .writeStream.format("memory")
+        .queryName("decon_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(repr, spark.sql("select * from decon_out").collect()))
+    want = sorted(
+        map(repr, decontaminate(docs, evalb, "doc_id", "text", n=5, min_overlap=2).collect())
+    )
+    assert got == want and len(got) > 0
