@@ -314,6 +314,7 @@ class FeatureFarm:
             "repetition": lambda: _ts.repetition_signals(docs, id_col, text_col, **kw),
             "langid": lambda: _ts.lang_id(docs, text_col, **kw),
             "line_rules": lambda: _ts.gopher_line_rules(docs, id_col, text_col, **kw),
+            "gopher": lambda: _ts.gopher_filter(docs, id_col, text_col, **kw),
         }
         if method not in routes:
             raise ValueError(

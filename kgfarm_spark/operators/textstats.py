@@ -539,3 +539,53 @@ def gopher_line_rules(
         alpha_ok.alias("alpha_ok"),
         (hash_ok & ell_ok & bullet_ok & ell_line_ok & alpha_ok).alias("keep"),
     )
+
+
+def gopher_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.20,
+    **rule_kw,
+) -> DataFrame:
+    """The complete published Gopher document filter (Rae et al. 2021
+    Table A1) as one call: ``quality_gate`` (word count / mean word
+    length / punct / digit / stopwords) AND ``gopher_line_rules``
+    (symbol ratios + line shapes + alpha words) AND the repetition caps
+    (dup-line fraction <= 0.30, top-bigram fraction <= 0.20 over
+    ``repetition_signals``). Returns per-group verdicts plus the overall
+    ``keep``; thresholds override via kwargs (prefix-routed: quality_gate
+    kwargs pass through ``rule_kw``).
+
+    Cost = the union of its parts: two stateless projections joined to
+    the one shuffled repetition aggregate on ``id_col`` — the join keys
+    are the doc id, so with AQE the two broadcast-sized projections fold
+    into the repetition output without an extra exchange of the corpus.
+    """
+    gate = quality_gate(df, id_col, text_col, **rule_kw).select(
+        id_col, F.col("keep").alias("gate_ok")
+    )
+    lines = gopher_line_rules(df, id_col, text_col).select(
+        id_col, F.col("keep").alias("lines_ok")
+    )
+    rep = repetition_signals(df, id_col, text_col).select(
+        id_col,
+        (
+            (F.col("dup_line_frac") <= max_dup_line_frac)
+            & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        ).alias("repetition_ok"),
+    )
+    return (
+        gate.join(lines, id_col)
+        .join(rep, id_col)
+        .select(
+            id_col,
+            "gate_ok",
+            "lines_ok",
+            "repetition_ok",
+            (F.col("gate_ok") & F.col("lines_ok") & F.col("repetition_ok")).alias(
+                "keep"
+            ),
+        )
+    )

@@ -1775,3 +1775,28 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
         map(repr, decontaminate(docs, evalb, "doc_id", "text", n=5, min_overlap=2).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_gopher_filter_is_conjunction_of_parts(spark):
+    from kgfarm_spark.operators.textstats import (
+        gopher_filter,
+        gopher_line_rules,
+        quality_gate,
+        repetition_signals,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(120)
+    full = {r["doc_id"]: r for r in gopher_filter(docs).collect()}
+    g = {r["doc_id"]: r["keep"] for r in quality_gate(docs).collect()}
+    l = {r["doc_id"]: r["keep"] for r in gopher_line_rules(docs).collect()}
+    rep = {
+        r["doc_id"]: (r["dup_line_frac"] <= 0.30 and r["top_bigram_frac"] <= 0.20)
+        for r in repetition_signals(docs).collect()
+    }
+    assert len(full) == 120
+    for d, r in full.items():
+        assert r["keep"] == (g[d] and l[d] and rep[d])
+        assert r["gate_ok"] == g[d] and r["lines_ok"] == l[d]
+        assert r["repetition_ok"] == rep[d]
