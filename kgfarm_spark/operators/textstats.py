@@ -201,6 +201,7 @@ def quality_gate(
     max_punct_ratio: float = 0.10,
     max_digit_ratio: float = 0.20,
     min_stopword_hits: int = 2,
+    append: bool = False,
 ) -> DataFrame:
     """Gopher-style composite document quality gate (Rae et al. 2021
     Table A1's heuristic family): each rule is an independent boolean
@@ -235,15 +236,20 @@ def quality_gate(
     punct_ok = punct_ratio <= max_punct_ratio
     digit_ok = digit_ratio <= max_digit_ratio
     stopword_ok = stop_hits >= min_stopword_hits
-    return df.select(
-        id_col,
-        words_ok.alias("words_ok"),
-        word_len_ok.alias("word_len_ok"),
-        punct_ok.alias("punct_ok"),
-        digit_ok.alias("digit_ok"),
-        stopword_ok.alias("stopword_ok"),
-        (words_ok & word_len_ok & punct_ok & digit_ok & stopword_ok).alias("keep"),
-    )
+    flags = {
+        "words_ok": words_ok,
+        "word_len_ok": word_len_ok,
+        "punct_ok": punct_ok,
+        "digit_ok": digit_ok,
+        "stopword_ok": stopword_ok,
+        "keep": words_ok & word_len_ok & punct_ok & digit_ok & stopword_ok,
+    }
+    if append:
+        # keep the input columns (so stateless rule sets CHAIN into one
+        # codegen'd projection — gopher_filter scans the corpus once for
+        # all per-row rules instead of once per rule set)
+        return df.withColumns(flags)
+    return df.select(id_col, *[c.alias(n) for n, c in flags.items()])
 
 
 def unigram_logprob(
@@ -467,6 +473,7 @@ def gopher_line_rules(
     max_bullet_line_frac: float = 0.9,
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
+    append: bool = False,
 ) -> DataFrame:
     """The Gopher quality rules (Rae et al. 2021 Table A1) that
     ``quality_gate`` and ``repetition_signals`` do not already cover —
@@ -525,20 +532,22 @@ def gopher_line_rules(
     bullet_ok = bullet_frac <= max_bullet_line_frac
     ell_line_ok = ell_line_frac <= max_ellipsis_line_frac
     alpha_ok = alpha_frac >= min_alpha_word_frac
-    return df.select(
-        id_col,
-        F.round(hash_ratio, 6).alias("hash_word_ratio"),
-        F.round(ell_ratio, 6).alias("ellipsis_word_ratio"),
-        F.round(bullet_frac, 6).alias("bullet_line_frac"),
-        F.round(ell_line_frac, 6).alias("ellipsis_line_frac"),
-        F.round(alpha_frac, 6).alias("alpha_word_frac"),
-        hash_ok.alias("hash_ok"),
-        ell_ok.alias("ellipsis_ok"),
-        bullet_ok.alias("bullet_ok"),
-        ell_line_ok.alias("ellipsis_line_ok"),
-        alpha_ok.alias("alpha_ok"),
-        (hash_ok & ell_ok & bullet_ok & ell_line_ok & alpha_ok).alias("keep"),
-    )
+    flags = {
+        "hash_word_ratio": F.round(hash_ratio, 6),
+        "ellipsis_word_ratio": F.round(ell_ratio, 6),
+        "bullet_line_frac": F.round(bullet_frac, 6),
+        "ellipsis_line_frac": F.round(ell_line_frac, 6),
+        "alpha_word_frac": F.round(alpha_frac, 6),
+        "hash_ok": hash_ok,
+        "ellipsis_ok": ell_ok,
+        "bullet_ok": bullet_ok,
+        "ellipsis_line_ok": ell_line_ok,
+        "alpha_ok": alpha_ok,
+        "keep": hash_ok & ell_ok & bullet_ok & ell_line_ok & alpha_ok,
+    }
+    if append:
+        return df.withColumns(flags)
+    return df.select(id_col, *[c.alias(n) for n, c in flags.items()])
 
 
 def gopher_filter(
@@ -563,11 +572,11 @@ def gopher_filter(
     are the doc id, so with AQE the two broadcast-sized projections fold
     into the repetition output without an extra exchange of the corpus.
     """
-    gate = quality_gate(df, id_col, text_col, **rule_kw).select(
-        id_col, F.col("keep").alias("gate_ok")
+    gate = quality_gate(df, id_col, text_col, append=True, **rule_kw).select(
+        id_col, text_col, F.col("keep").alias("gate_ok")
     )
-    lines = gopher_line_rules(df, id_col, text_col).select(
-        id_col, F.col("keep").alias("lines_ok")
+    stateless = gopher_line_rules(gate, id_col, text_col, append=True).select(
+        id_col, "gate_ok", F.col("keep").alias("lines_ok")
     )
     rep = repetition_signals(df, id_col, text_col).select(
         id_col,
@@ -576,16 +585,12 @@ def gopher_filter(
             & (F.col("top_bigram_frac") <= max_top_bigram_frac)
         ).alias("repetition_ok"),
     )
-    return (
-        gate.join(lines, id_col)
-        .join(rep, id_col)
-        .select(
-            id_col,
-            "gate_ok",
-            "lines_ok",
-            "repetition_ok",
-            (F.col("gate_ok") & F.col("lines_ok") & F.col("repetition_ok")).alias(
-                "keep"
-            ),
-        )
+    return stateless.join(rep, id_col).select(
+        id_col,
+        "gate_ok",
+        "lines_ok",
+        "repetition_ok",
+        (F.col("gate_ok") & F.col("lines_ok") & F.col("repetition_ok")).alias(
+            "keep"
+        ),
     )
