@@ -361,16 +361,20 @@ class FeatureFarm:
         self,
         docs: DataFrame,
         target,
+        k: int | None = None,
         id_col: str = "doc_id",
         text_col: str = "text",
         **kw,
     ) -> DataFrame:
-        """DSIR importance-resampling weights toward the ``target``
-        boolean-Column predicate (textstats.dsir_importance): sample
-        downstream with probability ∝ exp(dsir_logweight) to reshape the
-        raw corpus toward the target distribution."""
-        from kgfarm_spark.operators.textstats import dsir_importance
+        """DSIR importance weights toward the ``target`` boolean-Column
+        predicate (textstats.dsir_importance); with ``k`` set, runs the
+        full selection step instead — deterministic Gumbel top-k sampling
+        with probability ∝ exp(dsir_logweight)
+        (textstats.dsir_resample)."""
+        from kgfarm_spark.operators.textstats import dsir_importance, dsir_resample
 
+        if k is not None:
+            return dsir_resample(docs, target, k, id_col, text_col, **kw)
         return dsir_importance(docs, target, id_col, text_col, **kw)
 
     def train_tokenizer(

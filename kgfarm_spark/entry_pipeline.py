@@ -1072,3 +1072,44 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     )
     kept = dedup_keep_component_best(corpus, pairs, "doc_id", "__score")
     return kept.select("doc_id")
+
+
+@register(
+    "dsir_resample",
+    r"""
+WITH occ AS (
+  SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
+         unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+census AS (SELECT w, sum(tgt) AS ct, count(*) AS cr FROM occ GROUP BY 1),
+tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM census),
+per AS (
+  SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         sum( ln((census.ct + 0.5) / (tot.nt + 0.5 * tot.v))
+            - ln((census.cr + 0.5) / (tot.nr + 0.5 * tot.v)) ) AS s
+  FROM occ JOIN census USING (w) CROSS JOIN tot
+  GROUP BY 1
+),
+wt AS (
+  SELECT d.doc_id AS doc_id,
+         CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+         round(COALESCE(p.s, 0.0), 6) AS dsir_logweight,
+         (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          + 0.5) / 4294967296.0 AS u
+  FROM documents d LEFT JOIN per p USING (doc_id)
+)
+SELECT doc_id, n_words, dsir_logweight,
+       round(dsir_logweight + (-ln(-ln(u))), 6) AS gumbel_key
+FROM wt
+ORDER BY gumbel_key DESC, doc_id DESC
+LIMIT 100
+""",
+)
+def q_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR Gumbel top-k selection toward the English target (k=100,
+    deterministic md5 Gumbel noise — textstats.dsir_resample)."""
+    from kgfarm_spark.operators.textstats import dsir_resample
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    return dsir_resample(docs, F.col("lang") == "en", 100, "doc_id", "text")

@@ -722,6 +722,10 @@ _DEFERRED_PAST_DRIVER_CAP = [
     # normalize_null_tokens defers — r01-r04 driver-green, null family
     # still in-window via null_scan_transcripts + fill_median_mode:
     "normalize_null_tokens",
+    # late-r05: dsir_resample (the DSIR selection step) enters;
+    # task_type_detection defers — r01-r04 driver-green, profiling family
+    # in-window via profile_orders/detect_entities/elect_default_entities:
+    "task_type_detection",
 ]
 
 

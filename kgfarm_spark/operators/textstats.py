@@ -594,3 +594,41 @@ def gopher_filter(
             "keep"
         ),
     )
+
+
+def dsir_resample(
+    df: DataFrame,
+    target: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """The DSIR SELECTION step (Xie et al. 2023 §3: sample k documents
+    with probability ∝ exp(importance)): Gumbel top-k over the
+    ``dsir_importance`` log-weights. The Gumbel noise is DETERMINISTIC —
+    g = -ln(-ln(u)) with u an md5-derived uniform of the doc id (the
+    house ``_md5_uniform`` recipe, +0.5 offset so u is never 0) — so the
+    sample is a pure function of the corpus, reproducible across runs,
+    engines, and partitionings.
+
+    Top-k is a TakeOrdered (per-partition k then a k-sized merge), never
+    a global sort; ties on the rounded key break toward the larger id.
+    Returns the k sampled docs as (id, n_words, dsir_logweight,
+    gumbel_key).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = dsir_importance(df, target, id_col, text_col, alpha)
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    key = F.round(F.col("dsir_logweight") + (-F.log(-F.log(u))), 6)
+    return (
+        w.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.desc(id_col))
+        .limit(k)
+    )

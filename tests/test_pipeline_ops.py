@@ -1800,3 +1800,22 @@ def test_gopher_filter_is_conjunction_of_parts(spark):
         assert r["keep"] == (g[d] and l[d] and rep[d])
         assert r["gate_ok"] == g[d] and r["lines_ok"] == l[d]
         assert r["repetition_ok"] == rep[d]
+
+
+def test_dsir_resample_deterministic_and_nested(spark):
+    """Gumbel top-k with md5 noise: partition-invariant, and growing k
+    only ADDS documents (nested samples — the ablation-comparability
+    property shared with stratified_mix_sample)."""
+    from kgfarm_spark.operators.textstats import dsir_resample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    tgt = F.col("lang") == "en"
+    a = {r["doc_id"] for r in dsir_resample(docs.repartition(1), tgt, 40).collect()}
+    b = {r["doc_id"] for r in dsir_resample(docs.repartition(16), tgt, 40).collect()}
+    assert a == b and len(a) == 40
+    big = {r["doc_id"] for r in dsir_resample(docs, tgt, 80).collect()}
+    assert a <= big and len(big) == 80
+    with pytest.raises(ValueError):
+        dsir_resample(docs, tgt, 0)
