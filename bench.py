@@ -546,22 +546,27 @@ def run_ann_scale() -> dict:
 
 
 def run_corpus_scale() -> dict:
-    """Round-5 corpus-level pretraining trio at the 5M-doc corpus:
-    quality_gate (pure projection — the throughput ceiling for any
-    per-doc filter), duplicate_ngram_spans (explode→census→join, the
-    exact-substring-dedup workhorse), dedup_lines_corpus (C4 line
-    dedup; every doc gets a header line shared by doc_id%7 and a common
-    boilerplate footer so 2 of its 3 lines are corpus-wide duplicates —
-    the realistic boilerplate-removal profile). Merged into
-    BENCH_LLM.json like --ann-scale / --cc-scale."""
+    """Corpus-curation ops at the 5M-doc corpus. Each op is a named
+    thunk; results merge into BENCH_LLM.json AFTER EVERY OP (a timeout
+    kill keeps the finished numbers). SPARK_GRAFT_CORPUS_ONLY=
+    "dsir_importance,bpe_train" re-benches a subset — the full suite now
+    exceeds a single sitting."""
     from pyspark.sql import functions as F
 
+    from kgfarm_spark.operators.bpe import bpe_train, word_census
     from kgfarm_spark.operators.dedup import (
+        decontaminate,
         dedup_lines_corpus,
         duplicate_ngram_spans,
     )
     from kgfarm_spark.operators.packing import pack_sequences
-    from kgfarm_spark.operators.textstats import quality_gate, unigram_logprob
+    from kgfarm_spark.operators.textstats import (
+        ccnet_buckets,
+        dsir_importance,
+        gopher_line_rules,
+        quality_gate,
+        unigram_logprob,
+    )
     from kgfarm_spark.session import get_spark
 
     ensure_llm_data()
@@ -574,125 +579,93 @@ def run_corpus_scale() -> dict:
     docs = spark.read.parquet(DOCS_DIR)
     n_docs = docs.count()
 
-    t0 = time.monotonic()
-    quality_gate(docs, "doc_id", "text").write.format("noop").mode("overwrite").save()
-    dt = time.monotonic() - t0
-    out["quality_gate"] = {
-        "docs": n_docs, "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt)
+    def _noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def _quality_gate() -> dict:
+        _noop(quality_gate(docs, "doc_id", "text"))
+        return {}
+
+    def _spans() -> dict:
+        _noop(duplicate_ngram_spans(docs, "doc_id", "text", n=5, min_docs=2))
+        return {"n": 5, "spans": n_docs * 26}
+
+    def _lines() -> dict:
+        lined = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("doc "), (F.col("doc_id") % 7).cast("string"),
+                F.lit(" header\n"), F.col("text"),
+                F.lit("\nsubscribe to our newsletter for weekly updates"),
+            ).alias("text"),
+        )
+        _noop(dedup_lines_corpus(lined, "doc_id", "text"))
+        return {"lines": n_docs * 3}
+
+    def _unigram() -> dict:
+        _noop(unigram_logprob(docs, "doc_id", "text"))
+        return {}
+
+    def _pack() -> dict:
+        toks = docs.select(
+            "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+        )
+        _noop(pack_sequences(toks, "doc_id", "n_tokens", budget=2048))
+        return {"budget": 2048}
+
+    def _decon() -> dict:
+        train = docs.filter(F.col("doc_id") % 1000 != 0)
+        evalb = docs.filter(F.col("doc_id") % 1000 == 0)
+        flagged = decontaminate(train, evalb, "doc_id", "text", n=5, min_overlap=2)
+        return {"eval_docs": n_docs // 1000, "n": 5, "flagged": flagged.count()}
+
+    def _ccnet() -> dict:
+        _noop(ccnet_buckets(docs, "doc_id", "text"))
+        return {}
+
+    def _dsir() -> dict:
+        _noop(dsir_importance(docs, (F.col("doc_id") % 10) == 0, "doc_id", "text"))
+        return {"target_frac": 0.1}
+
+    def _gopher() -> dict:
+        _noop(gopher_line_rules(docs, "doc_id", "text"))
+        return {}
+
+    def _bpe() -> dict:
+        n_vocab = word_census(docs, "text").count()
+        merges, _seg = bpe_train(docs, "text", n_merges=20)
+        return {
+            "distinct_words": n_vocab, "n_merges": merges.count(),
+            "note": "corpus-linear census once, then census-sized merge rounds",
+        }
+
+    ops = {
+        "quality_gate": _quality_gate,
+        "duplicate_ngram_spans": _spans,
+        "dedup_lines_corpus": _lines,
+        "unigram_logprob": _unigram,
+        "pack_sequences": _pack,
+        "decontaminate": _decon,
+        "ccnet_buckets": _ccnet,
+        "dsir_importance": _dsir,
+        "gopher_line_rules": _gopher,
+        "bpe_train": _bpe,
     }
-
-    t0 = time.monotonic()
-    duplicate_ngram_spans(docs, "doc_id", "text", n=5, min_docs=2).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    dt = time.monotonic() - t0
-    out["duplicate_ngram_spans"] = {
-        "docs": n_docs, "n": 5, "spans": n_docs * 26,
-        "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt),
-    }
-
-    lined = docs.select(
-        "doc_id",
-        F.concat(
-            F.lit("doc "), (F.col("doc_id") % 7).cast("string"),
-            F.lit(" header\n"), F.col("text"),
-            F.lit("\nsubscribe to our newsletter for weekly updates"),
-        ).alias("text"),
-    )
-    t0 = time.monotonic()
-    dedup_lines_corpus(lined, "doc_id", "text").write.format("noop").mode(
-        "overwrite"
-    ).save()
-    dt = time.monotonic() - t0
-    out["dedup_lines_corpus"] = {
-        "docs": n_docs, "lines": n_docs * 3,
-        "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt),
-    }
-
-    t0 = time.monotonic()
-    unigram_logprob(docs, "doc_id", "text").write.format("noop").mode(
-        "overwrite"
-    ).save()
-    dt = time.monotonic() - t0
-    out["unigram_logprob"] = {
-        "docs": n_docs, "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt)
-    }
-
-    toks = docs.select(
-        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
-    )
-    t0 = time.monotonic()
-    pack_sequences(toks, "doc_id", "n_tokens", budget=2048).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    dt = time.monotonic() - t0
-    out["pack_sequences"] = {
-        "docs": n_docs, "budget": 2048,
-        "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt),
-    }
-
-    # benchmark decontamination: every 1000th doc plays the eval set
-    from kgfarm_spark.operators.dedup import decontaminate
-
-    train = docs.filter(F.col("doc_id") % 1000 != 0)
-    evalb = docs.filter(F.col("doc_id") % 1000 == 0)
-    t0 = time.monotonic()
-    flagged = decontaminate(train, evalb, "doc_id", "text", n=5, min_overlap=2)
-    n_flagged = flagged.count()
-    dt = time.monotonic() - t0
-    out["decontaminate"] = {
-        "docs": n_docs, "eval_docs": n_docs // 1000, "n": 5, "flagged": n_flagged,
-        "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt),
-    }
-
-    from kgfarm_spark.operators.textstats import ccnet_buckets
-
-    t0 = time.monotonic()
-    ccnet_buckets(docs, "doc_id", "text").write.format("noop").mode(
-        "overwrite"
-    ).save()
-    dt = time.monotonic() - t0
-    out["ccnet_buckets"] = {
-        "docs": n_docs, "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt)
-    }
-
-    from kgfarm_spark.operators.textstats import dsir_importance, gopher_line_rules
-
-    t0 = time.monotonic()
-    dsir_importance(docs, (F.col("doc_id") % 10) == 0, "doc_id", "text").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    dt = time.monotonic() - t0
-    out["dsir_importance"] = {
-        "docs": n_docs, "target_frac": 0.1,
-        "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt),
-    }
-
-    t0 = time.monotonic()
-    gopher_line_rules(docs, "doc_id", "text").write.format("noop").mode(
-        "overwrite"
-    ).save()
-    dt = time.monotonic() - t0
-    out["gopher_line_rules"] = {
-        "docs": n_docs, "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt)
-    }
-
-    from kgfarm_spark.operators.bpe import bpe_train, word_census
-
-    n_vocab = word_census(docs, "text").count()
-    t0 = time.monotonic()
-    merges, _seg = bpe_train(docs, "text", n_merges=20)
-    n_merges_learned = merges.count()
-    dt = time.monotonic() - t0
-    out["bpe_train"] = {
-        "docs": n_docs, "distinct_words": n_vocab, "n_merges": n_merges_learned,
-        "sec": round(dt, 1), "docs_per_sec": round(n_docs / dt),
-        "note": "corpus-linear census once, then census-sized merge rounds",
-    }
+    only = {x for x in (os.environ.get("SPARK_GRAFT_CORPUS_ONLY") or "").split(",") if x}
+    for name, fn in ops.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        extra = fn()
+        dt = time.monotonic() - t0
+        out[name] = {
+            "docs": n_docs, "sec": round(dt, 1),
+            "docs_per_sec": round(n_docs / dt), **extra,
+        }
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
 
     spark.stop()
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
     return out
 
 
