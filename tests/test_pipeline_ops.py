@@ -1819,3 +1819,35 @@ def test_dsir_resample_deterministic_and_nested(spark):
     assert a <= big and len(big) == 80
     with pytest.raises(ValueError):
         dsir_resample(docs, tgt, 0)
+
+
+@pytest.mark.parametrize("op_name", ["lang_id", "gopher_line_rules", "redact_pii"])
+def test_stream_stateless_curation_ops_match_batch(spark, tmp_path, op_name):
+    """Every stateless per-row curation op streams UNCHANGED with append
+    output and zero state (the property proven for quality_gate, here
+    pinned for the rest of the family)."""
+    from kgfarm_spark.operators import textstats as ts
+
+    ops = {
+        "lang_id": lambda d: ts.lang_id(d),
+        "gopher_line_rules": lambda d: ts.gopher_line_rules(d),
+        "redact_pii": lambda d: ts.redact_pii(d),
+    }
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / f"src_{op_name}")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        ops[op_name](stream)
+        .writeStream.format("memory")
+        .queryName(f"st_{op_name}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(repr, spark.sql(f"select * from st_{op_name}").collect()))
+    want = sorted(map(repr, ops[op_name](docs).collect()))
+    assert got == want and len(got) > 0

@@ -205,3 +205,17 @@ def test_minhash_verify_join_composite_key(spark):
     joins = [ln for ln in plan.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln]
     composite = [ln for ln in joins if re.search(r"\[id_b#\d+L?, shingle#\d+\]", ln)]
     assert composite, f"verify join must key on (id_b, shingle); joins seen:\n" + "\n".join(joins)
+
+
+def test_gopher_filter_two_scans(spark):
+    """Plan-shape regression: the two stateless Gopher rule sets chain
+    into ONE corpus scan (quality_gate append -> line_rules append), so
+    the full filter reads the corpus exactly twice — stateless chain +
+    repetition aggregate — not once per rule set."""
+    from kgfarm_spark.operators.textstats import gopher_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = gopher_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 2
