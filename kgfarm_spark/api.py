@@ -251,6 +251,8 @@ class FeatureFarm:
         method: str = "minhash",
         id_col: str = "doc_id",
         text_col: str = "text",
+        resolve: str | None = None,
+        score_col: str | None = None,
         **kw,
     ) -> DataFrame:
         """Near/exact-duplicate handling over a document table.
@@ -265,7 +267,13 @@ class FeatureFarm:
         (C4-style corpus-wide line dedup, returns rewritten docs) ·
         ``'spans'`` (per-doc duplicated n-gram span stats). Pair
         methods return (id_a, id_b, …) for ``dedup_by_pairs`` /
-        ``dedup_components``."""
+        ``dedup_components``.
+
+        ``resolve``: for pair methods, resolve clusters in the same call —
+        ``'min'`` keeps the smallest id per near-dup component
+        (``dedup_keep_component_min``), ``'best'`` keeps the max-
+        ``score_col`` row per component (``dedup_keep_component_best``).
+        Returns the deduplicated ``docs`` instead of pairs."""
         from kgfarm_spark.operators import dedup as _dd
 
         routes = {
@@ -284,7 +292,21 @@ class FeatureFarm:
             raise ValueError(
                 f"unknown dedup method {method!r}; use one of {sorted(routes)}"
             )
-        return routes[method]()
+        result = routes[method]()
+        if resolve is None:
+            return result
+        pair_methods = {"minhash", "simhash", "jaccard", "embedding", "semantic"}
+        if method not in pair_methods:
+            raise ValueError(
+                f"resolve= requires a pair method ({sorted(pair_methods)}), got {method!r}"
+            )
+        if resolve == "min":
+            return _dd.dedup_keep_component_min(docs, result, id_col)
+        if resolve == "best":
+            if not score_col:
+                raise ValueError("resolve='best' requires score_col")
+            return _dd.dedup_keep_component_best(docs, result, id_col, score_col)
+        raise ValueError(f"unknown resolve {resolve!r}; use 'min' or 'best'")
 
     def quality(
         self,

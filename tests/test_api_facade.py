@@ -193,3 +193,30 @@ def test_facade_importance_line_rules_tokenizer(farm):
         tuple(r) for r in m_d.orderBy("rank").collect()
     ]
     assert "symbols" in seg_f.columns
+
+
+def test_facade_dedup_resolve_routes(farm):
+    docs = (
+        farm.load_table("documents")
+        .select("doc_id", "text")
+        .withColumn("score", F.length("text"))
+        .limit(60)
+    )
+    from kgfarm_spark.operators.dedup import (
+        dedup_keep_component_best,
+        dedup_keep_component_min,
+        jaccard_pairs,
+    )
+
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    via_facade = farm.dedup(docs, method="jaccard", resolve="best",
+                            score_col="score", n=3, threshold=0.5)
+    direct = dedup_keep_component_best(docs, pairs, "doc_id", "score")
+    assert sorted(map(repr, via_facade.collect())) == sorted(map(repr, direct.collect()))
+    via_min = farm.dedup(docs, method="jaccard", resolve="min", n=3, threshold=0.5)
+    direct_min = dedup_keep_component_min(docs, pairs, "doc_id")
+    assert sorted(map(repr, via_min.collect())) == sorted(map(repr, direct_min.collect()))
+    with pytest.raises(ValueError):
+        farm.dedup(docs, method="lines", resolve="min")
+    with pytest.raises(ValueError):
+        farm.dedup(docs, method="jaccard", resolve="best")
