@@ -639,6 +639,19 @@ def run_corpus_scale() -> dict:
             "note": "corpus-linear census once, then census-sized merge rounds",
         }
 
+    def _bpe_apply() -> dict:
+        from kgfarm_spark.operators.bpe import bpe_apply
+
+        _, seg = bpe_train(docs, "text", n_merges=20)
+        out_rec = {"note": "sec includes the 20-merge re-train; *_sec are tokenize-only"}
+        for meth in ("broadcast", "join"):
+            t0 = time.monotonic()
+            _noop(bpe_apply(docs, seg, "text", "doc_id", method=meth))
+            dt = round(time.monotonic() - t0, 1)
+            out_rec[f"{meth}_sec"] = dt
+            out_rec[f"{meth}_docs_per_sec"] = round(n_docs / dt)
+        return out_rec
+
     ops = {
         "quality_gate": _quality_gate,
         "duplicate_ngram_spans": _spans,
@@ -650,6 +663,7 @@ def run_corpus_scale() -> dict:
         "dsir_importance": _dsir,
         "gopher_line_rules": _gopher,
         "bpe_train": _bpe,
+        "bpe_apply": _bpe_apply,
     }
     only = {x for x in (os.environ.get("SPARK_GRAFT_CORPUS_ONLY") or "").split(",") if x}
     for name, fn in ops.items():

@@ -147,23 +147,42 @@ def bpe_train(
     return merges_df, segmented
 
 
+#: broadcast-path vocabulary cap: beyond this the driver-side dict stops
+#: being "model-sized" — callers with a larger census use method='join'.
+MAX_BROADCAST_VOCAB = 5_000_000
+
+
 def bpe_apply(
     df: DataFrame,
     segmented_census: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "tokens",
+    method: str = "broadcast",
 ) -> DataFrame:
-    """Tokenize a document table with a learned segmentation: explode the
-    corpus to (doc, position, word), broadcast-or-hash join the word ->
-    symbols census, and reassemble per-doc token arrays in word order.
-
-    The census is the tokenizer model (distinct-words sized); Spark's
-    optimizer broadcasts it when it fits (typical) and falls back to a
-    hash join at extreme vocabulary sizes — both corpus-linear. Words
+    """Tokenize a document table with a learned segmentation. Words
     absent from the census (unseen at train time) fall back to their
-    character segmentation, the standard open-vocabulary behavior.
+    character segmentation — the standard open-vocabulary behavior.
+    Both paths emit identical results (pytest-pinned equality).
+
+    ``method='broadcast'`` (default): the census is the tokenizer MODEL
+    — collect it to a dict, broadcast it, and tokenize map-side in an
+    Arrow-batched ``mapInPandas`` kernel. ZERO corpus shuffle: the only
+    data movement is the vocabulary (capped at ``MAX_BROADCAST_VOCAB``
+    entries with a clear error — the same contract as the other
+    broadcast-model kernels in functions/embeddings.py). This is the
+    100 TB shape: tokenization cost rides the scan. Measured at 5M docs
+    / 150M words: 5.6x the join path (BENCH.md 5b).
+
+    ``method='join'``: pure-JVM fallback for a census too large to
+    broadcast — posexplode to (doc, position, word), hash-join the
+    census, reassemble per-doc token arrays in word order. Corpus-linear
+    but pays one explode shuffle + one groupBy reassembly.
     """
+    if method == "broadcast":
+        return _bpe_apply_broadcast(df, segmented_census, text_col, id_col, out_col)
+    if method != "join":
+        raise ValueError(f"method must be 'broadcast' or 'join', got {method!r}")
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     occ = df.select(
         F.col(id_col).alias("__id"),
@@ -197,3 +216,48 @@ def bpe_apply(
         id_col,
         F.coalesce(F.col(out_col), F.array().cast("array<string>")).alias(out_col),
     )
+
+
+def _bpe_apply_broadcast(
+    df: DataFrame,
+    segmented_census: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Map-side tokenization: broadcast the (word -> symbols) dict, Arrow
+    batches in, token arrays out. No shuffle anywhere in the plan."""
+    n_vocab = segmented_census.count()
+    if n_vocab > MAX_BROADCAST_VOCAB:
+        raise ValueError(
+            f"census has {n_vocab} entries > MAX_BROADCAST_VOCAB "
+            f"({MAX_BROADCAST_VOCAB}); use bpe_apply(..., method='join')"
+        )
+    spark = df.sparkSession
+    seg_map = {
+        r["word"]: list(r["symbols"]) for r in segmented_census.collect()
+    }
+    bc = spark.sparkContext.broadcast(seg_map)
+    in_schema = df.select(id_col, text_col).schema
+    id_field = in_schema[id_col]
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, {out_col} array<string>"
+
+    def tokenize(batches):
+        import pandas as pd
+
+        m = bc.value
+        for pdf in batches:
+            texts = pdf[text_col]
+            toks = [
+                []
+                if t is None or not t.strip()
+                else [
+                    s
+                    for w in t.strip().split()
+                    for s in m.get(w, list(w))
+                ]
+                for t in texts
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: toks})
+
+    return df.select(id_col, text_col).mapInPandas(tokenize, out_schema)

@@ -1851,3 +1851,33 @@ def test_stream_stateless_curation_ops_match_batch(spark, tmp_path, op_name):
     got = sorted(map(repr, spark.sql(f"select * from st_{op_name}").collect()))
     want = sorted(map(repr, ops[op_name](docs).collect()))
     assert got == want and len(got) > 0
+
+
+def test_bpe_apply_broadcast_equals_join(spark):
+    """The zero-shuffle broadcast tokenizer emits exactly the join path's
+    output on the real corpus (incl. unseen-word char fallback), and
+    rejects an over-cap vocabulary with a clear error."""
+    from kgfarm_spark.operators import bpe as _bpe
+    from kgfarm_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    _, seg = bpe_train(docs.limit(200), "text", n_merges=6)
+    a = bpe_apply(docs, seg, "text", "doc_id", method="broadcast")
+    b = bpe_apply(docs, seg, "text", "doc_id", method="join")
+    ra = sorted((r["doc_id"], tuple(r["tokens"])) for r in a.collect())
+    rb = sorted((r["doc_id"], tuple(r["tokens"])) for r in b.collect())
+    assert ra == rb and len(ra) == docs.count()
+    # zero shuffle in the broadcast plan
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    old = _bpe.MAX_BROADCAST_VOCAB
+    try:
+        _bpe.MAX_BROADCAST_VOCAB = 1
+        with pytest.raises(ValueError, match="MAX_BROADCAST_VOCAB"):
+            bpe_apply(docs, seg, method="broadcast")
+    finally:
+        _bpe.MAX_BROADCAST_VOCAB = old
+    with pytest.raises(ValueError):
+        bpe_apply(docs, seg, method="nope")
