@@ -77,5 +77,7 @@ def test_queries_have_oracles():
         "pkfk_classified",   # trained classifier head — tested in test_pkfk_model
         "simhash_neardup",   # xxhash64 fingerprint (JVM-only) — banded==brute pinned in test_pipeline_ops
         "semantic_neardup",  # IVF k-means quantizer — full-probe==brute pinned in test_pipeline_ops
+        "bpe_merges",        # iterative argmax+re-segment loop (non-SQL) — exact
+                             # parity vs the textbook pure-Python BPE in TestBPE
     }
     assert missing <= allowed_rows_only
