@@ -319,7 +319,8 @@ class FeatureFarm:
         """Document-quality signals: ``'gate'`` (Gopher-style composite
         keep/drop with per-rule audit flags, default) · ``'features'``
         (raw length/punct/stopword stats) · ``'logprob'`` (corpus-fit
-        unigram-LM mean log-prob) · ``'buckets'`` (CCNet head/middle/
+        unigram-LM mean log-prob) · ``'logprob2'`` (interpolated bigram
+        LM — order-sensitive, the CCNet-grade upgrade) · ``'buckets'`` (CCNet head/middle/
         tail split by LM-score percent-rank terciles) · ``'repetition'``
         (dup-line + top-bigram fractions) · ``'langid'``
         (stopword-profile language guess) · ``'line_rules'`` (Gopher
@@ -332,6 +333,7 @@ class FeatureFarm:
             "gate": lambda: _ts.quality_gate(docs, id_col, text_col, **kw),
             "features": lambda: _ts.quality_features(docs, text_col, **kw),
             "logprob": lambda: _ts.unigram_logprob(docs, id_col, text_col, **kw),
+            "logprob2": lambda: _ts.bigram_logprob(docs, id_col, text_col, **kw),
             "buckets": lambda: _ts.ccnet_buckets(docs, id_col, text_col, **kw),
             "repetition": lambda: _ts.repetition_signals(docs, id_col, text_col, **kw),
             "langid": lambda: _ts.lang_id(docs, text_col, **kw),

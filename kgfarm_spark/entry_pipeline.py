@@ -1113,3 +1113,46 @@ def q_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
     return dsir_resample(docs, F.col("lang") == "en", 100, "doc_id", "text")
+
+
+@register(
+    "bigram_logprob",
+    r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+),
+occ AS (
+  SELECT doc_id, ws[CAST(i AS INT)] AS cur,
+         CASE WHEN i > 1 THEN ws[CAST(i AS INT) - 1] END AS prev
+  FROM base, unnest(range(1, len(ws) + 1)) AS t(i)
+),
+uni AS (SELECT cur AS w, count(*) AS cu FROM occ GROUP BY 1),
+bi AS (SELECT prev, cur, count(*) AS cb FROM occ WHERE prev IS NOT NULL
+       GROUP BY 1, 2),
+tot AS (SELECT sum(cu) AS n FROM uni),
+per AS (
+  SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         sum(ln(CASE WHEN occ.prev IS NOT NULL
+                THEN 0.7 * (bi.cb / up.cu) + 0.3 * (uni.cu / tot.n)
+                ELSE uni.cu / tot.n END)) AS s
+  FROM occ
+  JOIN uni ON uni.w = occ.cur
+  LEFT JOIN bi ON bi.prev = occ.prev AND bi.cur = occ.cur
+  LEFT JOIN uni up ON up.w = occ.prev
+  CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT d.doc_id AS doc_id,
+       CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+       round(COALESCE(p.s, 0.0), 6) AS logprob_sum,
+       round(COALESCE(p.s / p.n_words, 0.0), 6) AS mean_logprob
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
+)
+def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated bigram LM score (textstats.bigram_logprob, lam=0.7)."""
+    from kgfarm_spark.operators.textstats import bigram_logprob
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return bigram_logprob(docs, "doc_id", "text", lam=0.7)

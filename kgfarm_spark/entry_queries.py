@@ -726,6 +726,10 @@ _DEFERRED_PAST_DRIVER_CAP = [
     # task_type_detection defers — r01-r04 driver-green, profiling family
     # in-window via profile_orders/detect_entities/elect_default_entities:
     "task_type_detection",
+    # late-r05: bigram_logprob (interpolated bigram LM score) enters;
+    # robust_scale defers — r01-r04 driver-green, scaler family in-window
+    # via minmax_scale + quantile_rank:
+    "robust_scale",
 ]
 
 

@@ -632,3 +632,101 @@ def dsir_resample(
         .orderBy(F.desc("gumbel_key"), F.desc(id_col))
         .limit(k)
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram LM quality score — the next step up from
+    ``unigram_logprob`` toward CCNet's KenLM scorer (Wenzek et al. 2020
+    score with a 5-gram LM; the bigram-with-unigram-backoff flavor keeps
+    the fit coordination-free while actually modeling word ORDER):
+
+        P(w_i | w_{i-1}) = lam * c(w_{i-1} w_i)/c(w_{i-1})
+                         + (1-lam) * c(w_i)/N
+
+    fit on the corpus itself; the first token of a document scores
+    unigram-only. Returns (id, n_words, logprob_sum, mean_logprob),
+    natural log, rounded 6.
+
+    Scale shape: the (pos, cur, prev) items are built PER ROW with a
+    higher-order transform (no window, no self-join for adjacency), then
+    one explode feeds three map-side-combined censuses (unigram, bigram,
+    prev-unigram reuses the unigram census) and three hash joins keyed
+    by 64-bit hashes; totals ride as a broadcast 1-row cross join. Every
+    shuffle is linear in corpus word count — the same contract as
+    unigram_logprob, one extra census + two extra joins for the order
+    sensitivity.
+    """
+    words = F.when(
+        F.length(F.trim(F.col(text_col))) > 0,
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+    )
+    items = F.expr(
+        "transform(sequence(0, size(__ws) - 1), "
+        "i -> struct(__ws[i] AS cur, "
+        "CASE WHEN i > 0 THEN __ws[i - 1] END AS prev))"
+    )
+    occ = (
+        df.select(F.col(id_col).alias("__id"), words.alias("__ws"))
+        .select("__id", F.explode_outer(items).alias("__it"))
+        .select(
+            "__id",
+            F.col("__it.cur").alias("__cur"),
+            F.col("__it.prev").alias("__prev"),
+        )
+        .withColumn("__hc", F.xxhash64("__cur"))
+        .withColumn("__hb", F.xxhash64("__prev", "__cur"))
+        .withColumn("__hp", F.xxhash64("__prev"))
+    )
+    uni = (
+        occ.filter(F.col("__cur").isNotNull())
+        .groupBy("__hc")
+        .agg(F.count(F.lit(1)).alias("__cu"))
+    )
+    bi = (
+        occ.filter(F.col("__prev").isNotNull())
+        .groupBy("__hb")
+        .agg(F.count(F.lit(1)).alias("__cb"))
+    )
+    total = uni.agg(F.sum("__cu").alias("__n"))
+    scored = (
+        occ.join(uni, "__hc", "left")
+        .join(bi, "__hb", "left")
+        .join(
+            uni.select(F.col("__hc").alias("__hp"), F.col("__cu").alias("__cp")),
+            "__hp",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__id",
+            F.col("__cur").isNotNull().cast("int").alias("__is_w"),
+            F.when(
+                F.col("__cur").isNotNull(),
+                F.log(
+                    F.when(
+                        F.col("__prev").isNotNull(),
+                        F.lit(lam) * (F.col("__cb") / F.col("__cp"))
+                        + F.lit(1.0 - lam) * (F.col("__cu") / F.col("__n")),
+                    ).otherwise(F.col("__cu") / F.col("__n"))
+                ),
+            ).alias("__lp"),
+        )
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.sum("__is_w").alias("n_words"),
+        F.coalesce(F.sum("__lp"), F.lit(0.0)).alias("__s"),
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_words",
+        F.round("__s", 6).alias("logprob_sum"),
+        F.round(
+            F.when(F.col("n_words") > 0, F.col("__s") / F.col("n_words")).otherwise(0.0),
+            6,
+        ).alias("mean_logprob"),
+    )

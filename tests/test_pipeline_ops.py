@@ -1881,3 +1881,27 @@ def test_bpe_apply_broadcast_equals_join(spark):
         _bpe.MAX_BROADCAST_VOCAB = old
     with pytest.raises(ValueError):
         bpe_apply(docs, seg, method="nope")
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """lam=0.7 interpolated bigram LM on a 3-doc corpus vs hand math."""
+    import math
+
+    from kgfarm_spark.operators.textstats import bigram_logprob
+
+    rows = [(1, "a b"), (2, "a b"), (3, "a c"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(df, lam=0.7).collect()}
+    # unigrams: a=3 b=2 c=1 N=6; bigrams: (a,b)=2 (a,c)=1
+    p_a = 3 / 6
+    p_b_a = 0.7 * (2 / 3) + 0.3 * (2 / 6)
+    p_c_a = 0.7 * (1 / 3) + 0.3 * (1 / 6)
+    assert got[1]["n_words"] == 2
+    assert got[1]["logprob_sum"] == pytest.approx(
+        math.log(p_a) + math.log(p_b_a), abs=1e-5)
+    assert got[3]["mean_logprob"] == pytest.approx(
+        (math.log(p_a) + math.log(p_c_a)) / 2, abs=1e-5)
+    assert got[4]["n_words"] == 0 and got[4]["logprob_sum"] == 0.0
+    # order sensitivity: bigram LM ranks the common sequence above the
+    # rare one even with identical unigram content
+    assert got[1]["mean_logprob"] > got[3]["mean_logprob"]
