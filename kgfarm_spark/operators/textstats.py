@@ -321,6 +321,7 @@ def ccnet_buckets(
     text_col: str = "text",
     cuts: tuple[float, float] = (0.333333, 0.666667),
     persist_scores: bool = True,
+    scorer: str = "unigram",
 ) -> DataFrame:
     """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020
     §4.3 bucket documents by LM perplexity terciles; head = most fluent
@@ -334,7 +335,9 @@ def ccnet_buckets(
 
     Returns ``(id, n_words, mean_logprob, ptile, bucket)``. Downstream
     samplers take head+middle (the CCNet recipe) or reweight per bucket
-    via packing.stratified_mix_sample.
+    via packing.stratified_mix_sample. ``scorer='bigram'`` ranks by the
+    interpolated bigram LM instead (order-sensitive — closer to CCNet's
+    actual KenLM scorer).
 
     ``persist_scores`` (default True) caches the scored projection
     ``(id, n_words, mean_logprob)`` MEMORY_AND_DISK before ranking: the
@@ -349,7 +352,14 @@ def ccnet_buckets(
     """
     from kgfarm_spark.functions.transforms import quantile_rank_transform
 
-    scored = unigram_logprob(df, id_col, text_col)
+    if scorer == "unigram":
+        scored = unigram_logprob(df, id_col, text_col)
+    elif scorer == "bigram":
+        # order-sensitive upgrade (bigram_logprob) — same output columns,
+        # so the ranking/bucketing machinery is scorer-agnostic
+        scored = bigram_logprob(df, id_col, text_col)
+    else:
+        raise ValueError(f"scorer must be 'unigram' or 'bigram', got {scorer!r}")
     if persist_scores:
         from pyspark import StorageLevel
 

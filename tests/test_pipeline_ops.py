@@ -1905,3 +1905,23 @@ def test_bigram_logprob_hand_computed(spark):
     # order sensitivity: bigram LM ranks the common sequence above the
     # rare one even with identical unigram content
     assert got[1]["mean_logprob"] > got[3]["mean_logprob"]
+
+
+def test_ccnet_buckets_bigram_scorer(spark):
+    """scorer='bigram' buckets by the bigram LM score — same machinery,
+    order-sensitive ranking; bucket sizes stay tercile-shaped."""
+    from kgfarm_spark.operators.textstats import bigram_logprob, ccnet_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = ccnet_buckets(docs, scorer="bigram").collect()
+    scores = {r["doc_id"]: r["mean_logprob"] for r in bigram_logprob(docs).collect()}
+    assert all(r["mean_logprob"] == scores[r["doc_id"]] for r in out)
+    sizes = {}
+    for r in out:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    n = len(out)
+    assert all(abs(sizes[b] - n / 3) < n * 0.15 for b in ("head", "middle", "tail"))
+    with pytest.raises(ValueError):
+        ccnet_buckets(docs, scorer="kenlm")
