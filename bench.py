@@ -623,6 +623,12 @@ def run_corpus_scale() -> dict:
         _noop(ccnet_buckets(docs, "doc_id", "text"))
         return {}
 
+    def _bigram() -> dict:
+        from kgfarm_spark.operators.textstats import bigram_logprob
+
+        _noop(bigram_logprob(docs, "doc_id", "text"))
+        return {}
+
     def _dsir() -> dict:
         _noop(dsir_importance(docs, (F.col("doc_id") % 10) == 0, "doc_id", "text"))
         return {"target_frac": 0.1}
@@ -657,6 +663,7 @@ def run_corpus_scale() -> dict:
         "duplicate_ngram_spans": _spans,
         "dedup_lines_corpus": _lines,
         "unigram_logprob": _unigram,
+        "bigram_logprob": _bigram,
         "pack_sequences": _pack,
         "decontaminate": _decon,
         "ccnet_buckets": _ccnet,
