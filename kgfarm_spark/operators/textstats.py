@@ -428,6 +428,8 @@ def dsir_importance(
     ``(id, n_words, dsir_logweight)`` rounded to 6 decimals; empty
     documents get weight 0.0.
     """
+    if not alpha > 0:
+        raise ValueError(f"alpha must be > 0 (smoothing), got {alpha}")
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     occ = df.select(
         F.col(id_col).alias("__id"),
@@ -671,6 +673,8 @@ def bigram_logprob(
     unigram_logprob, one extra census + two extra joins for the order
     sensitivity.
     """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
     words = F.when(
         F.length(F.trim(F.col(text_col))) > 0,
         F.split(F.trim(F.col(text_col)), r"\s+"),

@@ -1925,3 +1925,15 @@ def test_ccnet_buckets_bigram_scorer(spark):
     assert all(abs(sizes[b] - n / 3) < n * 0.15 for b in ("head", "middle", "tail"))
     with pytest.raises(ValueError):
         ccnet_buckets(docs, scorer="kenlm")
+
+
+def test_lm_scorer_arg_validation(spark):
+    from pyspark.sql import functions as F
+
+    from kgfarm_spark.operators.textstats import bigram_logprob, dsir_importance
+
+    df = spark.createDataFrame([(1, "en", "a b")], "doc_id long, lang string, text string")
+    with pytest.raises(ValueError):
+        dsir_importance(df, F.col("lang") == "en", alpha=0.0)
+    with pytest.raises(ValueError):
+        bigram_logprob(df, lam=1.5)
