@@ -672,6 +672,17 @@ def bigram_logprob(
     shuffle is linear in corpus word count — the same contract as
     unigram_logprob, one extra census + two extra joins for the order
     sensitivity.
+
+    Deliberately NO occurrence-table cache: caching the exploded
+    (id, cur, prev, hashes) table to skip the repeated scan+explode was
+    MEASURED SLOWER at 5M docs (264.5 s cached vs 203.3 s lazy,
+    back-to-back same box, plus GC-locker pressure from 300M cached thin
+    rows) — the explode is a codegen'd projection that is cheaper to
+    recompute than the cache is to write, store, and read. Contrast
+    ccnet_buckets(persist_scores), where the cached projection is
+    |docs|-sized and the recomputation it avoids is the full LM
+    pipeline — there the cache wins 2.8×. The rule: cache what is SMALL
+    relative to the work it saves, never an exploded intermediate.
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
