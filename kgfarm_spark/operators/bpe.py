@@ -54,8 +54,7 @@ def pair_counts(census: DataFrame) -> DataFrame:
     carries a ``__syms`` array (or over raw words via ``bpe_pair_counts``).
     Overlapping pairs count individually ('aaa' contributes (a,a) twice) —
     the textbook get_stats semantics."""
-    col = "__syms" if "__syms" in census.columns else None
-    if col is None:
+    if "__syms" not in census.columns:
         census = census.withColumn("__syms", F.split("word", ""))
     return (
         census.select("count", F.explode(_adjacent_pairs("__syms")).alias("__p"))
@@ -114,9 +113,15 @@ def bpe_train(
     doc bench corpus: round wall time doubled every ~3 rounds — 1.5 s
     at round 5, 18.6 s at round 14 — and the driver OOM'd before round
     20). Checkpointing truncates lineage so every round plans against a
-    constant-size leaf; superseded checkpoint blocks are GC'd by the
-    context cleaner once unreferenced.
+    constant-size leaf. Superseded checkpoint blocks are freed by the
+    context cleaner once unreferenced; Py4J finalization is not prompt,
+    so the loop forces a gc.collect() every 8 rounds — resident census
+    copies stay bounded at ~8 snapshots regardless of n_merges (review
+    finding: without this, a many-round run on a huge vocabulary piles
+    up checkpoint blocks until nondeterministic GC).
     """
+    import gc
+
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     spark = df.sparkSession
@@ -140,6 +145,8 @@ def bpe_train(
         census = census.withColumn(
             "__syms", _apply_merge(F.col("__syms"), row["left"], row["right"])
         ).localCheckpoint(eager=True)
+        if (rank + 1) % 8 == 0:
+            gc.collect()
     merges_df = spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
     )
@@ -163,59 +170,89 @@ def bpe_apply(
     """Tokenize a document table with a learned segmentation. Words
     absent from the census (unseen at train time) fall back to their
     character segmentation — the standard open-vocabulary behavior.
-    Both paths emit identical results (pytest-pinned equality).
+
+    Token semantics are identical on both paths and match training:
+    split on runs of ASCII whitespace (the Java ``\\s`` class — exactly
+    what ``word_census`` uses) and DROP empty tokens, so NULL/blank/
+    whitespace-only text gives ``[]`` and a U+00A0 non-breaking space
+    stays inside its word on both engines. The result is PER ROW (one
+    output row per input row, duplicate and NULL ids included) — the
+    equality is pytest-pinned, including the unicode/duplicate/NULL-id
+    edges.
 
     ``method='broadcast'`` (default): the census is the tokenizer MODEL
-    — collect it to a dict, broadcast it, and tokenize map-side in an
-    Arrow-batched ``mapInPandas`` kernel. ZERO corpus shuffle: the only
-    data movement is the vocabulary (capped at ``MAX_BROADCAST_VOCAB``
-    entries with a clear error — the same contract as the other
-    broadcast-model kernels in functions/embeddings.py). This is the
-    100 TB shape: tokenization cost rides the scan. Measured at 5M docs
-    / 150M words: 5.6x the join path (BENCH.md 5b).
+    — collect it to a dict (capped at ``MAX_BROADCAST_VOCAB`` entries
+    with a clear error, checked with a single limit+collect job),
+    broadcast it, and tokenize map-side in an Arrow-batched
+    ``mapInPandas`` kernel. ZERO corpus shuffle: tokenization cost rides
+    the scan — the 100 TB shape. Measured at 5M docs / 150M words: 2.9x
+    the join path (BENCH.md 5b).
 
     ``method='join'``: pure-JVM fallback for a census too large to
-    broadcast — posexplode to (doc, position, word), hash-join the
-    census, reassemble per-doc token arrays in word order. Corpus-linear
-    but pays one explode shuffle + one groupBy reassembly.
+    broadcast — posexplode to (row-key, position, word), hash-join the
+    census, reassemble per-ROW token arrays in word order (the internal
+    ``monotonically_increasing_id`` row key makes reassembly immune to
+    duplicate or NULL ids). Corpus-linear but pays one explode shuffle +
+    one groupBy reassembly.
     """
     if method == "broadcast":
         return _bpe_apply_broadcast(df, segmented_census, text_col, id_col, out_col)
     if method != "join":
         raise ValueError(f"method must be 'broadcast' or 'join', got {method!r}")
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    occ = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(
-            F.when(F.length(F.trim(F.col(text_col))) > 0, words).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("__pos", "__w"),
+    rows = df.select(
+        F.col(id_col).alias("__oid"), F.col(text_col).alias("__t")
+    ).withColumn("__rk", F.monotonically_increasing_id())
+    occ = rows.select(
+        "__rk",
+        "__oid",
+        F.posexplode_outer(F.split(F.col("__t"), r"\s+")).alias("__pos", "__w"),
     )
     model = segmented_census.select(
         F.col("word").alias("__w"), F.col("symbols").alias("__syms")
     )
     joined = occ.join(model, "__w", "left").select(
-        "__id",
+        "__rk",
+        "__oid",
         "__pos",
-        F.coalesce(F.col("__syms"), F.split("__w", "")).alias("__syms"),
+        # empty tokens (leading/trailing whitespace, blank text) drop out
+        # here: the WHEN yields NULL and collect_list skips NULLs
+        F.when(
+            F.col("__w").isNotNull() & (F.length("__w") > 0),
+            F.coalesce(F.col("__syms"), F.split("__w", "")),
+        ).alias("__syms"),
     )
-    per_doc = joined.groupBy("__id").agg(
+    per_row = joined.groupBy("__rk").agg(
+        F.first("__oid").alias(id_col),
         F.flatten(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("__pos", "__syms"))
+                    F.collect_list(
+                        F.when(
+                            F.col("__syms").isNotNull(),
+                            F.struct("__pos", "__syms"),
+                        )
+                    )
                 ),
                 lambda x: x["__syms"],
             )
-        ).alias(out_col)
+        ).alias(out_col),
     )
-    return df.select(id_col).join(
-        per_doc.withColumnRenamed("__id", id_col), id_col, "left"
-    ).select(
-        id_col,
-        F.coalesce(F.col(out_col), F.array().cast("array<string>")).alias(out_col),
-    )
+    return per_row.select(id_col, out_col)
+
+
+#: the Java \s class — [ \t\n\x0B\f\r] — so the Python kernel splits
+#: exactly like the JVM paths (Python's str.split()/re \s are Unicode-
+#: aware and would diverge on e.g. non-breaking spaces)
+_JAVA_WS = None
+
+
+def _java_ws():
+    global _JAVA_WS
+    if _JAVA_WS is None:
+        import re
+
+        _JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+    return _JAVA_WS
 
 
 def _bpe_apply_broadcast(
@@ -227,20 +264,21 @@ def _bpe_apply_broadcast(
 ) -> DataFrame:
     """Map-side tokenization: broadcast the (word -> symbols) dict, Arrow
     batches in, token arrays out. No shuffle anywhere in the plan."""
-    n_vocab = segmented_census.count()
-    if n_vocab > MAX_BROADCAST_VOCAB:
+    rows = segmented_census.select("word", "symbols").limit(
+        MAX_BROADCAST_VOCAB + 1
+    ).collect()
+    if len(rows) > MAX_BROADCAST_VOCAB:
         raise ValueError(
-            f"census has {n_vocab} entries > MAX_BROADCAST_VOCAB "
-            f"({MAX_BROADCAST_VOCAB}); use bpe_apply(..., method='join')"
+            f"census exceeds MAX_BROADCAST_VOCAB ({MAX_BROADCAST_VOCAB}); "
+            f"use bpe_apply(..., method='join')"
         )
     spark = df.sparkSession
-    seg_map = {
-        r["word"]: list(r["symbols"]) for r in segmented_census.collect()
-    }
+    seg_map = {r["word"]: list(r["symbols"]) for r in rows}
     bc = spark.sparkContext.broadcast(seg_map)
     in_schema = df.select(id_col, text_col).schema
     id_field = in_schema[id_col]
     out_schema = f"{id_col} {id_field.dataType.simpleString()}, {out_col} array<string>"
+    ws = _java_ws()
 
     def tokenize(batches):
         import pandas as pd
@@ -250,10 +288,11 @@ def _bpe_apply_broadcast(
             texts = pdf[text_col]
             toks = [
                 []
-                if t is None or not t.strip()
+                if t is None
                 else [
                     s
-                    for w in t.strip().split()
+                    for w in ws.split(t)
+                    if w
                     for s in m.get(w, list(w))
                 ]
                 for t in texts

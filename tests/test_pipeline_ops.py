@@ -1937,3 +1937,42 @@ def test_lm_scorer_arg_validation(spark):
         dsir_importance(df, F.col("lang") == "en", alpha=0.0)
     with pytest.raises(ValueError):
         bigram_logprob(df, lam=1.5)
+
+
+def test_bpe_apply_paths_agree_on_edge_inputs(spark):
+    """Review-finding regressions: the two bpe_apply paths must agree on
+    unicode whitespace (U+00A0 stays IN the word — Java \\s is ASCII),
+    tab-only and blank text (-> []), duplicate doc ids (per-row output),
+    and NULL ids (row still tokenized)."""
+    from kgfarm_spark.operators.bpe import bpe_apply, bpe_train
+
+    train = spark.createDataFrame(
+        [(1, "low low lower")], "doc_id long, text string")
+    _, seg = bpe_train(train, "text", n_merges=3)
+    edge = spark.createDataFrame(
+        [
+            (1, "foo bar low"),   # nbsp inside a word
+            (2, "\tlow\t"),            # tab-wrapped
+            (3, "\t \t"),              # whitespace-only
+            (4, None),                 # NULL text
+            (5, "low lower"),
+            (5, "low low"),            # duplicate id, different rows
+            (None, "lower"),           # NULL id
+        ],
+        "doc_id long, text string",
+    )
+    b = bpe_apply(edge, seg, "text", "doc_id", method="broadcast")
+    j = bpe_apply(edge, seg, "text", "doc_id", method="join")
+    rb = sorted(((r["doc_id"], tuple(r["tokens"])) for r in b.collect()),
+                key=repr)
+    rj = sorted(((r["doc_id"], tuple(r["tokens"])) for r in j.collect()),
+                key=repr)
+    assert rb == rj and len(rb) == 7
+    by_id = {}
+    for i, t in rb:
+        by_id.setdefault(i, []).append(t)
+    # nbsp word survives as ONE unseen word -> char fallback keeps \xa0
+    assert any(" " in tok for tok in by_id[1][0])
+    assert by_id[3] == [()] and by_id[4] == [()]
+    assert len(by_id[5]) == 2 and by_id[5][0] != by_id[5][1]
+    assert by_id[None][0] != ()
