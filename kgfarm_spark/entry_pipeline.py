@@ -311,8 +311,9 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     "text_token_counts",
     r"""
 SELECT doc_id,
-       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+       len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> length(x) > 0)) AS ws_tokens,
+       len(regexp_extract_all(coalesce(text, ''),
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
 FROM documents
 """,
 )
@@ -326,14 +327,17 @@ def _quality_oracle() -> str:
     return rf"""
 WITH base AS (
   SELECT doc_id,
-         length(text) AS n_chars_computed,
-         len(string_split_regex(trim(text), '\s+')) AS n_words,
-         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
-         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-         length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
-         len(list_intersect(
-             list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)),
-             [{stops}])) AS n_stop
+         length(coalesce(text, '')) AS n_chars_computed,
+         len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> length(x) > 0)) AS n_words,
+         length(coalesce(text, ''))
+           - length(regexp_replace(coalesce(text, ''), '[.,!?;:]', '', 'g'))
+             AS n_punct,
+         length(coalesce(text, ''))
+           - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g'))
+             AS n_digit,
+         length(regexp_replace(coalesce(text, ''), '\s', '', 'g')) AS n_nonws,
+         len(list_filter(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> length(x) > 0),
+             x -> list_contains([{stops}], lower(x)))) AS n_stop
   FROM documents
 ),
 ratios AS (
@@ -342,7 +346,7 @@ ratios AS (
          CAST(n_digit AS DOUBLE) / greatest(n_chars_computed, 1) AS digit_ratio,
          CAST(n_stop AS DOUBLE) / greatest(n_words, 1) AS stopword_ratio,
          CASE WHEN n_words BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END AS len_ok,
-         CASE WHEN CAST(n_nonws AS DOUBLE) / n_words
+         CASE WHEN CAST(n_nonws AS DOUBLE) / greatest(n_words, 1)
                    BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END AS word_len_ok
   FROM base
 )
@@ -390,7 +394,8 @@ def _langid_oracle() -> str:
     return rf"""
 WITH w AS (
   SELECT doc_id,
-         list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)) AS words
+         list_transform(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> length(x) > 0),
+                        x -> lower(x)) AS words
   FROM documents
 ),
 h AS (SELECT doc_id, {hits_sql} FROM w)
@@ -408,8 +413,9 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     "doc_fingerprint",
     r"""
 SELECT doc_id,
-       md5(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
-                               '\s+', ' ', 'g'))) AS fingerprint
+       md5(trim(regexp_replace(
+           regexp_replace(lower(coalesce(text, '')), '[.,!?;:]', '', 'g'),
+           '\s+', ' ', 'g'))) AS fingerprint
 FROM documents
 """,
 )
@@ -427,7 +433,7 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
-_PII_PHONE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+_PII_PHONE = r"\+?[0-9][0-9()\- ]{7,13}[0-9]"
 
 
 @register(
@@ -480,7 +486,11 @@ lns AS (
          CASE WHEN len(l) > 0
               THEN round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6)
               ELSE 0.0 END AS dup_line_frac
-  FROM (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS l FROM base)
+  FROM (SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)),
+                   x -> regexp_replace(x, '^[\t\r ]+|[\t\r ]+$', '', 'g')),
+                   x -> len(x) > 0) AS l
+        FROM base)
 ),
 toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM base),
 bg AS (
@@ -619,21 +629,22 @@ def _quality_gate_oracle() -> str:
     return rf"""
 WITH base AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 7 = 0 THEN text || ' 1234567890 !!!,,,???'
-              ELSE text END AS text
+         CASE WHEN doc_id % 7 = 0
+              THEN coalesce(text, '') || ' 1234567890 !!!,,,???'
+              ELSE coalesce(text, '') END AS text
   FROM documents
 ),
 f AS (
   SELECT doc_id,
          length(text) AS n_chars,
-         len(string_split_regex(trim(text), '\s+')) AS n_words,
+         len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS n_words,
          length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
          len(list_intersect(
-             list_transform(string_split_regex(trim(text), '\s+'), x -> lower(x)),
+             list_transform(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0), x -> lower(x)),
              [{stops}])) AS stop_hits,
          CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-             / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mean_wl
+             / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)), 1) AS mean_wl
   FROM base
 )
 SELECT doc_id,
@@ -924,9 +935,10 @@ def q_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     r"""
 WITH b AS (
   SELECT doc_id,
-    string_split_regex(trim(coalesce(text, '')), '\s+') AS words,
-    list_filter(string_split(coalesce(text, ''), chr(10)),
-                x -> length(trim(x)) > 0) AS lines,
+    list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> length(x) > 0) AS words,
+    list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                    x -> regexp_replace(x, '^[\t\r ]+|[\t\r ]+$', '', 'g')),
+                x -> length(x) > 0) AS lines,
     length(coalesce(text, ''))
       - length(replace(coalesce(text, ''), '#', '')) AS n_hash,
     (length(coalesce(text, ''))
@@ -941,9 +953,9 @@ c AS (
     greatest(len(lines), 1) AS n_lines,
     n_hash, n_ell,
     len(list_filter(lines,
-        x -> substr(trim(x), 1, 1) IN ('-', '*', '•'))) AS bullet_lines,
+        x -> substr(x, 1, 1) IN ('-', '*', '•'))) AS bullet_lines,
     len(list_filter(lines,
-        x -> right(trim(x), 3) = '...' OR right(trim(x), 1) = '…'))
+        x -> right(x, 3) = '...' OR right(x, 1) = '…'))
         AS ell_lines,
     len(list_filter(words,
         w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words

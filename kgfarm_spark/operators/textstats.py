@@ -26,36 +26,74 @@ DIGIT_RE = "[0-9]"
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+
+
+def _words(txt: Column) -> Column:
+    """ASCII-whitespace word list with EMPTY TOKENS DROPPED: split keeps
+    a leading/trailing '' for tab- or CR-wrapped text (trim strips only
+    spaces), which silently inflated word counts and deflated per-word
+    ratios (review finding). All word-ratio ops tokenize through this;
+    the DuckDB oracles apply the identical list_filter."""
+    return F.filter(
+        F.split(txt, r"\s+"), lambda w: F.length(w) > 0
+    )
+
+
+def _clean_lines(txt: Column) -> Column:
+    """Newline-split lines, each trimmed of ASCII line whitespace
+    (\\t, \\r, space), blanks dropped. Spark's ``trim`` strips ONLY
+    spaces, so CRLF endings ('foo...\\r') and tab indents ('\\t- item')
+    would otherwise defeat every line-shape rule (review finding). The
+    DuckDB oracles apply the identical regexp trim."""
+    return F.filter(
+        F.transform(
+            F.split(txt, "\n"),
+            lambda x: F.regexp_replace(x, r"^[\t\r ]+|[\t\r ]+$", ""),
+        ),
+        lambda x: F.length(x) > 0,
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count (brief: token
-    counting 'whitespace + a BPE-ish regex')."""
-    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    # Spark SQL string literals eat backslashes — double them so the
-    # regex keeps its \s (otherwise [^...\s] silently becomes [^...s])
-    bpe = F.size(
-        F.expr(
-            f"regexp_extract_all({text_col}, '{BPE_TOKEN_RE.replace(chr(92), chr(92) * 2)}', 0)"
-        )
-    )
+    counting 'whitespace + a BPE-ish regex'). Empty / whitespace-only /
+    NULL text counts 0 on BOTH counters (split of '' yields [''], which
+    naively reports ws_tokens=1 — review finding), and the column name
+    goes through F.col, so backtick-needing names work like everywhere
+    else in this module."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.size(_words(txt))
+    bpe = F.size(F.regexp_extract_all(txt, F.lit(BPE_TOKEN_RE), F.lit(0)))
     return df.withColumn("ws_tokens", ws).withColumn("bpe_tokens", bpe)
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation-ratio / digit-ratio / stopword-ratio /
     mean-word-length quality signals + a composite [0,1] score (the
-    usual pretraining-data heuristics; each feature is one expression)."""
-    txt = F.col(text_col)
+    usual pretraining-data heuristics; each feature is one expression).
+
+    ``stopword_ratio`` counts stopword OCCURRENCES per word (review
+    finding: the earlier distinct-hits form capped the numerator at 10,
+    so the score's stopword component vanished for long documents —
+    a 1000-word fluent doc scored below an equivalent 50-word one).
+    NULL text normalizes to '' (house rule); empty text counts 0 words.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(txt)
-    words = F.split(F.trim(txt), r"\s+")
+    words = _words(txt)
     n_words = F.size(words)
     n_punct = n_chars - F.length(F.regexp_replace(txt, PUNCT_RE, ""))
     n_digit = n_chars - F.length(F.regexp_replace(txt, DIGIT_RE, ""))
     en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
-    n_stop = F.size(F.array_intersect(F.transform(words, F.lower), en_stop))
+    n_stop = F.size(
+        F.filter(words, lambda w: F.array_contains(en_stop, F.lower(w)))
+    )
     # non-whitespace chars / word count — counts ALL whitespace out, not
     # just single-space separators (VERDICT r04 weak #4: the previous
     # n_chars - (n_words-1) form over-counted runs of spaces/tabs)
-    mean_word_len = F.length(F.regexp_replace(txt, r"\s", "")) / n_words
+    mean_word_len = F.length(F.regexp_replace(txt, r"\s", "")) / F.greatest(
+        n_words, F.lit(1)
+    )
 
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
     digit_ratio = n_digit / F.greatest(n_chars, F.lit(1))
@@ -82,8 +120,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-count language heuristic: distinct-stopword hits per
     language, argmax with deterministic tie-break (hit count desc, lang
-    asc); 'und' (undetermined) when no stopword hits."""
-    words = F.transform(F.split(F.trim(F.col(text_col)), r"\s+"), F.lower)
+    asc); 'und' (undetermined) when no stopword hits. NULL text -> 'und'
+    (house rule: coalesce to '')."""
+    words = F.transform(_words(F.coalesce(F.col(text_col), F.lit(""))), F.lower)
     hits: list[Column] = []
     for lang, stops in sorted(LANG_STOPWORDS.items()):
         arr = F.array(*[F.lit(w) for w in stops])
@@ -109,7 +148,11 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     strip punctuation, md5 — the dedup-key flavor of fingerprinting
     (content-defined; portable to the oracle)."""
     norm = F.regexp_replace(
-        F.regexp_replace(F.lower(F.col(text_col)), PUNCT_RE, ""), r"\s+", " "
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), PUNCT_RE, ""
+        ),
+        r"\s+",
+        " ",
     )
     return df.withColumn("fingerprint", F.md5(F.trim(norm).cast("binary")))
 
@@ -118,7 +161,12 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 #: SAME strings run on Spark (Java regex) and the DuckDB oracle (RE2)
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
-PII_PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+#: phone runs: digits with ()/-/space separators, bounded 9-15 chars.
+#: The class is SPACE-only (not \s) so multi-line numeric content can
+#: never collapse into one <PHONE>; the {7,13} bound caps the damage of
+#: any false positive. Known residual FP: ISO dates (2024-01-15) match —
+#: unavoidable without lookaheads, which the RE2 ∩ Java subset forbids.
+PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{7,13}[0-9]"
 
 
 def redact_pii(
@@ -151,9 +199,7 @@ def repetition_signals(
     needs a per-(doc, bigram) count → one explode + two partial-agg
     shuffles keyed by doc id — the standard scalable shape (never a
     per-doc Python loop, never a driver collect)."""
-    lines = F.filter(
-        F.split(F.col("__t"), "\n"), lambda x: F.length(F.trim(x)) > 0
-    )
+    lines = _clean_lines(F.col("__t"))
     dup_line_frac = F.when(
         F.size(lines) > 0,
         1.0 - F.size(F.array_distinct(lines)) / F.size(lines),
@@ -215,11 +261,14 @@ def quality_gate(
     present (the 'is it prose at all' check).
 
     Pure per-row JVM expressions — one codegen'd projection, no shuffle,
-    no Python; the DuckDB oracle applies the identical formulas.
+    no Python; the DuckDB oracle applies the identical formulas. NULL
+    text coalesces to '' so every flag (and ``keep``) is a real boolean
+    — NULL flags would silently escape a ``filter(NOT keep)`` audit
+    (review finding; house rule from dedup_lines_corpus).
     """
-    txt = F.col(text_col)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(txt)
-    words = F.split(F.trim(txt), r"\s+")
+    words = _words(txt)
     n_words = F.size(words)
     n_punct = n_chars - F.length(F.regexp_replace(txt, PUNCT_RE, ""))
     n_digit = n_chars - F.length(F.regexp_replace(txt, DIGIT_RE, ""))
@@ -347,11 +396,18 @@ def ccnet_buckets(
     LM pipeline (measured 3.4× the single-pass cost at 5M docs). The
     cached table is ~3 numeric columns × |docs| — ~30 GB per 10^9
     documents, spilling to local disk beyond executor memory — and is
-    LRU-evicted / dropped with the session. Pass False to keep the
-    plan fully lazy (e.g. when the caller persists upstream itself).
+    LRU-evicted / dropped with the session. Pass False to skip the
+    cache when the caller persists upstream itself — note the exact
+    rank fit still runs two driver actions (boundary fit + bucket
+    counts) at CALL time either way; this builder is eager by nature,
+    unlike its siblings.
     """
     from kgfarm_spark.functions.transforms import quantile_rank_transform
 
+    if not (0.0 < cuts[0] < cuts[1] < 1.0):
+        raise ValueError(
+            f"cuts must be ascending in (0, 1), got {cuts}"
+        )
     if scorer == "unigram":
         scored = unigram_logprob(df, id_col, text_col)
     elif scorer == "bigram":
@@ -511,25 +567,20 @@ def gopher_line_rules(
     # NULL text normalizes to '' (house rule from dedup_lines_corpus):
     # every document gets well-defined non-null ratios and flags
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.split(F.trim(txt), r"\s+")
+    words = _words(txt)
     n_words = F.greatest(F.size(words), F.lit(1))
     n_hash = F.length(txt) - F.length(F.regexp_replace(txt, "#", ""))
     n_ell = (
         (F.length(txt) - F.length(F.replace(txt, F.lit("...")))) / 3
         + (F.length(txt) - F.length(F.replace(txt, F.lit("…"))))
     )
-    lines = F.filter(
-        F.split(txt, "\n"), lambda x: F.length(F.trim(x)) > 0
-    )
+    lines = _clean_lines(txt)
     n_lines = F.greatest(F.size(lines), F.lit(1))
     bullet_lines = F.size(
-        F.filter(lines, lambda x: F.trim(x).substr(1, 1).isin("-", "*", "•"))
+        F.filter(lines, lambda x: x.substr(1, 1).isin("-", "*", "•"))
     )
     ell_lines = F.size(
-        F.filter(
-            lines,
-            lambda x: F.trim(x).endswith("...") | F.trim(x).endswith("…"),
-        )
+        F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
     )
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
 
@@ -568,7 +619,8 @@ def gopher_filter(
     text_col: str = "text",
     max_dup_line_frac: float = 0.30,
     max_top_bigram_frac: float = 0.20,
-    **rule_kw,
+    gate_kw: dict | None = None,
+    line_kw: dict | None = None,
 ) -> DataFrame:
     """The complete published Gopher document filter (Rae et al. 2021
     Table A1) as one call: ``quality_gate`` (word count / mean word
@@ -576,20 +628,23 @@ def gopher_filter(
     (symbol ratios + line shapes + alpha words) AND the repetition caps
     (dup-line fraction <= 0.30, top-bigram fraction <= 0.20 over
     ``repetition_signals``). Returns per-group verdicts plus the overall
-    ``keep``; thresholds override via kwargs (prefix-routed: quality_gate
-    kwargs pass through ``rule_kw``).
+    ``keep``; per-rule-set thresholds override via ``gate_kw`` (passed to
+    quality_gate) and ``line_kw`` (passed to gopher_line_rules) — the
+    earlier ``**rule_kw`` form routed everything to quality_gate, so the
+    documented line-rule overrides crashed with TypeError (review
+    finding).
 
     Cost = the union of its parts: two stateless projections joined to
     the one shuffled repetition aggregate on ``id_col`` — the join keys
     are the doc id, so with AQE the two broadcast-sized projections fold
     into the repetition output without an extra exchange of the corpus.
     """
-    gate = quality_gate(df, id_col, text_col, append=True, **rule_kw).select(
-        id_col, text_col, F.col("keep").alias("gate_ok")
-    )
-    stateless = gopher_line_rules(gate, id_col, text_col, append=True).select(
-        id_col, "gate_ok", F.col("keep").alias("lines_ok")
-    )
+    gate = quality_gate(
+        df, id_col, text_col, append=True, **(gate_kw or {})
+    ).select(id_col, text_col, F.col("keep").alias("gate_ok"))
+    stateless = gopher_line_rules(
+        gate, id_col, text_col, append=True, **(line_kw or {})
+    ).select(id_col, "gate_ok", F.col("keep").alias("lines_ok"))
     rep = repetition_signals(df, id_col, text_col).select(
         id_col,
         (

@@ -1976,3 +1976,40 @@ def test_bpe_apply_paths_agree_on_edge_inputs(spark):
     assert by_id[3] == [()] and by_id[4] == [()]
     assert len(by_id[5]) == 2 and by_id[5][0] != by_id[5][1]
     assert by_id[None][0] != ()
+
+
+def test_gopher_review_regressions(spark):
+    """Review findings: gopher_filter line-rule overrides route via
+    line_kw; CRLF/tab lines are trimmed before line-shape checks; ccnet
+    cuts validate."""
+    from kgfarm_spark.operators.textstats import (
+        ccnet_buckets,
+        gopher_filter,
+        gopher_line_rules,
+        quality_gate,
+        token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "foo...\r\nbar...\r\n"), (2, "\t- item\n\t- item2\nprose")],
+        "doc_id long, text string",
+    )
+    g = {r["doc_id"]: r for r in gopher_line_rules(docs).collect()}
+    assert g[1]["ellipsis_line_frac"] == pytest.approx(1.0)   # \r no longer hides '...'
+    assert g[2]["bullet_line_frac"] == pytest.approx(2 / 3)   # tab indent trimmed
+    # line_kw actually reaches gopher_line_rules now
+    strict = gopher_filter(
+        docs,
+        line_kw={"max_ellipsis_line_frac": 1.0, "max_ellipsis_word_ratio": 10.0},
+    )
+    assert {r["doc_id"]: r["lines_ok"] for r in strict.collect()}[1] is True
+    # NULL text -> real booleans from quality_gate
+    nulldoc = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    row = quality_gate(nulldoc).collect()[0]
+    assert row["keep"] is False and row["words_ok"] is False
+    # empty text counts zero tokens on both counters
+    t = token_counts(spark.createDataFrame([(1, " "), (2, None)],
+                     "doc_id long, text string")).collect()
+    assert all(r["ws_tokens"] == 0 and r["bpe_tokens"] == 0 for r in t)
+    with pytest.raises(ValueError):
+        ccnet_buckets(docs, cuts=(0.7, 0.3))
