@@ -64,7 +64,7 @@ sh AS (
     SELECT doc_id,
            unnest(list_transform(generate_series(1, len(w) - 2),
                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+    FROM (SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> length(x) > 0) AS w FROM corpus)
   )
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"""
@@ -256,8 +256,12 @@ sums AS (
   FROM (SELECT id_a, id_b, unnest(va) AS x, unnest(vb) AS y FROM pairs)
   GROUP BY 1, 2
 )
-SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
-FROM sums WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.999
+SELECT id_a, id_b,
+       round(dot / ((CASE WHEN na = 0 THEN 1 ELSE sqrt(na) END)
+                  * (CASE WHEN nb = 0 THEN 1 ELSE sqrt(nb) END)), 4) AS cosine
+FROM sums
+WHERE dot / ((CASE WHEN na = 0 THEN 1 ELSE sqrt(na) END)
+           * (CASE WHEN nb = 0 THEN 1 ELSE sqrt(nb) END)) >= 0.999
 """,
 )
 def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
@@ -543,7 +547,7 @@ WITH base AS (
               ELSE text END AS text
   FROM documents
 ),
-w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM base),
+w AS (SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> length(x) > 0) AS w FROM base),
 sp AS (
   SELECT doc_id,
          unnest(CASE WHEN len(w) >= 5
@@ -599,7 +603,15 @@ flat AS (
   )
 ),
 win AS (
-  SELECT *, row_number() OVER (PARTITION BY l ORDER BY doc_id, idx) AS rn
+  SELECT *,
+         CASE WHEN length(regexp_replace(l, '^[\t\r ]+|[\t\r ]+$', '', 'g')) = 0
+              THEN 1
+              ELSE row_number() OVER (
+                  PARTITION BY CASE WHEN length(regexp_replace(
+                      l, '^[\t\r ]+|[\t\r ]+$', '', 'g')) = 0
+                      THEN NULL ELSE l END
+                  ORDER BY doc_id, idx)
+         END AS rn
   FROM flat
 )
 SELECT doc_id,
@@ -819,7 +831,7 @@ esh AS (
   SELECT DISTINCT shingle FROM (
     SELECT unnest(list_transform(generate_series(1, len(w) - 2),
            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-    FROM (SELECT string_split(text, ' ') AS w FROM evalb)
+    FROM (SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> length(x) > 0) AS w FROM evalb)
   )
 ),
 tsh AS (
@@ -827,7 +839,7 @@ tsh AS (
     SELECT doc_id,
            unnest(list_transform(generate_series(1, len(w) - 2),
                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train)
+    FROM (SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> length(x) > 0) AS w FROM train)
   )
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap

@@ -37,9 +37,15 @@ LSH_PRODUCTION = {"num_hashes": 128, "bands": 32, "portable": False}
 
 
 def exact_dedup(df: DataFrame, on: list[str], order_col: str) -> DataFrame:
-    """Keep one row per duplicate group (lowest ``order_col`` —
-    deterministic). A1-style hash groupBy, one shuffle."""
-    w = Window.partitionBy(*on).orderBy(F.col(order_col).asc())
+    """Keep one row per duplicate group (lowest ``order_col``). A1-style
+    hash groupBy, one shuffle. A content hash of the full row is the
+    second sort key, so ties on ``order_col`` pick a DETERMINISTIC
+    survivor (review finding: row_number over a non-unique ordering
+    picks whichever row the shuffle delivered first); rows identical in
+    every column remain interchangeable, which is harmless."""
+    w = Window.partitionBy(*on).orderBy(
+        F.col(order_col).asc(), F.xxhash64(F.struct(*df.columns)).asc()
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -52,8 +58,20 @@ def word_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     The text is tokenized ONCE into a pre-projected array column (the
     naive inline expression re-splits the string per sub-expression), and
     per-doc dedup happens via array_distinct BEFORE the explode — no
-    wide dropDuplicates shuffle carrying the full text per shingle."""
-    toks = df.withColumn("__toks", F.split(F.col(text_col), " "))
+    wide dropDuplicates shuffle carrying the full text per shingle.
+    Tokenization is \\s+ with empty tokens dropped and NULL text
+    coalesced (review finding: the earlier single-space split embedded
+    '' tokens in shingles, so a doc differing from its duplicate only by
+    a doubled space got near-disjoint shingles and every
+    jaccard/minhash/decontaminate consumer missed it — now consistent
+    with duplicate_ngram_spans and the textstats tokenizer)."""
+    toks = df.withColumn(
+        "__toks",
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda w: F.length(w) > 0,
+        ),
+    )
     sh = F.when(
         F.size("__toks") >= n,
         F.expr(
@@ -84,12 +102,17 @@ def jaccard_pairs(
 
     |A∩B| from a self-join on shingle; |A∪B| = |A|+|B|-|A∩B| from per-doc
     shingle counts. ``max_shingle_freq`` prunes super-frequent shingles
-    before the join (skew guard — see module docstring)."""
+    before the join (skew guard — see module docstring). Sizes are
+    computed from the UNPRUNED shingle set: pruning only shrinks the
+    join (|A∩B| can only undercount, so pruning stays conservative) —
+    sizing after the prune inflated Jaccard for hot-shingle-dominated
+    docs, disagreeing with minhash_lsh_dedup_pairs' unpruned verify
+    score on the same pair (review finding)."""
     s = _doc_shingles(df, id_col, text_col, n)
+    sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     if max_shingle_freq is not None:
         freq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
         s = s.join(freq.filter(F.col("__f") <= max_shingle_freq), "shingle").drop("__f")
-    sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     a = s.select(F.col(id_col).alias("id_a"), "shingle")
     b = s.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -276,12 +299,17 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 8,
     portable: bool = True,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: component i = min over shingles of
     h(shingle, i). ``portable=True`` uses md5 hex strings (bit-identical
     in DuckDB → oracle-checkable); False uses xxhash64 (faster, JVM-only).
-    One explode + one groupBy — no joins."""
-    s = _doc_shingles(df, id_col, text_col, n)
+    One explode + one groupBy — no joins. ``shingles`` accepts a
+    precomputed (id, shingle) frame so callers that also need the
+    shingles (the LSH verify stage) can share it — pass a persisted /
+    checkpointed frame for a true single tokenize pass (a shared LAZY
+    frame still recomputes per consumer; only storage dedupes work)."""
+    s = shingles if shingles is not None else _doc_shingles(df, id_col, text_col, n)
     if portable:
         aggs = [
             F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")).cast("binary"))).alias(f"mh_{i}")
@@ -310,6 +338,12 @@ def lsh_candidate_pairs(
     hashes/32 bands. A 2^-64 bucket collision can only MERGE buckets,
     i.e. add a false candidate that the exact Jaccard verify discards —
     recall is unaffected."""
+    if not (1 <= bands <= num_hashes) or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes with 1 <= bands <= num_hashes; "
+            f"got num_hashes={num_hashes}, bands={bands} (bands > num_hashes "
+            f"would make every bucket constant — a silent O(n^2) cross join)"
+        )
     rows_per_band = num_hashes // bands
     compact = dict(signatures.dtypes).get("mh_0") == "bigint"
     buckets = []
@@ -346,9 +380,11 @@ def minhash_lsh_dedup_pairs(
     Same output contract as jaccard_pairs but candidate-pruned.
     Production use: ``minhash_lsh_dedup_pairs(df, id, text,
     **LSH_PRODUCTION, threshold=0.7)``."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, portable)
-    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     s = _doc_shingles(df, id_col, text_col, n)
+    sigs = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, portable, shingles=s
+    )
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     # intersection count: expand each candidate pair by doc A's shingles,
     # then join doc B on the COMPOSITE key (id_b, shingle). Joining on
@@ -504,7 +540,13 @@ def embedding_neardup_pairs(
     (similarity.hyperplane_lsh_bucket)."""
     from kgfarm_spark.operators.similarity import dot_expr, norm_expr
 
-    # per-row norm hoisted out of the O(n²) pair expression
+    # per-row norm hoisted out of the O(n²) pair expression; zero norms
+    # map to denominator 1 (the arrow-kernel convention: a zero vector's
+    # dot is 0, so its cosine is 0 and it matches nothing at t>0) —
+    # without the guard 0/0 = NaN, and Spark orders NaN ABOVE every
+    # threshold, so a zero vector paired with EVERYTHING (review finding;
+    # same class the repo fixed in similarity.cosine_topk, abd8754)
+    guard = lambda c: F.when(F.col(c) > 0, F.col(c)).otherwise(F.lit(1.0))
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
     ).withColumn("__na", norm_expr("__va"))
@@ -514,7 +556,9 @@ def embedding_neardup_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb")))
+        .withColumn(
+            "cosine", dot_expr("__va", "__vb") / (guard("__na") * guard("__nb"))
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -559,7 +603,13 @@ def duplicate_ngram_spans(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # \s+ split with empty tokens dropped (review finding: a trailing
+    # newline left a '' tail token — trim strips only spaces — shifting
+    # every span hash so the duplicate went unflagged)
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
     base = df.select(F.col(id_col).alias("__id"), words.alias("__w"))
     spans = F.when(
         F.size("__w") >= n,
@@ -622,6 +672,13 @@ def dedup_lines_corpus(
     (lower + collapse internal whitespace) while PRESERVING the original
     line text in the output — the usual C4 behavior.
 
+    BLANK lines (empty after trimming \\t/\\r/space) are structural
+    paragraph separators, not content — they are ALWAYS kept and never
+    enter the dedup census (review finding: treating '' as dedupable
+    content deleted every blank line in the corpus except the single
+    globally-first one, silently collapsing paragraph structure in
+    nearly every document).
+
     Scale shape — no corpus-wide window, no driver materialization:
       1. explode lines with their index (one row per line);
       2. groupBy line key → ``min(struct(id, idx))`` (map-side partial
@@ -646,16 +703,27 @@ def dedup_lines_corpus(
         if normalize
         else F.col("__line")
     )
-    occ = base.withColumn("__k", F.xxhash64(key))
-    winners = occ.groupBy("__k").agg(
-        F.min(F.struct("__id", "__idx")).alias("__first")
+    blank = (
+        F.length(F.regexp_replace(F.col("__line"), r"^[\t\r ]+|[\t\r ]+$", ""))
+        == 0
+    )
+    occ = base.withColumn(
+        "__k", F.when(~blank, F.xxhash64(key))
+    )
+    winners = (
+        occ.filter(F.col("__k").isNotNull())
+        .groupBy("__k")
+        .agg(F.min(F.struct("__id", "__idx")).alias("__first"))
     )
     kept = (
-        occ.join(winners, "__k")
+        occ.join(winners, "__k", "left")
         .withColumn(
             "__keep",
-            (F.col("__first.__id") == F.col("__id"))
-            & (F.col("__first.__idx") == F.col("__idx")),
+            F.col("__k").isNull()  # blank separator: always keep
+            | (
+                (F.col("__first.__id") == F.col("__id"))
+                & (F.col("__first.__idx") == F.col("__idx"))
+            ),
         )
     )
     out = kept.groupBy("__id").agg(
@@ -844,7 +912,14 @@ def semantic_neardup_pairs(
                 }
             )
 
-        return cells.groupBy("__cell").applyInPandas(per_cell, pair_schema).distinct()
+        # (id_a, id_b) dedup, not distinct() over the cosine double —
+        # multi-probe pairs computed in differently-shaped cell matmuls
+        # can differ in the last ulp (review finding)
+        return (
+            cells.groupBy("__cell")
+            .applyInPandas(per_cell, pair_schema)
+            .dropDuplicates(["id_a", "id_b"])
+        )
 
     if kernel != "expr":
         raise ValueError(f"kernel must be 'arrow' or 'expr', got {kernel!r}")
@@ -860,14 +935,20 @@ def semantic_neardup_pairs(
         F.col("__v").alias("__vb"),
         norm_expr("__v").alias("__nb"),
     )
+    # zero-norm guard matches the arrow kernel (norms==0 -> 1.0), so the
+    # two kernels stay pytest-pinned twins even on zero vectors; dedup of
+    # multi-probe duplicates is by (id_a, id_b) — distinct() over the
+    # cosine double would rely on bit-identical results across
+    # differently-shaped per-cell computations (review finding)
+    guard = lambda c: F.when(F.col(c) > 0, F.col(c)).otherwise(F.lit(1.0))
     pairs = (
         a.join(b, "__cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "cosine", dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb"))
+            "cosine", dot_expr("__va", "__vb") / (guard("__na") * guard("__nb"))
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .distinct()
+        .dropDuplicates(["id_a", "id_b"])
     )
     return pairs

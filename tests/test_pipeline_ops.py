@@ -1413,10 +1413,11 @@ class TestCurationEdgeCases:
         rows = [(1, "a\nb"), (2, None), (3, None)]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = {r["doc_id"]: r for r in dedup_lines_corpus(df).collect()}
-        # NULL text behaves as '' — one empty line, deduped corpus-wide,
-        # counts always non-null
+        # NULL text behaves as '' — ONE blank line; blank lines are
+        # structural separators (review finding), so both NULL docs keep
+        # theirs and counts stay non-null
         assert (got[2]["n_lines"], got[2]["n_lines_kept"]) == (1, 1)
-        assert (got[3]["n_lines"], got[3]["n_lines_kept"]) == (1, 0)
+        assert (got[3]["n_lines"], got[3]["n_lines_kept"]) == (1, 1)
         assert got[1]["text"] == "a\nb"
 
     def test_facade_embedding_dedup_route(self, farm_spark_pair):
@@ -2013,3 +2014,75 @@ def test_gopher_review_regressions(spark):
     assert all(r["ws_tokens"] == 0 and r["bpe_tokens"] == 0 for r in t)
     with pytest.raises(ValueError):
         ccnet_buckets(docs, cuts=(0.7, 0.3))
+
+
+class TestDedupReviewRegressions:
+    """Round-5 self-review findings on the dedup module."""
+
+    def test_zero_norm_embedding_matches_nothing(self, spark):
+        from kgfarm_spark.operators.dedup import embedding_neardup_pairs
+
+        rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = embedding_neardup_pairs(df, "vec_id", "embedding", 0.95).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(2, 3)}
+
+    def test_lsh_bands_validation(self, spark):
+        from kgfarm_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+        df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+        sigs = minhash_signatures(df, "doc_id", "text", num_hashes=8)
+        with pytest.raises(ValueError, match="bands"):
+            lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=16)
+        with pytest.raises(ValueError, match="bands"):
+            lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=3)
+
+    def test_jaccard_sizes_unpruned(self, spark):
+        from kgfarm_spark.operators.dedup import jaccard_pairs
+
+        # hot shingle 'h1 h2 h3' in EVERY doc (freq > cap); A and B share
+        # one rare shingle besides. True J = 1/3; pruned-size J was 1.0.
+        rows = [(i, "h1 h2 h3") for i in range(3, 40)]
+        rows += [(1, "h1 h2 h3 rare1 rare2 rare3"), (2, "h1 h2 h3 rare1 rare2 rare3")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=0.0, max_shingle_freq=10
+            ).collect()
+        }
+        # docs 1,2: 4 shingles each, hot 'h1 h2 h3' pruned from the join
+        # -> inter undercounts to 3, sizes stay 4: J = 3/(4+4-3) = 0.6
+        assert pairs[(1, 2)] == pytest.approx(3 / 5)
+
+    def test_whitespace_variant_duplicates_match(self, spark):
+        from kgfarm_spark.operators.dedup import jaccard_pairs
+
+        df = spark.createDataFrame(
+            [(1, "w1 w2 w3 w4"), (2, "w1  w2 w3\tw4\n")],
+            "doc_id long, text string",
+        )
+        pairs = jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+        assert len(pairs) == 1 and pairs[0]["jaccard"] == pytest.approx(1.0)
+
+    def test_blank_lines_survive_line_dedup(self, spark):
+        from kgfarm_spark.operators.dedup import dedup_lines_corpus
+
+        df = spark.createDataFrame(
+            [(1, "intro\n\nbody"), (2, "other\n\nmore")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["text"] for r in
+               dedup_lines_corpus(df, "doc_id", "text").collect()}
+        assert out[1] == "intro\n\nbody" and out[2] == "other\n\nmore"
+
+    def test_exact_dedup_tie_is_deterministic(self, spark):
+        from kgfarm_spark.operators.dedup import exact_dedup
+
+        rows = [(1, "k", "x"), (1, "k", "y"), (1, "k", "z")]
+        df = spark.createDataFrame(rows, "ord long, key string, payload string")
+        picks = {
+            exact_dedup(df.repartition(p), ["key"], "ord").collect()[0]["payload"]
+            for p in (1, 4, 16)
+        }
+        assert len(picks) == 1
