@@ -775,7 +775,9 @@ WITH t AS (
 w AS (SELECT * FROM (VALUES {vals}) AS v(source, wt)),
 r AS (
   SELECT t.source, w.wt,
-         least(1.0, w.wt * {float(_MIX_BUDGET)} / sum(t.n_tokens)) AS rate
+         CASE WHEN sum(t.n_tokens) > 0
+              THEN least(1.0, w.wt * {float(_MIX_BUDGET)} / sum(t.n_tokens))
+              ELSE 0.0 END AS rate
   FROM t JOIN w USING (source) GROUP BY t.source, w.wt
 )
 SELECT t.doc_id, t.source, t.n_tokens, round(r.rate, 6) AS rate

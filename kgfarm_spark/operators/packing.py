@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kgfarm_spark.functions.transforms import _range_bucket_expr
+
 
 def pack_sequences(
     df: DataFrame,
@@ -59,6 +61,15 @@ def pack_sequences(
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
+    if n_buckets is not None and n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    id_type = dict(df.dtypes).get(id_col, "")
+    if id_type in ("string", "binary"):
+        raise ValueError(
+            f"id_col {id_col!r} is {id_type}; pack_sequences needs a numeric "
+            f"id (percentile_approx range-buckets the id space) — hash string "
+            f"ids to a bigint first (e.g. xxhash64)"
+        )
     spark = df.sparkSession
     P = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     qs = [i / P for i in range(1, P)]
@@ -67,35 +78,53 @@ def pack_sequences(
         F.expr(f"percentile_approx(`{id_col}`, {qlist}, 10000)").alias("b")
     ).first()["b"]
     uniq = sorted(set(b for b in (bounds or []) if b is not None))
-    arr = F.array(*[F.lit(b) for b in uniq]) if uniq else F.array().cast("array<bigint>")
-    bucket = F.aggregate(
-        arr, F.lit(0), lambda acc, b: acc + F.when(F.col("__id") > b, 1).otherwise(0)
-    )
+    # shared monotone-bucket primitive (transforms.py) — one expression
+    # for every range-bucket decomposition in the engine
+    bucket = _range_bucket_expr(F.col("__id"), uniq)
 
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(token_col).cast("bigint").alias("__tok"),
     ).withColumn("__b", bucket)
+    # persisted: the offsets collect below and the returned plan both
+    # read base — without storage the full upstream (often a corpus
+    # tokenize) runs twice, and a nondeterministic upstream could make
+    # the collected offsets inconsistent with the second evaluation
+    base = base.persist()
 
     # exclusive prefix offset per bucket: |buckets| rows, driver-side scan
-    sums = {
-        r["__b"]: r["s"]
-        for r in base.groupBy("__b").agg(F.sum("__tok").alias("s")).collect()
+    agg = {
+        r["__b"]: (r["s"], r["nulls"])
+        for r in base.groupBy("__b")
+        .agg(
+            F.sum("__tok").alias("s"),
+            F.sum(F.col("__tok").isNull().cast("int")).alias("nulls"),
+        )
+        .collect()
     }
+    n_nulls = sum(v[1] for v in agg.values())
+    if n_nulls:
+        raise ValueError(
+            f"token_col {token_col!r} contains {n_nulls} NULLs — packing "
+            f"needs a token count for every document (fill or drop first)"
+        )
     offsets, acc = [], 0
-    for b in sorted(sums):
+    for b in sorted(agg):
         offsets.append((b, acc))
-        acc += sums[b]
-    off_expr = F.lit(0).cast("bigint")
-    for b, o in offsets:
-        off_expr = F.when(F.col("__b") == b, F.lit(o).cast("bigint")).otherwise(off_expr)
+        acc += agg[b][0]
+    # broadcast-joined offsets (constant-size plan; a WHEN chain would be
+    # an O(n_buckets)-deep expression — the transforms.py rule)
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__b int, __off long")
+    base = base.join(F.broadcast(off_df), "__b", "left").withColumn(
+        "__off", F.coalesce(F.col("__off"), F.lit(0))
+    )
 
     w = (
         Window.partitionBy("__b")
         .orderBy("__id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    before = F.coalesce(F.sum("__tok").over(w), F.lit(0)) + off_expr
+    before = F.coalesce(F.sum("__tok").over(w), F.lit(0)) + F.col("__off")
     out = base.withColumn("__before", before)
     return out.select(
         F.col("__id").alias(id_col),
@@ -156,21 +185,29 @@ def stratified_mix_sample(
         .agg(F.sum(F.col(token_col).cast("bigint")).alias("__src_tok"))
         .withColumn("__w", F.coalesce(wmap[F.col(source_col)], F.lit(0.0)))
         .withColumn(
-            "rate",
-            F.least(
-                F.lit(1.0),
-                F.col("__w") * F.lit(float(token_budget)) / F.col("__src_tok"),
-            ),
+            # guarded: a NULL or zero token sum must mean rate 0 (drop),
+            # never NULL — least() SKIPS NULLs, so an unweighted source
+            # with NULL token counts previously kept ALL its rows, and a
+            # zero-token source divided by zero under ANSI (review
+            # findings, both reproduced)
+            "__rate",
+            F.when(
+                F.col("__src_tok") > 0,
+                F.least(
+                    F.lit(1.0),
+                    F.col("__w") * F.lit(float(token_budget)) / F.col("__src_tok"),
+                ),
+            ).otherwise(F.lit(0.0)),
         )
-        .select(source_col, "rate")
+        .select(source_col, "__rate")
     )
     joined = df.join(F.broadcast(per_src), source_col)
     return (
-        joined.filter(_md5_uniform(F.col(id_col)) < F.col("rate"))
+        joined.filter(_md5_uniform(F.col(id_col)) < F.col("__rate"))
         .select(
             id_col,
             source_col,
             F.col(token_col).cast("bigint").alias(token_col),
-            F.round("rate", 6).alias("rate"),
+            F.round("__rate", 6).alias("rate"),
         )
     )

@@ -2086,3 +2086,44 @@ class TestDedupReviewRegressions:
             for p in (1, 4, 16)
         }
         assert len(picks) == 1
+
+
+class TestPackingReviewRegressions:
+    """Round-5 self-review findings on the packing module."""
+
+    def test_mix_null_and_zero_token_sources_drop(self, spark):
+        from kgfarm_spark.operators.packing import stratified_mix_sample
+
+        rows = [
+            (1, "a", None), (2, "a", None),        # unweighted, NULL sums
+            (3, "z", 0), (4, "z", 0),              # weighted, zero tokens
+            (5, "b", 10), (6, "b", 10),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+        kept = stratified_mix_sample(
+            df, weights={"b": 1.0, "z": 1.0}, token_budget=100
+        ).collect()
+        assert {r["source"] for r in kept} == {"b"}
+
+    def test_mix_rate_column_collision(self, spark):
+        from kgfarm_spark.operators.packing import stratified_mix_sample
+
+        df = spark.createDataFrame(
+            [(1, "b", 10, 0.5)], "doc_id long, source string, n_tokens long, rate double"
+        )
+        out = stratified_mix_sample(df, weights={"b": 1.0}, token_budget=100)
+        assert out.collect()[0]["rate"] == 1.0   # resolved, no AMBIGUOUS_REFERENCE
+
+    def test_pack_rejects_null_tokens_and_bad_args(self, spark):
+        from kgfarm_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, None)], "doc_id long, n_tokens long"
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            pack_sequences(df, "doc_id", "n_tokens").collect()
+        with pytest.raises(ValueError, match="n_buckets"):
+            pack_sequences(df.na.fill(0), "doc_id", "n_tokens", n_buckets=-5)
+        sdf = spark.createDataFrame([("a", 5)], "doc_id string, n_tokens long")
+        with pytest.raises(ValueError, match="numeric"):
+            pack_sequences(sdf, "doc_id", "n_tokens")
