@@ -437,7 +437,7 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
-_PII_PHONE = r"\+?[0-9][0-9()\- ]{7,13}[0-9]"
+_PII_PHONE = r"\+?[0-9][0-9()\- ]{7,18}[0-9]"
 
 
 @register(

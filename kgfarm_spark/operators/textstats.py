@@ -161,12 +161,14 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 #: SAME strings run on Spark (Java regex) and the DuckDB oracle (RE2)
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
-#: phone runs: digits with ()/-/space separators, bounded 9-15 chars.
+#: phone runs: digits with ()/-/space separators, bounded 9-20 chars
+#: (international formats like '+1 (555) 123-4567' have up to ~18 inner
+#: separator/digit chars).
 #: The class is SPACE-only (not \s) so multi-line numeric content can
 #: never collapse into one <PHONE>; the {7,13} bound caps the damage of
 #: any false positive. Known residual FP: ISO dates (2024-01-15) match —
 #: unavoidable without lookaheads, which the RE2 ∩ Java subset forbids.
-PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{7,13}[0-9]"
+PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{7,18}[0-9]"
 
 
 def redact_pii(
