@@ -13,7 +13,14 @@ exchange (shuffle bytes ∝ fixed-width columns only).
 Equivalent to asof_join(probes, backfill_features(t), direction=
 'backward', mode='latest') — same oracle SQL, verified by the driver
 gate — but with half the shuffle volume. At 10^12 turns this is the
-difference between 2 PB and 1 PB of shuffle I/O.
+difference between 2 PB and 1 PB of shuffle I/O. Equivalence note: the
+fused state is ordered by EVENT TIME; the naive composition orders the
+cumulative features by turn_idx. The two agree whenever ts is monotone
+in turn_idx within a conversation (the transcript invariant the datagen
+and oracle share). On out-of-order event data the ts ordering is the
+point-in-time-CORRECT one — "features as of probe ts" must reflect
+exactly the turns with ts <= probe ts, and a turn_idx-ordered prefix
+would leak later-timestamped turns into earlier probes.
 
 Leakage-free by construction: every window frame ends at the current
 row, and probe rows are ordered AFTER transcript rows at equal ts
@@ -39,8 +46,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: feature columns produced by the fused state pass (order matters for
-#: the output projection, not for the hot/cold unionByName)
+from kgfarm_spark.operators.asof import _tolerance_expr
+
+#: feature columns produced by the fused state pass (defines the output
+#: projection order)
 _FEATURES = [
     "matched_ts",
     "turns_so_far",
@@ -132,12 +141,22 @@ def _fused_state(u: DataFrame, key: str) -> DataFrame:
 
 
 def _hot_bounds(
-    transcripts: DataFrame, key: str, ts: str, hot_conv_turns: int, n_buckets: int
+    transcripts: DataFrame,
+    key: str,
+    ts: str,
+    hot_conv_turns: int,
+    n_buckets: int,
+    probes: DataFrame | None = None,
+    probe_ts: str | None = None,
 ) -> DataFrame:
     """ONE aggregate pass over (key, ts) — column-pruned at the scan —
-    computing both hot-key detection (turn count ≥ threshold) and a
-    per-key FIXED-WIDTH event-time bucket grid (min ts + bucket width).
-    Only hot keys survive, so the result is tiny and broadcastable.
+    computing both hot-key detection (UNIONED row count ≥ threshold:
+    probe rows sit in the same window task as the turns, so a key
+    skewed by a huge probe frame is just as much a straggler — review
+    finding) and a per-key FIXED-WIDTH event-time bucket grid (min/max
+    over TRANSCRIPT ts; probe rows outside the span clamp to the edge
+    buckets, which stays exact). Only hot keys survive, so the result
+    is tiny and broadcastable.
 
     Fixed-width beats quantile boundaries here twice over: the fit is a
     plain min/max (no percentile sketch merge), and the per-row bucket
@@ -148,9 +167,15 @@ def _hot_bounds(
     quantiles; that only affects parallelism, never correctness (any
     monotone pure-function-of-ts cut gives an exact decomposition)."""
     tsd = F.col(ts).cast("timestamp").cast("double")
+    rows = transcripts.select(F.col(key), tsd.alias("__tsd"))
+    if probes is not None:
+        # probe rows count toward the straggler threshold but a NULL tsd
+        # keeps them out of the transcript-span min/max
+        rows = rows.unionByName(
+            probes.select(F.col(key), F.lit(None).cast("double").alias("__tsd"))
+        )
     stats = (
-        transcripts.select(F.col(key), tsd.alias("__tsd"))
-        .groupBy(key)
+        rows.groupBy(key)
         .agg(
             F.count(F.lit(1)).alias("__n"),
             F.min("__tsd").alias("__lo"),
@@ -320,7 +345,7 @@ def _fused_state_guarded(
 
 
 def _auto_hot_threshold(
-    transcripts: DataFrame, key: str
+    transcripts: DataFrame, key: str, probes: DataFrame | None = None
 ) -> int | None:
     """Decide whether the hot-conversation guard should engage, and at
     what threshold, from ONE column-pruned aggregate over the key column.
@@ -341,9 +366,12 @@ def _auto_hot_threshold(
     driver row — negligible next to the window job it protects."""
     sc = transcripts.sparkSession.sparkContext
     n_cores = max(sc.defaultParallelism, 2)
+    keys = transcripts.select(key)
+    if probes is not None:
+        # the window task holds the UNION of turns and probes per key
+        keys = keys.unionByName(probes.select(key))
     row = (
-        transcripts.select(key)
-        .groupBy(key)
+        keys.groupBy(key)
         .agg(F.count(F.lit(1)).alias("__n"))
         .agg(F.max("__n").alias("__mx"), F.sum("__n").alias("__tot"))
         .first()
@@ -370,7 +398,8 @@ def backfill_asof_fused(
     the backfill feature set (same names as windows.backfill_features).
 
     ``hot_conv_turns``: optional straggler guard — conversations whose
-    TRANSCRIPT TURN COUNT meets this threshold take the exact
+    UNIONED row count (turns + probes — both sit in the same window
+    task) meets this threshold take the exact
     bucket+carry path split over ``n_hot_buckets`` event-time buckets
     (see module docstring); everything else stays on the plain
     single-window plan. Pass ``"auto"`` to apply the measured crossover
@@ -400,14 +429,23 @@ def backfill_asof_fused(
                 f"hot_conv_turns must be an int, None, or 'auto'; got "
                 f"{hot_conv_turns!r}"
             )
-        hot_conv_turns = _auto_hot_threshold(transcripts, key)
+        hot_conv_turns = _auto_hot_threshold(transcripts, key, probes)
     probe_cols = [c for c in probes.columns if c != key]
+    clash = sorted(set(probe_cols) & (set(_FEATURES) | {"tool_call_rate"}))
+    if clash:
+        raise ValueError(
+            f"probe columns {clash} collide with the backfill feature "
+            f"output names — rename them (a silent overwrite here would "
+            f"corrupt re-backfilled frames)"
+        )
     u = _union_frame(transcripts, probes, key, ts, probe_ts, probe_cols)
 
     if hot_conv_turns is None:
         state = _fused_state(u, key)
     else:
-        bounds = _hot_bounds(transcripts, key, ts, hot_conv_turns, n_hot_buckets)
+        bounds = _hot_bounds(
+            transcripts, key, ts, hot_conv_turns, n_hot_buckets, probes, probe_ts
+        )
         carry = _hot_carry(transcripts, key, ts, bounds)
         state = _fused_state_guarded(u, key, bounds, carry)
 
@@ -416,8 +454,9 @@ def backfill_asof_fused(
     # tolerance / no-match: null out the feature block exactly like a
     # missed as-of join (matched_ts outside [probe_ts - tol, probe_ts])
     valid = F.col("matched_ts").isNotNull()
-    if tolerance is not None:
-        valid = valid & (F.col("matched_ts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}"))
+    tol_expr = _tolerance_expr(tolerance)
+    if tol_expr is not None:
+        valid = valid & (F.col("matched_ts") >= F.col("__ts") - F.expr(tol_expr))
 
     sel = [F.col(key)] + [F.col(f"__p_{c}").alias(c) for c in probe_cols]
     for c in _FEATURES:

@@ -340,3 +340,48 @@ def test_probe_pushdown_equals_plain_and_prunes_plan(spark):
     plan = pushed._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan, "pushdown must plan a left-semi reduction"
     assert "Broadcast" in plan, "the probe key set must broadcast"
+
+
+def test_probe_heavy_skew_engages_guard_and_stays_exact(spark):
+    """Review finding: a conversation skewed by a huge PROBE frame (few
+    turns) must trip the auto guard — probe rows sit in the same window
+    task — and the guarded output must equal the plain path exactly."""
+    from pyspark.sql import functions as F
+
+    from kgfarm_spark.operators.backfill import (
+        _auto_hot_threshold,
+        backfill_asof_fused,
+    )
+
+    turns = spark.createDataFrame(
+        [(f"c{i % 20}", i, f"t {i}", "user", None)
+         for i in range(200)],
+        "conv_id string, turn_idx long, text string, role string, tool string",
+    ).withColumn("ts", F.timestamp_seconds(F.col("turn_idx") * 60 + 1))
+    # c0 gets a probe flood: 5000 probes vs 10 turns
+    probes = spark.createDataFrame(
+        [("c0", i) for i in range(5000)] + [(f"c{i % 20}", i) for i in range(100)],
+        "conv_id string, n long",
+    ).withColumn("query_ts", F.timestamp_seconds(F.col("n") % 9000 + 30))
+    thr = _auto_hot_threshold(turns, "conv_id", probes.select("conv_id", "query_ts"))
+    assert thr is not None  # probe flood detected
+    p = probes.select("conv_id", "query_ts", "n")
+    plain = backfill_asof_fused(turns, p, hot_conv_turns=None)
+    guarded = backfill_asof_fused(turns, p, hot_conv_turns="auto")
+    assert sorted(map(repr, plain.collect())) == sorted(map(repr, guarded.collect()))
+
+
+def test_probe_feature_name_collision_raises(spark):
+    from pyspark.sql import functions as F
+
+    from kgfarm_spark.operators.backfill import backfill_asof_fused
+
+    turns = spark.createDataFrame(
+        [("c0", 0, "t", "user", None)],
+        "conv_id string, turn_idx long, text string, role string, tool string",
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1)))
+    probes = spark.createDataFrame(
+        [("c0", 1.0)], "conv_id string, tool_call_rate double"
+    ).withColumn("query_ts", F.timestamp_seconds(F.lit(2)))
+    with pytest.raises(ValueError, match="collide"):
+        backfill_asof_fused(turns, probes)
