@@ -31,10 +31,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.window import WindowSpec
 
 #: canonical per-conversation ordering (input_hint: stable (conv_id,
 #: turn_idx) ordering; ts is monotone per conv but may tie across convs)
-def turn_window(key: str = "conv_id", order: str = "turn_idx") -> Window:
+def _check_emitted(df: DataFrame, names: list[str], op: str) -> None:
+    """House rule (backfill_asof_fused precedent): raise on input columns
+    colliding with emitted feature names — a silent overwrite or a
+    duplicate-named column corrupts composed pipelines (review finding:
+    backfill_features(rolling_aggregates(df)) yielded two 'text_len'
+    columns and AMBIGUOUS_REFERENCE downstream)."""
+    clash = sorted(set(df.columns) & set(names))
+    if clash:
+        raise ValueError(
+            f"{op}: input columns {clash} collide with the emitted feature "
+            f"names — rename them first"
+        )
+
+
+def turn_window(key: str = "conv_id", order: str = "turn_idx") -> WindowSpec:
     return Window.partitionBy(key).orderBy(order)
 
 
@@ -186,8 +201,15 @@ def sessionize(
 
     (Streaming twin: ``F.session_window(ts, gap)`` — streaming/stream.py.)
     """
+    _check_emitted(df, ["session_id"], "sessionize")
     if max_turns_per_task is not None:
         B = max_turns_per_task
+        if B < 1:
+            raise ValueError(
+                f"max_turns_per_task must be >= 1, got {B}: a non-positive "
+                f"bucket size inverts the order buckets and the prefix carry "
+                f"would accumulate LATER turns into earlier rows"
+            )
         prev = df.select(
             F.col(key),
             (F.col(order) + 1).alias(order),
@@ -280,6 +302,19 @@ def role_transitions(
     )
 
 
+_BACKFILL_EMITTED = [
+    "text_len",
+    "turns_so_far",
+    "tool_calls_so_far",
+    "text_len_sum",
+    "text_len_avg",
+    "text_len_max",
+    "user_turns_so_far",
+    "assistant_turns_so_far",
+    "tool_call_rate",
+]
+
+
 def backfill_features(
     df: DataFrame,
     key: str = "conv_id",
@@ -302,7 +337,12 @@ def backfill_features(
     conversation. When set, the computation switches to the exact
     bucket+carry decomposition (``backfill_features_bucketed``): identical
     output, per-task row count bounded by this value.
+
+    ``ts`` names the event-time column carried through (the output table
+    is keyed (key, ts) for the as-of join); the COMPUTATION orders by
+    ``order`` — ts itself is passed through, never read.
     """
+    _check_emitted(df, _BACKFILL_EMITTED, "backfill_features")
     if max_turns_per_task is not None:
         return backfill_features_bucketed(
             df, key=key, ts=ts, order=order, bucket_turns=max_turns_per_task
@@ -352,6 +392,14 @@ def backfill_features_bucketed(
     the window twin: sum/avg/max over text_len stay NULL until the first
     non-null text (separate non-null partial count).
     """
+    if bucket_turns < 1:
+        raise ValueError(
+            f"bucket_turns must be >= 1, got {bucket_turns}: a non-positive "
+            f"bucket size inverts the order buckets — the exclusive-prefix "
+            f"carry would leak LATER turns into earlier rows (and 0 is a "
+            f"divide-by-zero at action time under ANSI)"
+        )
+    _check_emitted(df, _BACKFILL_EMITTED, "backfill_features_bucketed")
     text_len = F.length("text")
     tagged = df.withColumn(
         "__ob", F.floor(F.col(order) / F.lit(bucket_turns)).cast("int")

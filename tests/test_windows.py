@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kgfarm_spark.operators.windows import backfill_features, sessionize
@@ -100,3 +102,28 @@ def test_flagship_hash_invariant_under_partitioning(spark):
         for n, m in ((3, 2), (17, 9))
     ]
     assert h[0] == h[1]
+
+
+def test_windows_review_regressions(spark):
+    """Review findings: non-positive bucket sizes raise at call time
+    (negatives inverted the prefix carry — temporal leakage); emitted-
+    name collisions raise instead of duplicating columns."""
+    from kgfarm_spark.operators.windows import (
+        backfill_features,
+        rolling_aggregates,
+        sessionize,
+    )
+    from tests.conftest import SF_SMOKE
+    from kgfarm_spark.sources.transcripts import transcripts
+
+    t = transcripts(spark, SF_SMOKE).limit(50)
+    with pytest.raises(ValueError, match=">= 1"):
+        backfill_features(t, max_turns_per_task=-100).collect()
+    with pytest.raises(ValueError, match=">= 1"):
+        sessionize(t, max_turns_per_task=0).collect()
+    with pytest.raises(ValueError, match="collide"):
+        backfill_features(backfill_features(t))
+    with pytest.raises(ValueError, match="collide"):
+        backfill_features(rolling_aggregates(t))
+    with pytest.raises(ValueError, match="collide"):
+        sessionize(sessionize(t))
