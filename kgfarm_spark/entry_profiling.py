@@ -252,7 +252,7 @@ def q_log_transform(spark: SparkSession, sf: str) -> DataFrame:
     "ordinal_encode",
     """
 SELECT o_orderkey,
-       CAST(dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS INT) AS priority_code
+       CAST(dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS BIGINT) AS priority_code
 FROM orders
 """,
 )

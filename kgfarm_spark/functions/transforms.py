@@ -58,6 +58,9 @@ def fit_minmax_scaler(df: DataFrame, cols: list[str]) -> dict:
 def apply_minmax_scaler(df: DataFrame, params: dict) -> DataFrame:
     out = df
     for c, p in params.items():
+        if p["min"] is None:  # column was all-null at fit: output stays null
+            out = out.withColumn(c, F.lit(None).cast("double"))
+            continue
         rng = (p["max"] - p["min"]) or 1.0
         out = out.withColumn(c, (F.col(c) - F.lit(p["min"])) / F.lit(rng))
     return out
@@ -74,7 +77,16 @@ def fit_robust_scaler(df: DataFrame, cols: list[str], exact: bool = False) -> di
         aggs.append(F.expr(f"{fn}(`{c}`, 0.75)").alias(f"{c}__q3"))
     row = df.agg(*aggs).first()
     return {
-        c: {"median": row[f"{c}__med"], "iqr": row[f"{c}__q3"] - row[f"{c}__q1"]}
+        c: {
+            "median": row[f"{c}__med"],
+            # all-null column: percentiles are NULL — record iqr None
+            # (apply leaves the column null) instead of None - None
+            "iqr": (
+                row[f"{c}__q3"] - row[f"{c}__q1"]
+                if row[f"{c}__q1"] is not None
+                else None
+            ),
+        }
         for c in cols
     }
 
@@ -82,6 +94,9 @@ def fit_robust_scaler(df: DataFrame, cols: list[str], exact: bool = False) -> di
 def apply_robust_scaler(df: DataFrame, params: dict) -> DataFrame:
     out = df
     for c, p in params.items():
+        if p["median"] is None:  # all-null at fit
+            out = out.withColumn(c, F.lit(None).cast("double"))
+            continue
         iqr = p["iqr"] or 1.0
         out = out.withColumn(c, (F.col(c) - F.lit(p["median"])) / F.lit(iqr))
     return out
@@ -276,6 +291,7 @@ def fit_power_transformer(
             vals_df.withColumn("__h", F.md5(F.col("v").cast("string")))
             .orderBy("__h")
             .limit(sample_limit)
+            .select("v")  # drop the 32-char hash before the driver collect
         )
         x = np.array([r["v"] for r in sampled.collect()], dtype=np.float64)
         if len(x) < 2:
@@ -378,9 +394,11 @@ def _sorted_codes_df(df: DataFrame, c: str) -> DataFrame:
     single-task global window, no driver collect. The canonical shape for a
     multi-million-category column."""
     spark = df.sparkSession
+    # df is already the distinct non-null value frame (fit passes it in);
+    # a raw column frame also works — distinct() dedups idempotently
     vals = df.select(c).filter(F.col(c).isNotNull()).distinct().orderBy(c)
     value_type = vals.schema[0].dataType
-    rdd = vals.rdd.map(lambda r: r[0]).zipWithIndex().map(lambda t: (t[0], t[1]))
+    rdd = vals.rdd.map(lambda r: r[0]).zipWithIndex()
     from pyspark.sql.types import LongType, StructField, StructType
 
     schema = StructType(
@@ -406,7 +424,9 @@ def fit_ordinal_encoder(
             vals = [r[c] for r in distinct_df.orderBy(c).collect()]
             params[c] = {v: i for i, v in enumerate(vals)}
         else:
-            params[c] = _sorted_codes_df(df, c)
+            # reuse the distinct frame — recomputing it inside
+            # _sorted_codes_df doubled the distinct scan (review finding)
+            params[c] = _sorted_codes_df(distinct_df, c)
     return params
 
 
@@ -431,7 +451,10 @@ def apply_ordinal_encoder(df: DataFrame, params: dict) -> DataFrame:
         for v, code in mapping.items():
             cond = F.col(c) == F.lit(v)
             expr = F.when(cond, code) if expr is None else expr.when(cond, code)
-        out = out.withColumn(c, expr.otherwise(F.lit(None)).cast("int") if expr is not None else F.lit(None).cast("int"))
+        # long on BOTH paths — the distributed dictionary emits long, and
+        # a schema that flips int/long at the ORDINAL_COLLECT_MAX boundary
+        # breaks unioned frames and schema parity (review finding)
+        out = out.withColumn(c, expr.otherwise(F.lit(None)).cast("long") if expr is not None else F.lit(None).cast("long"))
     return out
 
 
@@ -442,10 +465,17 @@ def one_hot_encode(
     operations/api.py:296-305): emits <col>_<value> 0/1 columns, drops the
     original. ``categories`` (from a fit frame) makes transform leakage-free
     (handle_unknown='ignore': unseen values → all zeros, apis.py:340)."""
-    cats = categories or {}
+    fitted = categories is not None
+    cats = dict(categories) if categories else {}  # never mutate the caller's
     out = df
     for c in cols:
         if c not in cats:
+            if fitted:
+                # apply mode: a column absent from the fitted dict was
+                # over-cardinality at fit time and kept raw — re-fitting
+                # here would fit on the APPLY frame (test-data leakage +
+                # train/test schema divergence; review finding)
+                continue
             distinct_df = df.select(c).filter(F.col(c).isNotNull()).distinct()
             # count-first guard: never collect a high-cardinality column's
             # dictionary just to discover it fails the ≤max_distinct gate
@@ -454,8 +484,10 @@ def one_hot_encode(
             vals = [r[c] for r in distinct_df.orderBy(c).collect()]
             cats[c] = vals
         for v in cats[c]:
+            # null/unseen -> 0 (not NULL): pd.get_dummies semantics and
+            # exactly what the DuckDB oracle's CASE already emits
             out = out.withColumn(
-                f"{c}_{v}", (F.col(c) == F.lit(v)).cast("int")
+                f"{c}_{v}", F.when(F.col(c) == F.lit(v), 1).otherwise(0)
             )
         out = out.drop(c)
     return out, cats

@@ -512,3 +512,48 @@ def test_unkeyed_fill_plan_has_no_global_window(spark):
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "__ob" in plan  # windows partition by the order bucket
+
+
+def test_transforms_review_regressions(spark):
+    """Round-5 self-review findings on transforms.py."""
+    from kgfarm_spark.functions.transforms import (
+        apply_minmax_scaler,
+        apply_ordinal_encoder,
+        apply_robust_scaler,
+        fit_minmax_scaler,
+        fit_ordinal_encoder,
+        fit_robust_scaler,
+        one_hot_encode,
+    )
+
+    # all-null column: fit succeeds, apply yields nulls (no TypeError)
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, x double"
+    )
+    p = fit_minmax_scaler(df, ["x"])
+    assert apply_minmax_scaler(df, p).collect()[0]["x"] is None
+    pr = fit_robust_scaler(df, ["x"])
+    assert apply_robust_scaler(df, pr).collect()[0]["x"] is None
+
+    # OHE: apply mode never re-fits an over-cardinality column; nulls -> 0;
+    # caller's dict not mutated
+    train = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", f"v{i}") for i in range(10)],
+        "id long, lo string, hi string",
+    )
+    _, cats = one_hot_encode(train, ["lo", "hi"], max_distinct=5)
+    assert "hi" in train.columns and "hi" not in cats
+    before = dict(cats)
+    test = spark.createDataFrame(
+        [(1, None, "v1"), (2, "a", "v2")], "id long, lo string, hi string"
+    )
+    out, cats2 = one_hot_encode(test, ["lo", "hi"], categories=cats)
+    assert cats == before                      # no in-place mutation
+    assert "hi" in out.columns                 # never re-fit on apply
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["lo_a"] == 0 and rows[1]["lo_b"] == 0   # null -> zeros
+
+    # ordinal codes are long on both paths
+    odf = spark.createDataFrame([(1, "a"), (2, "b")], "id long, c string")
+    enc = apply_ordinal_encoder(odf, fit_ordinal_encoder(odf, ["c"]))
+    assert dict(enc.dtypes)["c"] == "bigint"
