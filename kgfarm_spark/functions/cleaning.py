@@ -135,6 +135,8 @@ def _order_buckets(df: DataFrame, order: str, n_buckets: int | None = None):
     run in parallel, cross-bucket state is a ≤n_buckets-row driver scan."""
     from kgfarm_spark.functions.transforms import _range_bucket_expr
 
+    if n_buckets is not None and n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     spark = df.sparkSession
     P = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     qs = [i / P for i in range(1, P)]

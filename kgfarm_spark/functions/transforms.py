@@ -135,6 +135,14 @@ def quantile_rank_transform(
     how many columns are transformed (a 100-column frame used to pay 200
     sequential tiny jobs). The per-column rank windows chain lazily into
     a single plan."""
+    if n_buckets is not None and n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    reserved = {"__qb", "__qoff"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns {sorted(reserved)} collide with "
+            f"quantile_rank_transform's internal names — rename them"
+        )
     spark = df.sparkSession
     P = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     qs = [i / P for i in range(1, P)]

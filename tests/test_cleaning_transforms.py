@@ -557,3 +557,14 @@ def test_transforms_review_regressions(spark):
     odf = spark.createDataFrame([(1, "a"), (2, "b")], "id long, c string")
     enc = apply_ordinal_encoder(odf, fit_ordinal_encoder(odf, ["c"]))
     assert dict(enc.dtypes)["c"] == "bigint"
+
+
+def test_bucket_args_validated_everywhere(spark):
+    from kgfarm_spark.functions.transforms import quantile_rank_transform
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, x double")
+    with pytest.raises(ValueError, match="n_buckets"):
+        quantile_rank_transform(df, ["x"], n_buckets=0)
+    clash = df.withColumn("__qb", F.lit(1))
+    with pytest.raises(ValueError, match="__qb"):
+        quantile_rank_transform(clash, ["x"])
