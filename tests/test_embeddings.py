@@ -166,7 +166,9 @@ class TestEngineerFeatures:
         tr, te, report = engineer_features(train.drop("id"), test.drop("id"), "label")
         # 'wide' has 20 distinct > 5 → ordinal-encoded in place, not OHE'd
         assert "wide" in tr.columns
-        assert dict(tr.dtypes)["wide"] == "int"
+        # long on both ordinal paths (schema no longer flips int/long at
+        # the ORDINAL_COLLECT_MAX boundary — round-5 review fix)
+        assert dict(tr.dtypes)["wide"] == "bigint"
         assert "ordinal" in report["fitted"]
 
 
