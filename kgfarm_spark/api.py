@@ -182,7 +182,15 @@ class FeatureFarm:
                 )
             df = masked.drop("lof_score", "is_outlier")
         if recommendation == "Interpolate":
-            return _cleaning.interpolate_linear(df, num, key=key, order=order or num[0])
+            if order is None:
+                raise ValueError(
+                    "clean(recommendation='Interpolate') needs an explicit "
+                    "order column: pandas interpolation is row-order based "
+                    "and Spark has no implicit row order — falling back to "
+                    "ordering by the interpolated column itself would fill "
+                    "leading NULLs with the global minimum (review finding)"
+                )
+            return _cleaning.interpolate_linear(df, num, key=key, order=order)
         if recommendation == "Impute":
             out = _cleaning.knn_impute(df, num, key=key) if num else df
             return _cleaning.fill_nulls(out, numeric_cols=[], categorical_cols=None)

@@ -29,8 +29,12 @@ NULL_LITERAL_TOKENS = ("?", "", " ")
 def normalize_null_tokens(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Replace the reference's null-token set with real nulls on string
     columns (P5). Case-insensitive whole-string match for word tokens,
-    literal match for '?', '', ' '."""
-    cols = cols or [c for c, t in df.dtypes if t == "string"]
+    literal match for '?', '', ' '. ``cols=None`` means every string
+    column; an explicit ``[]`` is a no-op (review finding: the falsy-or
+    form rewrote ALL string columns when a dynamically built list came
+    out empty)."""
+    if cols is None:
+        cols = [c for c, t in df.dtypes if t == "string"]
     out = df
     for c in cols:
         is_nullish = F.lower(F.col(c)).isin(*NULL_WORD_TOKENS) | F.col(c).isin(
@@ -81,17 +85,53 @@ def fill_stats(
         for c in numeric_cols:
             stats[f"{c}__mean"] = row[f"{c}__mean"]
             stats[f"{c}__median"] = row[f"{c}__median"]
-    for c in categorical_cols:
-        # mode with deterministic tie-break (count desc, value asc) —
-        # pandas Series.mode()[0] is the smallest of the modes
-        m = (
-            df.filter(F.col(c).isNotNull())
-            .groupBy(c)
-            .count()
-            .orderBy(F.col("count").desc(), F.col(c).asc())
-            .first()
+    if categorical_cols:
+        # ALL column modes in ONE melted pass (review finding: the
+        # per-column groupBy loop ran N full scans for N string columns).
+        # Tie-break stays pandas Series.mode()[0]: count desc, value asc.
+        melted = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("__col"),
+                            F.col(c).cast("string").alias("__val"),
+                        )
+                        for c in categorical_cols
+                    ]
+                )
+            ).alias("__cv")
+        ).select("__cv.__col", "__cv.__val")
+        counts = (
+            melted.filter(F.col("__val").isNotNull())
+            .groupBy("__col", "__val")
+            .agg(F.count(F.lit(1)).alias("__n"))
         )
-        stats[f"{c}__mode"] = None if m is None else m[c]
+        best = (
+            counts.groupBy("__col")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__n"),
+                        # value asc on ties -> invert for struct-max via a
+                        # second max over equal-count candidates below
+                        F.col("__val"),
+                    )
+                ).alias("__top")
+            )
+        )
+        # struct-max picks (max count, max value); re-resolve value-asc
+        # tie-break exactly with one more tiny join over the counts
+        top_n = best.select("__col", F.col("__top.__n").alias("__n"))
+        modes = (
+            counts.join(top_n, ["__col", "__n"])
+            .groupBy("__col")
+            .agg(F.min("__val").alias("__mode"))
+            .collect()
+        )
+        found = {r["__col"]: r["__mode"] for r in modes}
+        for c in categorical_cols:
+            stats[f"{c}__mode"] = found.get(c)
     return stats
 
 
@@ -103,6 +143,11 @@ def fill_nulls(
     exact: bool = False,
 ) -> DataFrame:
     """SimpleImputer parity (M10): numeric mean/median, categorical mode."""
+    if numeric_strategy not in ("mean", "median"):
+        raise ValueError(
+            f"numeric_strategy must be 'mean' or 'median', got "
+            f"{numeric_strategy!r} (a typo here used to silently median-fill)"
+        )
     num_types = {"int", "bigint", "double", "float", "smallint", "tinyint"}
     if numeric_cols is None:
         numeric_cols = [c for c, t in df.dtypes if t in num_types]
@@ -130,13 +175,18 @@ def _order_window(key: str | None, order: str):
 def _order_buckets(df: DataFrame, order: str, n_buckets: int | None = None):
     """Range-bucket rows by the order column (percentile_approx boundaries;
     pure function of the value, so deterministic across jobs). Returns
-    (tagged_df_with___ob, sorted bucket ids present). The scale device that
+    the tagged DataFrame with an ``__ob`` bucket column. The scale device that
     replaces every unkeyed global window in this module: per-bucket windows
     run in parallel, cross-bucket state is a ≤n_buckets-row driver scan."""
     from kgfarm_spark.functions.transforms import _range_bucket_expr
 
     if n_buckets is not None and n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if "__ob" in df.columns:
+        raise ValueError(
+            "input column '__ob' collides with the bucket decomposition's "
+            "internal name — rename it (it would be overwritten and dropped)"
+        )
     spark = df.sparkSession
     P = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     qs = [i / P for i in range(1, P)]
@@ -253,6 +303,11 @@ def interpolate_linear(
     Unkeyed frames route through the distributed range-bucket + carry
     path (_unkeyed_interpolate) instead of a single-task global window.
     """
+    if "__pos" in df.columns:
+        raise ValueError(
+            "input column '__pos' collides with interpolate_linear's "
+            "internal name — rename it"
+        )
     if key is None:
         return _unkeyed_interpolate(df, cols, order, then_ffill_bfill)
     wb = _order_window(key, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -411,7 +466,16 @@ def _lof_scores_np(X, k: int):
     if n < 2:
         return np.ones(n)
     k = min(k, n - 1)
-    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    # gemm identity ||x-y||^2 = ||x||^2 + ||y||^2 - 2 x.y — same O(n^2 d)
+    # flops but only n x n intermediates (the broadcast (X[:,None]-X[None])
+    # form allocated an n x n x d temporary: ~d x the unavoidable distance
+    # matrix, an executor-OOM hazard at the 50k max_group_rows cap —
+    # review finding). This is sklearn's euclidean_distances path, with
+    # the same clip-to-zero guard for cancellation.
+    sq = np.einsum("ij,ij->i", X, X)
+    D2 = sq[:, None] + sq[None, :] - 2.0 * (X @ X.T)
+    np.maximum(D2, 0.0, out=D2)
+    D = np.sqrt(D2)
     np.fill_diagonal(D, np.inf)
     idx = np.argsort(D, axis=1, kind="stable")[:, :k]
     rows = np.arange(n)[:, None]

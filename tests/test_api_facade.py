@@ -220,3 +220,9 @@ def test_facade_dedup_resolve_routes(farm):
         farm.dedup(docs, method="lines", resolve="min")
     with pytest.raises(ValueError):
         farm.dedup(docs, method="jaccard", resolve="best")
+
+
+def test_clean_interpolate_requires_order(farm):
+    docs = farm.load_table("orders").select("o_orderkey", "o_totalprice").limit(10)
+    with pytest.raises(ValueError, match="order column"):
+        farm.clean(docs, recommendation="Interpolate")

@@ -360,7 +360,9 @@ def test_lof_kernel_matches_loop_reference():
     X = np.vstack([rng.randn(60, 2), [[8.0, 8.0], [-9.0, 7.5]]])  # 2 clear outliers
     got = _lof_scores_np(X, 10)
     exp = _lof_reference_loops(X.tolist(), 10)
-    assert np.allclose(got, exp, rtol=1e-9)
+    # gemm-identity distances (sklearn's euclidean_distances path) agree
+    # with the loop reference to float-cancellation precision, not 1e-9
+    assert np.allclose(got, exp, rtol=1e-6)
     # the two planted outliers carry the top scores
     assert set(np.argsort(got)[-2:]) == {60, 61}
 
