@@ -32,6 +32,12 @@ MAX_DRIVER_QUERIES = 100_000
 def _collect_queries(queries: DataFrame, cols: list[str], limit: int | None = None):
     limit = MAX_DRIVER_QUERIES if limit is None else limit
     rows = queries.select(*cols).limit(limit + 1).collect()
+    if any(r[cols[0]] is None for r in rows):
+        raise ValueError(
+            f"query id column {cols[0]!r} contains NULLs — the exact path's "
+            f"null-propagating != would drop those queries while the numpy "
+            f"kernels would keep them (divergent results); filter them first"
+        )
     if len(rows) > limit:
         raise ValueError(
             f"query set exceeds the driver-side cap of {limit} rows; this "
@@ -40,6 +46,24 @@ def _collect_queries(queries: DataFrame, cols: list[str], limit: int | None = No
             "limit explicitly via similarity.MAX_DRIVER_QUERIES."
         )
     return rows
+
+
+def _validate_k(k: int) -> None:
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+
+def _rank_topk(df: DataFrame, query_id_col: str, k: int) -> DataFrame:
+    """Shared per-query rank tail: cosine desc, neighbor_id asc tie-break,
+    keep rank <= k."""
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
 
 
 def _topk_out_schema(
@@ -131,6 +155,7 @@ def cosine_topk(
     (Spark 4 default) 0/0 throws DIVIDE_BY_ZERO, and with ANSI off the
     NaN cosine would sort ABOVE every real neighbor. Matches the
     finite-only selection in the partial-top-k kernels."""
+    _validate_k(k)
     # norms are per-ROW, not per-pair: compute once on each side (cuts
     # ~2/3 of the per-pair arithmetic vs naive cosine_expr per pair;
     # arithmetic is the same sequential double sum → oracle hash unchanged)
@@ -171,47 +196,54 @@ def cosine_topk_twophase(
     import numpy as np
     import pandas as pd
 
+    _validate_k(k)
     q_rows = _collect_queries(queries, [query_id_col, vec_col])
+    out_schema = _topk_out_schema(corpus, queries, id_col, query_id_col)
+    if not q_rows:  # empty query set: empty result, same as the exact path
+        return corpus.sparkSession.createDataFrame([], out_schema)
     qids = [r[query_id_col] for r in q_rows]
     qmat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((qids, qmat, qnorm))
 
-    out_schema = _topk_out_schema(corpus, queries, id_col, query_id_col)
-
     def partial_topk(batches):
         qids_, qmat_, qnorm_ = bq.value
+        # accumulate ONE top-k per query across ALL batches of this
+        # partition (review finding: yielding per Arrow batch shuffled
+        # batches-per-partition x the documented partitions*|Q|*k bound)
+        acc: dict = {}
+
+        def fold(qid, n_ids, n_sims):
+            prev = acc.get(qid)
+            if prev is not None:
+                n_ids = np.concatenate([prev[0], n_ids])
+                n_sims = np.concatenate([prev[1], n_sims])
+            keep = _partial_top_idx(n_sims, n_ids, k)
+            acc[qid] = (n_ids[keep], n_sims[keep])
+
         for pdf in batches:
+            if pdf.empty:
+                continue
             ids = pdf[id_col].to_numpy()
             cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
             cnorm = np.sqrt((cmat * cmat).sum(axis=1))
             sims = (qmat_ @ cmat.T) / (qnorm_[:, None] * cnorm[None, :])
-            outs = []
             for qi, qid in enumerate(qids_):
                 row = sims[qi]
-                mask = ids != qid
-                cand_idx = np.nonzero(mask)[0]
-                if len(cand_idx) == 0:
-                    continue
-                top = cand_idx[_partial_top_idx(row[cand_idx], ids[cand_idx], k)]
-                outs.append(
-                    pd.DataFrame(
-                        {query_id_col: qid, "neighbor_id": ids[top], "cosine": row[top]}
-                    )
+                cand_idx = np.nonzero(ids != qid)[0]
+                if len(cand_idx):
+                    fold(qid, ids[cand_idx], row[cand_idx])
+        if acc:
+            yield pd.concat(
+                pd.DataFrame(
+                    {query_id_col: qid, "neighbor_id": i, "cosine": sm}
                 )
-            if outs:
-                yield pd.concat(outs)
+                for qid, (i, sm) in acc.items()
+            )
 
     partial = corpus.select(id_col, vec_col).mapInPandas(partial_topk, out_schema)
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(partial, query_id_col, k)
 
 
 def _sq_dists(v, c):
@@ -250,6 +282,11 @@ def fit_ivf_centroids(
         .limit(sample_limit)
         .collect()
     )
+    if not sampled:
+        raise ValueError(
+            "corpus is empty — cannot fit IVF centroids (previously an "
+            "obscure numpy AxisError inside the Lloyd loop)"
+        )
     x = np.array([r[vec_col] for r in sampled], dtype=np.float64)
     cents = x[:n_cells].copy()
     for _ in range(iters):
@@ -344,6 +381,8 @@ def ivf_assign(
     def assign(batches):
         cents = bc.value
         for pdf in batches:
+            if pdf.empty:
+                continue
             v = np.array(list(pdf[vec_col]), dtype=np.float64)
             pdf[out_col] = _sq_dists(v, cents).argmin(axis=1).astype("int32")
             yield pdf
@@ -369,6 +408,7 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
+    _validate_k(k)
     if centroids is None:
         centroids = fit_ivf_centroids(corpus, vec_col, n_cells, id_col=id_col)
     n_cells = len(centroids)
@@ -386,6 +426,9 @@ def ivf_topk(
     # interpreted expression (the join + zip_with/aggregate form measured
     # ~40 µs/pair: 2 minutes for 200 queries × 4 cells at 1M vectors).
     q_rows = _collect_queries(queries, [query_id_col, vec_col])
+    out_schema_early = _topk_out_schema(corpus, queries, id_col, query_id_col)
+    if not q_rows:  # empty query set: empty result, same as the exact path
+        return corpus.sparkSession.createDataFrame([], out_schema_early)
     qids = [r[query_id_col] for r in q_rows]
     qmat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
@@ -401,6 +444,18 @@ def ivf_topk(
 
     def partial_topk(batches):
         qids_, qmat_, qnorm_, cell2q_ = bq.value
+        # per-PARTITION accumulation (one top-k per query across batches —
+        # see cosine_topk_twophase)
+        acc: dict = {}
+
+        def fold(qid, n_ids, n_sims):
+            prev = acc.get(qid)
+            if prev is not None:
+                n_ids = np.concatenate([prev[0], n_ids])
+                n_sims = np.concatenate([prev[1], n_sims])
+            keep = _partial_top_idx(n_sims, n_ids, k)
+            acc[qid] = (n_ids[keep], n_sims[keep])
+
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -408,7 +463,6 @@ def ivf_topk(
             ids = pdf["neighbor_id"].to_numpy()
             cmat = np.array(list(pdf["__cv"]), dtype=np.float64)
             cnorm = np.sqrt((cmat * cmat).sum(axis=1))
-            outs = []
             for cell in np.unique(cells):
                 q_idx = cell2q_.get(int(cell))
                 if not q_idx:
@@ -419,32 +473,19 @@ def ivf_topk(
                 )
                 for si, qi in enumerate(q_idx):
                     qid = qids_[qi]
-                    mask = ids[rows] != qid
-                    cand = np.nonzero(mask)[0]
-                    if len(cand) == 0:
-                        continue
-                    top = cand[_partial_top_idx(sims[si][cand], ids[rows][cand], k)]
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                query_id_col: qid,
-                                "neighbor_id": ids[rows][top],
-                                "cosine": sims[si][top],
-                            }
-                        )
-                    )
-            if outs:
-                yield pd.concat(outs)
+                    cand = np.nonzero(ids[rows] != qid)[0]
+                    if len(cand):
+                        fold(qid, ids[rows][cand], sims[si][cand])
+        if acc:
+            yield pd.concat(
+                pd.DataFrame(
+                    {query_id_col: qid, "neighbor_id": i, "cosine": sm}
+                )
+                for qid, (i, sm) in acc.items()
+            )
 
     partial = c.mapInPandas(partial_topk, out_schema)
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(partial, query_id_col, k)
 
 
 def hyperplane_lsh_bucket(
@@ -543,14 +584,21 @@ def lsh_topk(
     recall@10 = 0.451; 4 tables = 0.883 at ~3.2x the wall. Cost is
     linear in L (bounded explode on both sides), and duplicate
     candidates are deduped BEFORE the ranking window."""
+    _validate_k(k)
+    # norms computed BEFORE the n_tables explode (review finding: after
+    # it, the O(dim) aggregate ran n_tables times per row on both sides)
     c = _lsh_bucket_tables(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        ).withColumn("__cn", norm_expr("__cv")),
         "__cv", n_planes, n_tables, seed=42,
-    ).withColumn("__cn", norm_expr("__cv"))
+    )
     q = _lsh_bucket_tables(
-        queries.select(query_id_col, F.col(vec_col).alias("__qv")),
+        queries.select(query_id_col, F.col(vec_col).alias("__qv")).withColumn(
+            "__qn", norm_expr("__qv")
+        ),
         "__qv", n_planes, n_tables, seed=42,
-    ).withColumn("__qn", norm_expr("__qv"))
+    )
     sims = (
         q.join(c, "lsh_bucket")
         .filter(F.col(query_id_col) != F.col("neighbor_id"))

@@ -12,6 +12,7 @@ Theory: P(candidate | J) = 1 - (1 - J^r)^b with r rows/band, b bands.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from kgfarm_spark.operators.dedup import (
     LSH_PRODUCTION,
@@ -78,3 +79,34 @@ def test_gate_preset_is_lossier_at_low_jaccard(spark):
     gate, _ = _recall(spark, 0.5, 8, 4, True)
     assert prod >= gate
     assert gate >= 0.4  # still a usable candidate generator at gate scale
+
+
+def test_similarity_edge_inputs(spark):
+    """Review findings: empty query sets return empty (not AxisError),
+    k<1 and NULL query ids raise clearly, empty corpus fit raises."""
+    import pytest
+
+    from kgfarm_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_twophase,
+        fit_ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    empty_q = emb.filter("vec_id < 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert cosine_topk_twophase(emb, empty_q, k=3).count() == 0
+    assert ivf_topk(emb, empty_q, k=3, n_cells=4).count() == 0
+    q = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    for fn in (cosine_topk, cosine_topk_twophase, ivf_topk):
+        with pytest.raises(ValueError, match="k must be"):
+            fn(emb, q, k=0)
+    null_q = q.withColumn("query_id", F.lit(None).cast("long"))
+    with pytest.raises(ValueError, match="NULL"):
+        cosine_topk_twophase(emb, null_q, k=3)
+    with pytest.raises(ValueError, match="empty"):
+        fit_ivf_centroids(emb.filter("vec_id < 0"))
