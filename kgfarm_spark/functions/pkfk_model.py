@@ -34,11 +34,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kgfarm_spark.functions.profiling import (
+    PKFK_NAME_SUFFIX_RE,
     _ref_type,
     candidate_pairs,
     containment_frame,
     detect_entities,
     profile_table,
+    range_contained_flag,
 )
 
 #: TPC-H foreign-key relationships (public spec) restricted to the repo's
@@ -126,11 +128,7 @@ def pkfk_candidate_features(
         pk_n = pk["total"] - pk["missing"]
         fk_mn, fk_mx = _f(fk["min"]), _f(fk["max"])
         pk_mn, pk_mx = _f(pk["min"]), _f(pk["max"])
-        range_contained = int(
-            None not in (fk_mn, fk_mx, pk_mn, pk_mx)
-            and pk_mx >= fk_mx
-            and pk_mn <= fk_mn
-        )
+        range_contained = range_contained_flag(pk_mn, pk_mx, fk_mn, fk_mx)
         rows.append(
             (
                 pk_t, pk_c, fk_t, fk_c,
@@ -138,7 +136,7 @@ def pkfk_candidate_features(
                 pk["distinct"] / pk_n if pk_n else 0.0,
                 (fk["distinct"] / pk["distinct"]) if pk["distinct"] else 0.0,
                 range_contained,
-                1 if re.search(r"(id$|key$|num_$)", fk_c, re.IGNORECASE) else 0,
+                1 if PKFK_NAME_SUFFIX_RE.search(fk_c) else 0,
             )
         )
     pair_df = spark.createDataFrame(rows, schema)

@@ -15,9 +15,25 @@ one-pass at 100 TB. Exact mode exists for oracle parity.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: F10 name-suffix heuristic, shared with pkfk_model (review finding: the
+#: previous 'num_$' literal-trailing-underscore form was a dead feature)
+PKFK_NAME_SUFFIX_RE = re.compile(r"(id$|key$|num$|^num_)", re.IGNORECASE)
+
+
+def range_contained_flag(pk_mn, pk_mx, fk_mn, fk_mx) -> int:
+    """F11: numeric FK range inside the PK range; 0 when ANY bound is
+    None (non-castable or all-null column — review finding: a castable
+    max with a non-castable min used to TypeError on None comparison).
+    Shared by pkfk_features and pkfk_model.pkfk_candidate_features."""
+    if None in (pk_mn, pk_mx, fk_mn, fk_mx):
+        return 0
+    return int(pk_mx >= fk_mx and pk_mn <= fk_mn)
 
 #: reference type buckets (operations/api.py:1018-1021)
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType)
@@ -49,13 +65,32 @@ def profile_table(
     approx_count_distinct (one-pass HLL — the 100 TB mode).
     """
     aggs = [F.count(F.lit(1)).alias("__total")]
+    dtypes = dict(df.dtypes)
     for c in df.columns:
-        cd = (F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(F.col(c)))
+        col = df[c]  # positional: dots in names never parse as struct access
+        if dtypes[c].startswith("map"):
+            # maps are not orderable/hashable: profile missingness only
+            aggs.append(F.lit(None).cast("long").alias(f"{c}__distinct"))
+            aggs.append(
+                F.coalesce(F.sum(col.isNull().cast("long")), F.lit(0)).alias(
+                    f"{c}__missing"
+                )
+            )
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__min"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__max"))
+            continue
+        cd = F.count_distinct(col) if exact else F.approx_count_distinct(col)
         aggs.append(cd.alias(f"{c}__distinct"))
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__missing"))
+        # coalesce: F.sum over ZERO rows is NULL, and a NULL missing-count
+        # TypeErrors downstream arithmetic on empty tables
+        aggs.append(
+            F.coalesce(F.sum(col.isNull().cast("long")), F.lit(0)).alias(
+                f"{c}__missing"
+            )
+        )
         # min/max as strings so one schema fits all column types
-        aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
-        aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))
+        aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
     row = df.agg(*aggs)
 
     parts = []
@@ -166,14 +201,9 @@ def pkfk_features(
     # containment: |FK ∩ PK| / |FK distinct| via distinct semi-join
     inter = fk_vals.distinct().join(pk_vals.distinct(), "v", "left_semi").count()
 
-    import re
-
-    name_flag = 1 if re.search(r"(id$|key$|num_$)", fk_col, re.IGNORECASE) else 0
-    range_contained = int(
-        pk_stats["mx"] is not None
-        and fk_stats["mx"] is not None
-        and pk_stats["mx"] >= fk_stats["mx"]
-        and pk_stats["mn"] <= fk_stats["mn"]
+    name_flag = 1 if PKFK_NAME_SUFFIX_RE.search(fk_col) else 0
+    range_contained = range_contained_flag(
+        pk_stats["mn"], pk_stats["mx"], fk_stats["mn"], fk_stats["mx"]
     )
     return {
         "fk_uniqueness": fk_stats["d"] / fk_stats["n"] if fk_stats["n"] else 0.0,
@@ -289,6 +319,12 @@ def containment_frame(
             .select("pk_table", "pk_col", "fk_table", "fk_col", "containment")
         )
         result = res if result is None else result.unionByName(res)
+    if result is None:  # no pairs: empty frame, not None (contract trap)
+        return spark.createDataFrame(
+            [],
+            "pk_table string, pk_col string, fk_table string, "
+            "fk_col string, containment double",
+        )
     return result
 
 
