@@ -377,6 +377,24 @@ class FeatureFarm:
 
         return pack_sequences(docs, budget=budget, **kw)
 
+    def curate(
+        self,
+        docs: DataFrame,
+        eval_df: DataFrame | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        **kw,
+    ) -> tuple[DataFrame, dict]:
+        """The full corpus-curation pipeline in one call
+        (curation.curate): gopher_filter → exact dedup → LSH near-dedup
+        keep-best → decontamination vs ``eval_df`` → CCNet/DSIR
+        selection → sequence packing, with a per-stage lineage manifest.
+        Returns ``(packed_df, manifest)``; every stage is toggleable —
+        see ``kgfarm_spark.curation.curate`` for the knobs."""
+        from kgfarm_spark.curation import curate as _curate
+
+        return _curate(docs, id_col, text_col, eval_df, **kw)
+
     def mix(
         self, docs: DataFrame, weights: dict, token_budget: int, **kw
     ) -> DataFrame:

@@ -215,8 +215,10 @@ def q_quantile_transform_apply(spark: SparkSession, sf: str) -> DataFrame:
 def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     """Opaque-binary media columns → Arrow-batched feature extraction +
     JVM-side frame sampling. Since round 5 the image half runs the REAL
-    pure-numpy BMP decode → stat-feature kernel (multimodal.py:
-    decode_image_numpy); the audio/video half keeps the deterministic
+    pure-numpy decode → stat-feature kernel (multimodal.py:
+    decode_image_numpy); since round 6 the image table is fmt='mixed' —
+    half BMP, half zlib-COMPRESSED PNG (stdlib-inflate decoder,
+    multimodal.decode_png). The audio/video half keeps the deterministic
     hash extractor (those codecs genuinely need external libraries).
     Deterministic synth tables, independent of sf."""
     from kgfarm_spark.operators.multimodal import (
@@ -227,7 +229,7 @@ def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     media = synth_media_table(spark, n=150, seed=42)
-    bmp = synth_bmp_media_table(spark, n=50, seed=42)
+    bmp = synth_bmp_media_table(spark, n=50, seed=42, fmt="mixed")
     feats = (
         extract_features(media)
         .unionByName(

@@ -58,7 +58,7 @@ corpus AS (
   FROM documents WHERE doc_id % 10 = 0
 )"""
 
-_SHINGLES_SQL = """
+_SHINGLES_SQL = r"""
 sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
@@ -496,7 +496,10 @@ lns AS (
                    x -> len(x) > 0) AS l
         FROM base)
 ),
-toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM base),
+toks AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                            x -> len(x) > 0) AS w
+         FROM base),
 bg AS (
   SELECT doc_id, unnest(CASE WHEN len(w) >= 2
          THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])
@@ -733,8 +736,9 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     "unigram_logprob",
     r"""
 WITH occ AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
-  FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id, unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                    x -> length(x) > 0)) AS w
+  FROM documents
 ),
 census AS (SELECT w, count(*) AS cnt FROM occ GROUP BY 1),
 tot AS (SELECT sum(cnt) AS n FROM census),
@@ -826,7 +830,7 @@ def q_semantic_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "decontaminate_vs_eval",
-    """
+    r"""
 WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
 evalb AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
 esh AS (
@@ -868,8 +872,9 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     "ccnet_buckets",
     r"""
 WITH occ AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
-  FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id, unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                    x -> length(x) > 0)) AS w
+  FROM documents
 ),
 census AS (SELECT w, count(*) AS cnt FROM occ GROUP BY 1),
 tot AS (SELECT sum(cnt) AS n FROM census),
@@ -917,8 +922,9 @@ def q_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
     r"""
 WITH occ AS (
   SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
-         unnest(string_split_regex(trim(text), '\s+')) AS w
-  FROM documents WHERE length(trim(text)) > 0
+         unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                            x -> length(x) > 0)) AS w
+  FROM documents
 ),
 census AS (SELECT w, sum(tgt) AS ct, count(*) AS cr FROM occ GROUP BY 1),
 tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM census),
@@ -1105,8 +1111,9 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     r"""
 WITH occ AS (
   SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
-         unnest(string_split_regex(trim(text), '\s+')) AS w
-  FROM documents WHERE length(trim(text)) > 0
+         unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                            x -> length(x) > 0)) AS w
+  FROM documents
 ),
 census AS (SELECT w, sum(tgt) AS ct, count(*) AS cr FROM occ GROUP BY 1),
 tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM census),
@@ -1145,8 +1152,12 @@ def q_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
     "bigram_logprob",
     r"""
 WITH base AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-  FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id, ws FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                       x -> length(x) > 0) AS ws
+    FROM documents)
+  WHERE len(ws) > 0
 ),
 occ AS (
   SELECT doc_id, ws[CAST(i AS INT)] AS cur,
@@ -1182,3 +1193,34 @@ def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return bigram_logprob(docs, "doc_id", "text", lam=0.7)
+
+
+@register("curation_pipeline_e2e")  # rows-only BY CONTRACT: the chain
+# contains MinHash-LSH (iterative components) and the exact distributed
+# percent_rank fit — not one-shot-SQL-expressible end-to-end. Every stage
+# IS individually oracle-checked above (gopher_line_rules, quality_gate,
+# repetition_signals, dedup_exact, dedup_keep_best, decontaminate_vs_eval,
+# ccnet_buckets, pack_sequences); the composition's per-stage counts are
+# pinned in tests/test_curation_e2e.py against hand-composed stages.
+def q_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """Full curation pipeline (curation.curate): gopher_filter → exact
+    dedup → LSH near-dedup keep-best → decontaminate vs an eval split →
+    CCNet head+middle selection → pack_sequences; returns the per-stage
+    lineage (stage, rows, dropped) — deterministic at any partitioning."""
+    from kgfarm_spark.curation import curate
+
+    corpus = _dup_corpus(spark, sf)
+    train = corpus.filter(F.col("doc_id") % 97 != 0)
+    evalb = corpus.filter(F.col("doc_id") % 97 == 0).select("text")
+    _, manifest = curate(
+        train,
+        eval_df=evalb,
+        neardup_kw={"threshold": 0.5},
+        decontaminate_kw={"n": 3, "min_overlap": 2},
+        pack_budget=512,
+    )
+    rows = [
+        (s["stage"], int(s["rows"]), int(s["dropped"]))
+        for s in manifest["stages"]
+    ]
+    return spark.createDataFrame(rows, "stage string, rows long, dropped long")

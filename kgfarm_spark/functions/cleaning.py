@@ -85,8 +85,27 @@ def fill_stats(
         for c in numeric_cols:
             stats[f"{c}__mean"] = row[f"{c}__mean"]
             stats[f"{c}__median"] = row[f"{c}__median"]
-    if categorical_cols:
-        # ALL column modes in ONE melted pass (review finding: the
+    # the melted one-pass mode path is STRING-ONLY: melting casts every
+    # value to string, which would (a) return a str mode for a typed
+    # column — fill_nulls would then coalesce a numeric column with a
+    # string literal — and (b) make the value-asc tie-break lexicographic
+    # ('10' < '2'), diverging from pandas Series.mode()[0] on numeric
+    # categoricals (advisor finding, r05). Non-string categoricals take
+    # a typed per-column groupBy instead.
+    string_cats = [c for c, t in df.dtypes if c in (categorical_cols or []) and t == "string"]
+    other_cats = [c for c in (categorical_cols or []) if c not in string_cats]
+    for c in other_cats:
+        top = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(F.col("__n").desc(), F.col(c).asc())
+            .first()
+        )
+        stats[f"{c}__mode"] = top[c] if top is not None else None
+    if string_cats:
+        categorical_cols = string_cats
+        # ALL string-column modes in ONE melted pass (review finding: the
         # per-column groupBy loop ran N full scans for N string columns).
         # Tie-break stays pandas Series.mode()[0]: count desc, value asc.
         melted = df.select(

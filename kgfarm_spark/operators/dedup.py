@@ -38,14 +38,23 @@ LSH_PRODUCTION = {"num_hashes": 128, "bands": 32, "portable": False}
 
 def exact_dedup(df: DataFrame, on: list[str], order_col: str) -> DataFrame:
     """Keep one row per duplicate group (lowest ``order_col``). A1-style
-    hash groupBy, one shuffle. A content hash of the full row is the
-    second sort key, so ties on ``order_col`` pick a DETERMINISTIC
-    survivor (review finding: row_number over a non-unique ordering
-    picks whichever row the shuffle delivered first); rows identical in
-    every column remain interchangeable, which is harmless."""
-    w = Window.partitionBy(*on).orderBy(
-        F.col(order_col).asc(), F.xxhash64(F.struct(*df.columns)).asc()
+    hash groupBy, one shuffle. A content hash of the row is the second
+    sort key, so ties on ``order_col`` pick a DETERMINISTIC survivor
+    (review finding: row_number over a non-unique ordering picks
+    whichever row the shuffle delivered first); rows identical in every
+    column remain interchangeable, which is harmless. Map-typed columns
+    are excluded from the tie-break hash — xxhash64 does not support
+    MapType, so hashing the full row failed analysis on any frame with a
+    map column (advisor finding, r05); rows tied on order_col AND every
+    hashable column then remain shuffle-ordered, the pre-r05 behavior,
+    only for frames whose sole distinguishing columns are maps."""
+    hashable = [c for c, t in df.dtypes if not t.startswith("map<")]
+    tie = (
+        F.xxhash64(F.struct(*hashable)).asc()
+        if hashable
+        else F.lit(0).asc()
     )
+    w = Window.partitionBy(*on).orderBy(F.col(order_col).asc(), tie)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

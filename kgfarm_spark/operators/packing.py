@@ -86,11 +86,16 @@ def pack_sequences(
         F.col(id_col).alias("__id"),
         F.col(token_col).cast("bigint").alias("__tok"),
     ).withColumn("__b", bucket)
-    # persisted: the offsets collect below and the returned plan both
-    # read base — without storage the full upstream (often a corpus
+    # materialized ONCE: the offsets collect below and the returned plan
+    # both read base — without storage the full upstream (often a corpus
     # tokenize) runs twice, and a nondeterministic upstream could make
-    # the collected offsets inconsistent with the second evaluation
-    base = base.persist()
+    # the collected offsets inconsistent with the second evaluation.
+    # localCheckpoint (not persist) so the context cleaner can free the
+    # blocks once the result is superseded — a bare persist() with no
+    # caller handle leaked MEMORY_AND_DISK blocks across repeated calls
+    # in a long session (advisor finding, r05; same recipe as bpe_train
+    # and semantic_neardup_pairs)
+    base = base.localCheckpoint(eager=True)
 
     # exclusive prefix offset per bucket: |buckets| rows, driver-side scan
     agg = {

@@ -209,7 +209,10 @@ def repetition_signals(
     base = df.select(id_col, F.col(text_col).alias("__t")).withColumn(
         "__dlf", dup_line_frac
     )
-    toks = F.split(F.trim(F.col("__t")), r"\s+")
+    # _words drops '' tokens (the raw split(trim) form kept them for
+    # tab/CR/newline-adjacent text, planting phantom "w ''" bigrams —
+    # same defect class as the r05 advisor's LM-family finding)
+    toks = _words(F.coalesce(F.col("__t"), F.lit("")))
     bigrams = F.when(
         F.size(toks) >= 2,
         F.expr(
@@ -324,12 +327,18 @@ def unigram_logprob(
     groupBy document. The corpus word total N rides along WITH the
     census join (sum over census broadcast as a 1-row cross join), so
     the whole thing is one lazy plan — no driver-side fit scalar.
+
+    Tokenization goes through ``_words`` (empty tokens DROPPED): the
+    earlier raw ``split(trim(...))`` kept '' tokens for tab/CR/newline-
+    adjacent text, making '' one of the most frequent census tokens on
+    real corpora and biasing mean_logprob (and the CCNet buckets built
+    on it) by a pure formatting signal (advisor finding, r05). The
+    DuckDB oracle applies the identical list_filter.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
     occ = df.select(
         F.col(id_col).alias("__id"),
         F.explode_outer(
-            F.when(F.length(F.trim(F.col(text_col))) > 0, words)
+            _words(F.coalesce(F.col(text_col), F.lit("")))
         ).alias("__w"),
     ).withColumn("__h", F.xxhash64("__w"))
     census = (
@@ -485,15 +494,17 @@ def dsir_importance(
     ``F.col("lang") == "en"`` or a quality-gate verdict). Returns
     ``(id, n_words, dsir_logweight)`` rounded to 6 decimals; empty
     documents get weight 0.0.
+
+    Tokenization goes through ``_words`` (empty tokens dropped) like the
+    rest of the LM family — see unigram_logprob (advisor finding, r05).
     """
     if not alpha > 0:
         raise ValueError(f"alpha must be > 0 (smoothing), got {alpha}")
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
     occ = df.select(
         F.col(id_col).alias("__id"),
         target.cast("int").alias("__tgt"),
         F.explode_outer(
-            F.when(F.length(F.trim(F.col(text_col))) > 0, words)
+            _words(F.coalesce(F.col(text_col), F.lit("")))
         ).alias("__w"),
     ).withColumn("__h", F.xxhash64("__w"))
     census = (
@@ -743,10 +754,11 @@ def bigram_logprob(
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
-    words = F.when(
-        F.length(F.trim(F.col(text_col))) > 0,
-        F.split(F.trim(F.col(text_col)), r"\s+"),
-    )
+    # _words drops '' tokens (advisor finding, r05: raw split(trim) kept
+    # them for tab/CR/newline-adjacent text, biasing the LM); NULL-when-
+    # empty keeps sequence(0, size-1) from running on an empty array
+    wlist = _words(F.coalesce(F.col(text_col), F.lit("")))
+    words = F.when(F.size(wlist) > 0, wlist)
     items = F.expr(
         "transform(sequence(0, size(__ws) - 1), "
         "i -> struct(__ws[i] AS cur, "

@@ -87,6 +87,25 @@ def test_fill_nulls_mean_and_mode(spark):
     assert cs.count("a") == 3  # mode fill, smallest-mode tie-break
 
 
+def test_fill_stats_typed_mode_for_numeric_categoricals(spark):
+    """Advisor r05: the melted one-pass mode path cast every categorical
+    to string — a numeric categorical got a str mode (breaking the
+    downstream coalesce) and a LEXICOGRAPHIC tie-break ('10' < '2').
+    Non-string categoricals must return a native-typed mode with the
+    numeric value-asc tie-break, pandas Series.mode()[0] parity."""
+    from kgfarm_spark.functions.cleaning import fill_stats
+
+    df = spark.createDataFrame(
+        [(10, "a"), (10, "a"), (2, "b"), (2, None), (7, "b")],
+        "code int, c string",
+    )
+    stats = fill_stats(df, [], ["code", "c"])
+    # 10 and 2 tie at count 2 -> numeric asc picks 2 (str asc would pick '10')
+    assert stats["code__mode"] == 2 and isinstance(stats["code__mode"], int)
+    assert stats["c__mode"] in ("a", "b")  # both count 2; value asc -> 'a'
+    assert stats["c__mode"] == "a"
+
+
 def test_standard_scaler_matches_sklearn_formula(spark):
     data = [float(v) for v in [1, 2, 3, 4, 100]]
     df = spark.createDataFrame([(v,) for v in data], "x double")

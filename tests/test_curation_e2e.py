@@ -1,0 +1,183 @@
+"""End-to-end curation pipeline (curation.curate) — VERDICT r05 #1.
+
+The individual stages are each oracle-checked through __spark_entry__;
+these tests pin the COMPOSITION: per-stage counts, stage-boundary
+equivalence against hand-composed stages, doc-id stability, partition
+invariance, and the toggles.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+#: pinned per-stage counts for the driver query's exact configuration at
+#: sf0.001 (deterministic: every stage is partition-invariant)
+PINNED_STAGES = [
+    ("input", 615, 0),
+    ("gopher_filter", 396, 219),
+    ("exact_dedup", 351, 45),
+    ("neardup_lsh", 301, 50),
+    ("decontaminate", 230, 71),
+    ("ccnet_select", 153, 77),
+    ("pack_sequences", 153, 0),
+]
+
+
+def _corpus(spark):
+    from kgfarm_spark.entry_pipeline import _dup_corpus
+
+    return _dup_corpus(spark, SF_SMOKE)
+
+
+def test_e2e_stage_counts_pinned(spark):
+    from kgfarm_spark.entry_queries import QUERIES
+    import kgfarm_spark.entry_pipeline  # noqa: F401  (registers)
+
+    rows = QUERIES["curation_pipeline_e2e"](spark, SF_SMOKE).collect()
+    got = [(r["stage"], r["rows"], r["dropped"]) for r in rows]
+    assert got == PINNED_STAGES
+
+
+def test_e2e_matches_hand_composed_stages(spark):
+    """curate()'s surviving id set must equal composing the public stage
+    operators by hand — the composition adds orchestration, never
+    semantics. Catches schema drift / id instability between stages."""
+    from kgfarm_spark.curation import curate
+    from kgfarm_spark.operators.dedup import (
+        decontaminate,
+        dedup_keep_component_best,
+        exact_dedup,
+        minhash_lsh_dedup_pairs,
+    )
+    from kgfarm_spark.operators.textstats import (
+        ccnet_buckets,
+        fingerprint,
+        gopher_filter,
+    )
+
+    corpus = _corpus(spark)
+    train = corpus.filter(F.col("doc_id") % 97 != 0)
+    evalb = corpus.filter(F.col("doc_id") % 97 == 0).select("text")
+
+    packed, manifest = curate(
+        train,
+        eval_df=evalb,
+        neardup_kw={"threshold": 0.5},
+        decontaminate_kw={"n": 3, "min_overlap": 2},
+        pack_budget=512,
+    )
+    got_ids = sorted(r["doc_id"] for r in packed.select("doc_id").collect())
+
+    # hand-compose the same chain
+    cur = train.join(
+        gopher_filter(train).filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    cur = exact_dedup(
+        fingerprint(cur), on=["fingerprint"], order_col="doc_id"
+    ).drop("fingerprint")
+    pairs = minhash_lsh_dedup_pairs(cur, "doc_id", "text", n=3, threshold=0.5)
+    scored = cur.withColumn("__len", F.length(F.coalesce(F.col("text"), F.lit(""))))
+    cur = dedup_keep_component_best(scored, pairs, "doc_id", "__len").drop("__len")
+    dirty = decontaminate(cur, evalb, n=3, min_overlap=2)
+    cur = cur.join(dirty.select("doc_id"), "doc_id", "left_anti")
+    keep = (
+        ccnet_buckets(cur)
+        .filter(F.col("bucket").isin("head", "middle"))
+        .select("doc_id")
+    )
+    cur = cur.join(keep, "doc_id")
+    want_ids = sorted(r["doc_id"] for r in cur.select("doc_id").collect())
+
+    assert got_ids == want_ids
+    assert manifest["surviving_rows"] == len(want_ids)
+    # packing layout invariants: exclusive prefix sums are consistent
+    rows = sorted(packed.collect(), key=lambda r: r["doc_id"])
+    acc = 0
+    for r in rows:
+        assert r["tokens_before"] == acc
+        assert r["seq_id"] == acc // 512
+        acc += r["n_tokens"]
+
+
+def test_e2e_partition_invariant(spark):
+    from kgfarm_spark.curation import curate
+
+    corpus = _corpus(spark)
+    outs = []
+    for nparts in (2, 16):
+        packed, manifest = curate(
+            corpus.repartition(nparts),
+            neardup_kw={"threshold": 0.5},
+            pack_budget=256,
+        )
+        outs.append(
+            (
+                [(s["stage"], s["rows"], s["dropped"]) for s in manifest["stages"]],
+                sorted(map(tuple, packed.select("doc_id", "seq_id").collect())),
+            )
+        )
+    assert outs[0] == outs[1]
+
+
+def test_e2e_toggles_and_validation(spark):
+    from kgfarm_spark.curation import curate
+
+    docs = _corpus(spark).limit(80).localCheckpoint()
+
+    # minimal chain: no gopher, no neardup, no scorer — just exact dedup
+    # + packing; manifest reflects exactly the stages that ran
+    packed, manifest = curate(
+        docs, gopher=False, neardup=None, scorer=None, pack_budget=128
+    )
+    names = [s["stage"] for s in manifest["stages"]]
+    assert names == ["input", "exact_dedup", "pack_sequences"]
+    assert packed.count() == manifest["surviving_rows"]
+
+    # dsir scorer path
+    _, m2 = curate(
+        docs,
+        gopher=False,
+        neardup=None,
+        scorer="dsir",
+        dsir_target=F.col("doc_id") % 2 == 0,
+        dsir_k=10,
+        pack_budget=128,
+    )
+    assert [s["stage"] for s in m2["stages"]][-2:] == ["dsir_select", "pack_sequences"]
+    assert m2["surviving_rows"] == 10
+
+    with pytest.raises(ValueError, match="neardup"):
+        curate(docs, neardup="fuzzy")
+    with pytest.raises(ValueError, match="scorer"):
+        curate(docs, scorer="kenlm")
+    with pytest.raises(ValueError, match="dsir_target"):
+        curate(docs, scorer="dsir")
+
+
+def test_e2e_manifest_written(spark, tmp_path):
+    import json
+
+    from kgfarm_spark.curation import curate
+
+    docs = _corpus(spark).limit(40).localCheckpoint()
+    path = str(tmp_path / "manifest.json")
+    _, manifest = curate(
+        docs, gopher=False, neardup=None, scorer=None, manifest_path=path
+    )
+    on_disk = json.load(open(path))
+    assert on_disk["surviving_rows"] == manifest["surviving_rows"]
+    assert [s["stage"] for s in on_disk["stages"]] == [
+        s["stage"] for s in manifest["stages"]
+    ]
+
+
+def test_facade_curate(spark):
+    from kgfarm_spark.api import FeatureFarm
+
+    ff = FeatureFarm(spark)
+    docs = _corpus(spark).limit(60).localCheckpoint()
+    packed, manifest = ff.curate(docs, gopher=False, neardup=None, scorer=None)
+    assert packed.count() == manifest["surviving_rows"] > 0
