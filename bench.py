@@ -68,14 +68,35 @@ def run_once(sf_dir: str, cpus: int, names: list[str], n_runs: int = 3) -> dict:
     # warm the JVM + parquet footer cache once so timings measure the plans
     QUERIES[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    def calibrate() -> float:
+        """Fixed-cost calibration job (VERDICT r05 #7): a constant
+        CPU-bound JVM aggregate with NO engine code and NO I/O — its
+        wall time moves only with box load, so a future cross-round
+        suite comparison can be load-normalized (the r04 '+26%' false
+        alarm cost a round of attention)."""
+        from pyspark.sql import functions as F
+
+        t0 = time.monotonic()
+        spark.range(0, 200_000_000, 1, cpus).select(
+            F.sum(F.xxhash64("id"))
+        ).collect()
+        return round(time.monotonic() - t0, 3)
+
     timings: dict[str, float] = {name: float("inf") for name in names}
+    calib = float("inf")
     for _ in range(n_runs):
+        calib = min(calib, calibrate())
         for name in names:
             t0 = time.monotonic()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = min(timings[name], round(time.monotonic() - t0, 3))
     spark.stop()
-    return {"timings": timings, "n_turns": n_turns, "n_runs": n_runs}
+    return {
+        "timings": timings,
+        "n_turns": n_turns,
+        "n_runs": n_runs,
+        "calibration_sec": calib,
+    }
 
 
 def ensure_scale_data() -> None:
@@ -633,6 +654,39 @@ def run_corpus_scale() -> dict:
         _noop(dsir_importance(docs, (F.col("doc_id") % 10) == 0, "doc_id", "text"))
         return {"target_frac": 0.1}
 
+    def _kn3() -> dict:
+        from kgfarm_spark.operators.textstats import kn3_logprob
+
+        _noop(kn3_logprob(docs, "doc_id", "text"))
+        return {"order": 3, "discount": 0.75}
+
+    def _curate() -> dict:
+        """VERDICT r05 #1 evidence: the chained curate() pipeline at the
+        full 5M-doc corpus — gopher_filter → exact dedup → LSH near-dedup
+        keep-best → decontaminate (0.1% eval split) → CCNet head+middle →
+        pack. The per-stage seconds land in the manifest (the stage wall
+        IS the measurement — no extra noop needed)."""
+        from pyspark.sql import functions as F
+
+        from kgfarm_spark.curation import curate
+
+        train = docs.filter(F.col("doc_id") % 1000 != 0)
+        evalb = docs.filter(F.col("doc_id") % 1000 == 0).select("text")
+        _, manifest = curate(
+            train,
+            eval_df=evalb,
+            neardup_kw={**{"threshold": 0.7}, **{}},
+            decontaminate_kw={"n": 5, "min_overlap": 2},
+            pack_budget=2048,
+        )
+        return {
+            "stages": [
+                {k: s[k] for k in ("stage", "rows", "dropped", "sec")}
+                for s in manifest["stages"]
+            ],
+            "survival_rate": manifest["survival_rate"],
+        }
+
     def _gopher() -> dict:
         _noop(gopher_line_rules(docs, "doc_id", "text"))
         return {}
@@ -644,6 +698,29 @@ def run_corpus_scale() -> dict:
             "distinct_words": n_vocab, "n_merges": merges.count(),
             "note": "corpus-linear census once, then census-sized merge rounds",
         }
+
+    def _bpe_batched() -> dict:
+        """VERDICT r05 #2 evidence: 100 merges, sequential vs exact-batched
+        rounds — identical output (pytest-pinned), fewer Spark rounds."""
+        rec: dict = {"n_merges": 100}
+        for label, mb in (("sequential", 1), ("batched", 16)):
+            st: dict = {}
+            t0 = time.monotonic()
+            bpe_train(docs, "text", n_merges=100, max_batch=mb, stats=st)
+            rec[f"{label}_sec"] = round(time.monotonic() - t0, 1)
+            rec[f"{label}_rounds"] = st["rounds"]
+        rec["speedup"] = round(rec["sequential_sec"] / rec["batched_sec"], 2)
+        return rec
+
+    def _bpe_bytes() -> dict:
+        """VERDICT r05 #3 evidence: byte-level gpt2-pretokenized train."""
+        st: dict = {}
+        bpe_train(
+            docs, "text", n_merges=50,
+            pretokenize="gpt2", alphabet="bytes", stats=st,
+        )
+        return {"n_merges": 50, "rounds": st["rounds"],
+                "pretokenize": "gpt2", "alphabet": "bytes"}
 
     def _bpe_apply() -> dict:
         from kgfarm_spark.operators.bpe import bpe_apply
@@ -668,8 +745,12 @@ def run_corpus_scale() -> dict:
         "decontaminate": _decon,
         "ccnet_buckets": _ccnet,
         "dsir_importance": _dsir,
+        "kn3_logprob": _kn3,
+        "curation_e2e": _curate,
         "gopher_line_rules": _gopher,
         "bpe_train": _bpe,
+        "bpe_train_batched": _bpe_batched,
+        "bpe_train_bytes": _bpe_bytes,
         "bpe_apply": _bpe_apply,
     }
     only = {x for x in (os.environ.get("SPARK_GRAFT_CORPUS_ONLY") or "").split(",") if x}
@@ -931,6 +1012,24 @@ def run_stream_scale(cpus: int = 8) -> dict:
             "rows_per_sec": round((n_turns + n_probes) / wall, 1),
             **state_summary(prog),
         }
+
+        from kgfarm_spark.streaming.stream import stream_asof_latest
+
+        p_stream = spark.readStream.schema(pschema).parquet(pdir)
+        t_stream = spark.readStream.schema(tschema).parquet(tdir)
+        wall, prog = drive(
+            stream_asof_latest(
+                p_stream, t_stream, tolerance="4 hours", watermark="1 hour"
+            ),
+            os.path.join(base, "ss_asof_latest"),
+        )
+        out["stream_asof_latest"] = {
+            "sec": wall,
+            "rows_per_sec": round((n_turns + n_probes) / wall, 1),
+            **state_summary(prog),
+            "note": "join + per-probe max agg (two stateful ops); output "
+                    "one row per closed probe vs the interval twin's fan-out",
+        }
     finally:
         shutil.rmtree(base, ignore_errors=True)
         spark.stop()
@@ -1046,12 +1145,14 @@ def main() -> None:
         print(json.dumps(rec))
         return
 
+    load_start = os.getloadavg()
     r = run_once(sf_dir, cpus, HEADLINE)
 
     # §3.3 orchestration path (VERDICT r02 next-step #8): one timed
     # run_auto_pipeline pass at the bench SF with per-stage wall times
     # pulled from the lineage manifest
     pipeline_e2e = run_pipeline_e2e(sf_dir, cpus)
+    load_end = os.getloadavg()
 
     total = round(sum(r["timings"].values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -1065,6 +1166,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "turns_per_sec": round(r["n_turns"] / r["timings"]["flagship_backfill_asof"], 1),
         "pipeline_e2e": pipeline_e2e,
+        # load-aware bench hygiene (VERDICT r05 #7): loadavg brackets +
+        # a fixed-cost calibration job so cross-round suite comparisons
+        # can be load-normalized (divide suite wall by calibration_sec)
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+        "calibration_sec": r["calibration_sec"],
     }
     # attach the last `--scaling` measurement (N vs 4N evidence, BENCH.md §2)
     scaling_path = os.path.join(REPO, "BENCH_SCALING.json")

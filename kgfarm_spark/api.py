@@ -342,6 +342,7 @@ class FeatureFarm:
             "features": lambda: _ts.quality_features(docs, text_col, **kw),
             "logprob": lambda: _ts.unigram_logprob(docs, id_col, text_col, **kw),
             "logprob2": lambda: _ts.bigram_logprob(docs, id_col, text_col, **kw),
+            "logprob3": lambda: _ts.kn3_logprob(docs, id_col, text_col, **kw),
             "buckets": lambda: _ts.ccnet_buckets(docs, id_col, text_col, **kw),
             "repetition": lambda: _ts.repetition_signals(docs, id_col, text_col, **kw),
             "langid": lambda: _ts.lang_id(docs, text_col, **kw),
@@ -428,14 +429,16 @@ class FeatureFarm:
         return dsir_importance(docs, target, id_col, text_col, **kw)
 
     def train_tokenizer(
-        self, docs: DataFrame, text_col: str = "text", n_merges: int = 10
+        self, docs: DataFrame, text_col: str = "text", n_merges: int = 10, **kw
     ):
         """Learn a BPE merge table over the corpus (operators.bpe.bpe_train).
         Returns (merges, segmented_census) — broadcast-join the census back
-        onto the corpus as the apply step."""
+        onto the corpus as the apply step. ``pretokenize='gpt2'`` +
+        ``alphabet='bytes'`` give the production byte-level-BPE shape;
+        merge rounds are exact-batched by default (``max_batch``)."""
         from kgfarm_spark.operators.bpe import bpe_train
 
-        return bpe_train(docs, text_col, n_merges)
+        return bpe_train(docs, text_col, n_merges, **kw)
 
     def train_model(self, train: DataFrame, target: str, task: str, **kw):
         from kgfarm_spark.ml import train_model as _tm

@@ -69,6 +69,7 @@ def curate(
     dsir_k: int | None = None,
     pack_budget: int = 2048,
     manifest_path: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the full curation chain over ``docs``; returns
     ``(packed_df, manifest)`` where ``packed_df`` is the
@@ -83,6 +84,13 @@ def curate(
     ``None``; ``scorer`` is ``'ccnet'`` (keep ``keep_buckets`` of the
     head/middle/tail split), ``'dsir'`` (Gumbel top-``dsir_k`` toward
     ``dsir_target``), or ``None``.
+
+    ``checkpoint_dir``: when set, each stage's surviving corpus is
+    written to ``<dir>/<stage>`` as parquet and re-read — the DURABLE
+    stage boundary a real cluster uses (a failed stage restarts from the
+    previous stage's files; the manifest records each path for audit).
+    Default is ``localCheckpoint`` (executor-local blocks, session-
+    scoped — right for tests and single-session runs).
     """
     from kgfarm_spark.operators.dedup import (
         decontaminate,
@@ -99,6 +107,16 @@ def curate(
         gopher_filter,
     )
 
+    # stage-internal working columns — a user column with one of these
+    # names would be silently overwritten then dropped (house rule:
+    # validate reserved names up front, r05 transforms lesson)
+    reserved = {"fingerprint", "__len", "n_tokens"} & set(docs.columns)
+    reserved -= {id_col, text_col}
+    if reserved:
+        raise ValueError(
+            f"input columns {sorted(reserved)} collide with curate()'s "
+            f"working columns; rename them first"
+        )
     if neardup not in ("lsh", "jaccard", None):
         raise ValueError(f"neardup must be 'lsh', 'jaccard', or None, got {neardup!r}")
     if scorer not in ("ccnet", "dsir", None):
@@ -106,15 +124,24 @@ def curate(
     if scorer == "dsir" and (dsir_target is None or dsir_k is None):
         raise ValueError("scorer='dsir' needs dsir_target (Column) and dsir_k (int)")
 
+    def materialize(df2: DataFrame, stage: str) -> tuple[DataFrame, dict]:
+        if checkpoint_dir is None:
+            return _checkpointed(df2), {}
+        path = f"{checkpoint_dir.rstrip('/')}/{stage}"
+        df2.write.mode("overwrite").parquet(path)
+        return df2.sparkSession.read.parquet(path), {"checkpoint": path}
+
     stages: list[dict] = []
-    cur = _checkpointed(docs)
+    cur, extra0 = materialize(docs, "input")
     n_cur = cur.count()
-    stages.append({"stage": "input", "rows": n_cur, "dropped": 0, "sec": 0.0})
+    stages.append(
+        {"stage": "input", "rows": n_cur, "dropped": 0, "sec": 0.0, **extra0}
+    )
 
     def advance(name: str, nxt: DataFrame, **params) -> DataFrame:
         nonlocal cur, n_cur
         t0 = time.monotonic()
-        nxt = _checkpointed(nxt)
+        nxt, extra = materialize(nxt, name)
         n = nxt.count()
         stages.append(
             {
@@ -123,6 +150,7 @@ def curate(
                 "dropped": n_cur - n,
                 "sec": round(time.monotonic() - t0, 3),
                 **params,
+                **extra,
             }
         )
         cur, n_cur = nxt, n
@@ -191,6 +219,7 @@ def curate(
     total_tokens = packed.agg(
         F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("n")
     ).first()
+    n_tok = int(total_tokens["t"] or 0)
     stages.append(
         {
             "stage": "pack_sequences",
@@ -198,8 +227,10 @@ def curate(
             "dropped": 0,
             "sec": round(time.monotonic() - t0, 3),
             "budget": pack_budget,
-            "total_tokens": int(total_tokens["t"] or 0),
-            "n_sequences": int((total_tokens["t"] or 0) // pack_budget) + 1,
+            "total_tokens": n_tok,
+            # ceil(total/budget): seq ids are 0..(t-1)//budget, so an
+            # exactly-divisible total must NOT add a phantom sequence
+            "n_sequences": (n_tok + pack_budget - 1) // pack_budget,
         }
     )
 

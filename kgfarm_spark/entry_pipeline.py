@@ -1036,6 +1036,39 @@ def q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_pair_counts(docs, "text")
 
 
+@register(
+    "bpe_pair_counts_bytes",
+    r"""
+WITH census AS (
+  SELECT w AS word, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                              x -> length(x) > 0)) AS w
+    FROM documents)
+  GROUP BY 1
+),
+hx AS (SELECT hex(encode(word)) AS h, cnt FROM census),
+pos AS (
+  SELECT h, cnt, unnest(range(1, length(h) // 2)) AS i
+  FROM hx WHERE length(h) >= 4
+)
+SELECT substr(h, CAST(2 * i - 1 AS INT), 2) AS "left",
+       substr(h, CAST(2 * i + 1 AS INT), 2) AS "right",
+       CAST(sum(cnt) AS BIGINT) AS pair_count
+FROM pos GROUP BY 1, 2
+""",
+)
+def q_bpe_pair_counts_bytes(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-0 BYTE-level BPE pair statistics (bpe.bpe_pair_counts with
+    alphabet='bytes'): per-UTF-8-byte symbols hex-coded, so the oracle
+    replays the identical statistic via hex(encode(word)). The gpt2
+    pre-tokenizer variant is pytest-pinned instead (its (?!\S) lookahead
+    is outside DuckDB's RE2 subset)."""
+    from kgfarm_spark.operators.bpe import bpe_pair_counts
+
+    docs = load_table(spark, sf, "documents").select("text")
+    return bpe_pair_counts(docs, "text", alphabet="bytes")
+
+
 # bpe_merges is rows-only BY CONTRACT: the merge sequence is an iterative
 # k-round algorithm (argmax + re-segmentation per round) that plain SQL
 # cannot express; exact parity vs a pure-Python reference BPE is
@@ -1224,3 +1257,78 @@ def q_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
         for s in manifest["stages"]
     ]
     return spark.createDataFrame(rows, "stage string, rows long, dropped long")
+
+
+_KN_D = 0.75
+
+
+@register(
+    "kn3_logprob",
+    rf"""
+WITH base AS (
+  SELECT doc_id, ws FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                       x -> length(x) > 0) AS ws
+    FROM documents)
+  WHERE len(ws) > 0
+),
+occ AS (
+  SELECT doc_id, ws[CAST(i AS INT)] AS cur,
+         CASE WHEN i > 1 THEN ws[CAST(i AS INT) - 1] END AS prev,
+         CASE WHEN i > 2 THEN ws[CAST(i AS INT) - 2] END AS prev2
+  FROM base, unnest(range(1, len(ws) + 1)) AS t(i)
+),
+uni AS (SELECT DISTINCT cur AS c FROM occ),
+bity AS (SELECT DISTINCT prev AS b, cur AS c FROM occ WHERE prev IS NOT NULL),
+r1 AS (SELECT c, count(*) AS r1 FROM bity GROUP BY 1),
+tri AS (SELECT prev2 AS a, prev AS b, cur AS c, count(*) AS ct
+        FROM occ WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+ctx AS (SELECT a, b, sum(ct) AS cctx, count(*) AS fwd2 FROM tri GROUP BY 1, 2),
+rev2 AS (SELECT b, c, count(*) AS r2 FROM tri GROUP BY 1, 2),
+mid AS (SELECT b, count(*) AS nmid, count(DISTINCT c) AS fwd1 FROM tri GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM uni) AS v, (SELECT count(*) FROM bity) AS nb),
+sc0 AS (
+  SELECT occ.doc_id, occ.prev, occ.prev2, tri.ct, ctx.cctx, ctx.fwd2,
+         (COALESCE(r1.r1, 0) + 1.0) / (tot.nb + tot.v) AS p1,
+         rev2.r2, mid.nmid, mid.fwd1
+  FROM occ
+  LEFT JOIN r1 ON r1.c = occ.cur
+  LEFT JOIN rev2 ON rev2.b = occ.prev AND rev2.c = occ.cur
+  LEFT JOIN mid ON mid.b = occ.prev
+  LEFT JOIN tri ON tri.a = occ.prev2 AND tri.b = occ.prev AND tri.c = occ.cur
+  LEFT JOIN ctx ON ctx.a = occ.prev2 AND ctx.b = occ.prev
+  CROSS JOIN tot
+),
+sc1 AS (
+  SELECT doc_id, prev, prev2, ct, cctx, fwd2, p1,
+         CASE WHEN COALESCE(nmid, 0) > 0
+              THEN (greatest(COALESCE(r2, 0) - {_KN_D}, 0.0)
+                    + {_KN_D} * fwd1 * p1) / nmid
+              ELSE p1 END AS p2
+  FROM sc0
+),
+sc2 AS (
+  SELECT doc_id,
+         CASE WHEN prev2 IS NOT NULL
+              THEN ln((greatest(ct - {_KN_D}, 0.0) + {_KN_D} * fwd2 * p2) / cctx)
+              WHEN prev IS NOT NULL THEN ln(p2)
+              ELSE ln(p1) END AS lp
+  FROM sc1
+),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, sum(lp) AS s
+        FROM sc2 GROUP BY 1)
+SELECT d.doc_id AS doc_id,
+       CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+       round(COALESCE(p.s, 0.0), 6) AS logprob_sum,
+       round(COALESCE(p.s / p.n_words, 0.0), 6) AS mean_logprob
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
+)
+def q_kn3_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram LM score (textstats.kn3_logprob,
+    D=0.75) — the CCNet-fidelity scorer (VERDICT r05 #4)."""
+    from kgfarm_spark.operators.textstats import kn3_logprob
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return kn3_logprob(docs, "doc_id", "text")

@@ -687,20 +687,19 @@ _DEFERRED_PAST_DRIVER_CAP = [
     "lag_lead_features",        # r01-r04 driver-green; window family kept: rolling/sessionize/role/backfill
     "union_nation_keys",        # r01-r04 driver-green; set-op family kept: customers_without_big_orders
     "topk_acctbal",             # r01-r04 driver-green; sort/limit family kept: deterministic_sample
-    "log_transform",        # family kept: sqrt_square_transform (F4-F6)
-    "standard_scale",       # family kept: minmax_scale, robust_scale
-    "fill_mean",            # family kept: fill_median_mode, knn_impute_1d
-    "dedup_ngram_jaccard",  # family kept: dedup_components_jaccard, dedup_minhash_lsh
-    "doc_fingerprint",      # family kept: simhash_fingerprint
-    "interpolate_series",   # family kept: ffill_bfill_tool
-    "asof_backward_latest", # family kept: forward/nearest/interval/flagship (+ bench suite every round)
+    # r06 rotation (VERDICT r05 #8: bring the longest-unchecked names
+    # back into the window): log_transform, standard_scale, fill_mean,
+    # dedup_ngram_jaccard, interpolate_series, asof_backward_latest,
+    # cosine_topk, dedup_exact RETURN to the window (deferred since the
+    # r05 swap; last driver-green r04); ten r05-green names with strong
+    # in-window siblings or exact-parity pytest twins take their place —
+    # see the r06 block at the end of this list.
+    "doc_fingerprint",      # family kept: simhash family pytest; fingerprint used in-curation e2e
     "class_rebalance",      # family kept: deterministic_sample
-    "cosine_topk",          # family kept: embedding_neardup (+ bench suite every round)
     "pearson_corr",         # family kept: anova_f_scores
     "mutual_info_binned",   # family kept: anova_f_scores
     "iqr_outlier_filter",   # family kept: robust_scale (same quantile machinery)
     "ordinal_encode",       # family kept: one_hot_encode
-    "dedup_exact",          # family kept: dedup_minhash_lsh + streaming dedup pytest
     # r05 additions to the deferred set, making window room for the two new
     # oracle queries (flagship_probe_pushdown, decontaminate_vs_eval):
     "one_hot_encode",       # r01-r04 driver-green (4 consecutive rounds)
@@ -730,6 +729,31 @@ _DEFERRED_PAST_DRIVER_CAP = [
     # robust_scale defers — r01-r04 driver-green, scaler family in-window
     # via minmax_scale + quantile_rank:
     "robust_scale",
+    # --- r06 rotation: ten r05-driver-green names defer to make room for
+    # the two new r06 oracles (kn3_logprob, bpe_pair_counts_bytes), to
+    # return salted_agg_per_conv + flagship_hot_guard to the window (the
+    # r06 additions had pushed them past the cap), and to readmit the
+    # eight longest-unchecked names listed above. Rationale per name:
+    "unigram_logprob",          # r05 driver-green; LM family in-window: bigram_logprob,
+                                # kn3_logprob, ccnet_buckets, dsir_importance
+    "asof_nearest",             # r05 driver-green; asof family in-window: forward,
+                                # interval, flagship + backward returning this round
+    "simhash_fingerprint",      # r05 driver-green; banded==brute pytest; dedup family
+                                # in-window via minhash_lsh + keep_best + exact returning
+    "dedup_components_jaccard", # r05 driver-green; union-find pytest parity;
+                                # dedup_keep_best (components embedded) in-window
+    "text_token_counts",        # r05 driver-green; textstats family in-window via
+                                # quality_gate + gopher_line_rules
+    "lang_id",                  # r05 driver-green; pytest-covered heuristic;
+                                # textstats family in-window
+    "redact_pii",               # r05 driver-green; pure-regex op, pytest-covered
+    "repetition_signals",       # r05 driver-green; gopher family in-window via
+                                # quality_gate + gopher_line_rules; counts pinned in
+                                # curation_pipeline_e2e
+    "source_mix_sample",        # r05 driver-green; packing family in-window via
+                                # pack_sequences; md5-uniform shared with dsir_resample
+    "ffill_bfill_tool",         # r05 driver-green; cleaning family in-window via
+                                # fill_median_mode + interpolate_series returning
 ]
 
 

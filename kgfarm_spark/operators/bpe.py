@@ -21,15 +21,151 @@ max count, then lexicographically smallest (left, right) pair).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: the GPT-2 pre-tokenizer (Radford et al. 2019; the pattern published in
+#: openai/gpt-2 encoder.py and reused by every byte-level BPE since):
+#: contractions, optionally-space-prefixed letter runs / digit runs /
+#: punctuation runs, then whitespace. Java regex supports \p{L}/\p{N} and
+#: the (?!\S) lookahead directly, so Spark evaluates the REAL pattern;
+#: the pure-Python twin (``py_pretokenize``) implements the same
+#: semantics imperatively and is pytest-pinned against this.
+GPT2_PRETOK_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
 
-def word_census(df: DataFrame, text_col: str = "text") -> DataFrame:
+
+def _pretok_expr(txt: Column, pretokenize: str) -> Column:
+    """text → array of pre-tokens. 'whitespace' = the house tokenizer
+    (split on \\s+, empty tokens dropped); 'gpt2' = the byte-level-BPE
+    pre-tokenizer (tokens KEEP their leading space — that is the point
+    of the convention: word-boundary information lives in the token)."""
+    if pretokenize == "whitespace":
+        return F.filter(F.split(txt, r"\s+"), lambda w: F.length(w) > 0)
+    if pretokenize == "gpt2":
+        return F.regexp_extract_all(txt, F.lit(GPT2_PRETOK_RE), F.lit(0))
+    raise ValueError(
+        f"pretokenize must be 'whitespace' or 'gpt2', got {pretokenize!r}"
+    )
+
+
+def _sym_expr(word: Column, alphabet: str) -> Column:
+    """word → initial symbol array. 'chars' splits into unicode
+    characters; 'bytes' splits the UTF-8 encoding into per-byte symbols
+    coded as 2-hex-char strings ('48','65',…) — a transparent stand-in
+    for GPT-2's byte-to-unicode remap (the remap is a display bijection;
+    merge statistics are identical under any byte↦symbol bijection)."""
+    if alphabet == "chars":
+        return F.split(word, "")
+    if alphabet == "bytes":
+        hexed = F.upper(F.hex(F.encode(word, "UTF-8")))
+        return F.transform(
+            F.sequence(F.lit(1), (F.length(hexed) / 2).cast("int")),
+            lambda i: F.substring(hexed, (i * 2 - 1).cast("int"), F.lit(2)),
+        )
+    raise ValueError(f"alphabet must be 'chars' or 'bytes', got {alphabet!r}")
+
+
+def py_pretokenize(text: str, pretokenize: str = "whitespace") -> list[str]:
+    """Pure-Python twin of ``_pretok_expr`` — used by the broadcast apply
+    kernel and as the parity reference in tests. The 'gpt2' branch is an
+    imperative scanner implementing the published pattern's first-match
+    alternation (contractions → ' ?letters' → ' ?digits' →
+    ' ?punct-run' → trailing-whitespace-run → whitespace)."""
+    if text is None:
+        return []
+    if pretokenize == "whitespace":
+        return [w for w in _java_ws().split(text) if w]
+    if pretokenize != "gpt2":
+        raise ValueError(
+            f"pretokenize must be 'whitespace' or 'gpt2', got {pretokenize!r}"
+        )
+    import unicodedata
+
+    def cat(ch: str) -> str:
+        return unicodedata.category(ch)[0]
+
+    def is_ws(ch: str) -> bool:
+        # Java \s in this pattern context is ASCII [ \t\n\x0B\f\r]…
+        # except \p{L}/\p{N} negations also exclude unicode spaces via
+        # [^\s\p{L}\p{N}]. Java's \s IS ASCII-only by default — match it.
+        return ch in " \t\n\x0b\f\r"
+
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        matched = False
+        for c in ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d"):
+            if text.startswith(c, i):
+                out.append(c)
+                i += len(c)
+                matched = True
+                break
+        if matched:
+            continue
+        sp = 1 if text[i] == " " and i + 1 < n else 0
+        ch = text[i + sp] if i + sp < n else ""
+        if ch and cat(ch) == "L":
+            j = i + sp
+            while j < n and cat(text[j]) == "L":
+                j += 1
+            out.append(text[i:j])
+            i = j
+            continue
+        if ch and cat(ch) == "N":
+            j = i + sp
+            while j < n and cat(text[j]) == "N":
+                j += 1
+            out.append(text[i:j])
+            i = j
+            continue
+        if ch and not is_ws(ch) and cat(ch) not in ("L", "N"):
+            j = i + sp
+            while j < n and not is_ws(text[j]) and cat(text[j]) not in ("L", "N"):
+                j += 1
+            out.append(text[i:j])
+            i = j
+            continue
+        if is_ws(text[i]):
+            j = i
+            while j < n and is_ws(text[j]):
+                j += 1
+            if j == n or j - i == 1:
+                out.append(text[i:j])  # trailing run, or single ws char
+                i = j
+            else:
+                out.append(text[i : j - 1])  # leave one ws for the next token
+                i = j - 1
+            continue
+        # unicode whitespace outside Java \s (e.g. U+00A0) reaches the
+        # punct-run branch above via its category (Z* not in L/N) — but
+        # as a safety net, emit it as a single-char token
+        out.append(text[i])
+        i += 1
+    return out
+
+
+def py_symbols(word: str, alphabet: str = "chars") -> list[str]:
+    """Pure-Python twin of ``_sym_expr``."""
+    if alphabet == "chars":
+        return list(word)
+    if alphabet != "bytes":
+        raise ValueError(f"alphabet must be 'chars' or 'bytes', got {alphabet!r}")
+    h = word.encode("utf-8").hex().upper()
+    return [h[k : k + 2] for k in range(0, len(h), 2)]
+
+
+def word_census(
+    df: DataFrame, text_col: str = "text", pretokenize: str = "whitespace"
+) -> DataFrame:
     """(word, count) census — the only corpus-linear pass in BPE training.
-    One explode + one map-side-combined groupBy; whitespace tokenization
-    to match the rest of the textstats family."""
-    words = F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+    One explode + one map-side-combined groupBy. ``pretokenize`` picks
+    the word definition: 'whitespace' (the house textstats tokenizer) or
+    'gpt2' (byte-level-BPE pre-tokens, leading spaces kept)."""
+    words = F.explode(_pretok_expr(F.coalesce(F.col(text_col), F.lit("")), pretokenize))
     return (
         df.select(words.alias("word"))
         .filter(F.length("word") > 0)
@@ -63,12 +199,21 @@ def pair_counts(census: DataFrame) -> DataFrame:
     )
 
 
-def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    pretokenize: str = "whitespace",
+    alphabet: str = "chars",
+) -> DataFrame:
     """Round-0 BPE pair statistics straight off a document table: the
-    character-bigram counts (weighted by word frequency) that pick the
-    first merge. Oracle-checkable — the census + lateral position explode
-    is plain SQL in both engines."""
-    return pair_counts(word_census(df, text_col))
+    symbol-bigram counts (weighted by word frequency) that pick the
+    first merge. Oracle-checkable — the census + lateral position
+    explode is plain SQL in both engines (the byte alphabet codes each
+    byte as 2 hex chars, which DuckDB reproduces with to_hex)."""
+    census = word_census(df, text_col, pretokenize)
+    if alphabet != "chars":
+        census = census.withColumn("__syms", _sym_expr(F.col("word"), alphabet))
+    return pair_counts(census)
 
 
 def _apply_merge(syms_col: F.Column, left: str, right: str) -> F.Column:
@@ -88,10 +233,67 @@ def _apply_merge(syms_col: F.Column, left: str, right: str) -> F.Column:
     )
 
 
+def _select_merge_batch(
+    top: list, top_k: int, max_batch: int
+) -> list:
+    """Driver-side EXACT batch selection over the collected top-``top_k``
+    pair rows (sorted count desc, then (left, right) asc): return the
+    longest prefix q_1..q_k (capped at ``max_batch``) that provably
+    reproduces the sequential greedy sequence.
+
+    Why each rule is sound (merging (a,b)→ab can only (i) zero the
+    merged pair, (ii) DECREASE counts of pairs overlapping {a,b}, and
+    (iii) CREATE pairs involving the new symbol with count bounded by
+    the pre-count of a neighbor pair (x,a)/(b,y) — it can never raise
+    the count of any old pair):
+
+    - q_i must share no symbol with q_1..q_{i-1}: its count is then
+      untouched by the earlier applications, and the applications
+      commute (occurrences cannot overlap without a shared symbol).
+    - STOP (don't skip) at the first overlapping candidate: its
+      post-merge count is unknown — any later candidate might now rank
+      below it, so nothing after it can be certified.
+    - q_i's count must STRICTLY exceed every possible created-pair
+      count: created pairs are bounded by the max pre-count among pairs
+      overlapping the already-included symbols — the first such row in
+      the sorted list, or the collection floor when the list was
+      truncated at top_k (anything uncollected counts ≤ the floor).
+      Strictness kills the tie case (a created pair could tie and win
+      the lexicographic tie-break with its fused symbol).
+    """
+    if not top:
+        return []
+    floor = top[-1]["pair_count"] if len(top) >= top_k else 0
+    included = [top[0]]
+    used = {top[0]["left"], top[0]["right"]}
+    for row in top[1:]:
+        if len(included) >= max_batch:
+            break
+        if row["left"] in used or row["right"] in used:
+            break  # unknown post-merge ranking below this point
+        bound = floor
+        for other in top:
+            if other is row or other in included:
+                continue
+            if other["left"] in used or other["right"] in used:
+                bound = max(bound, other["pair_count"])
+                break  # sorted desc — first overlap is the max
+        if row["pair_count"] <= bound:
+            break
+        included.append(row)
+        used.update((row["left"], row["right"]))
+    return included
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
+    pretokenize: str = "whitespace",
+    alphabet: str = "chars",
+    max_batch: int = 16,
+    top_k: int = 256,
+    stats: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges over a document table. Returns
     ``(merges, segmented_census)``:
@@ -119,34 +321,72 @@ def bpe_train(
     copies stay bounded at ~8 snapshots regardless of n_merges (review
     finding: without this, a many-round run on a huge vocabulary piles
     up checkpoint blocks until nondeterministic GC).
+
+    **Batched rounds** (VERDICT r05 #2): each round collects the top
+    ``top_k`` pairs (still one tiny collect — top_k rows, not a
+    vocabulary) and applies the longest provably-safe PREFIX of them in
+    ONE fused projection (``_select_merge_batch`` — symbol-disjoint,
+    stop at the first overlap, and each count strictly above the bound
+    on any pair the earlier merges could create). The produced merge
+    sequence is EXACTLY the sequential one (pytest-pinned: max_batch=1
+    equals max_batch=16 equals the pure-Python textbook loop); what
+    changes is the number of Spark rounds — each round advances by the
+    batch size instead of 1. ``max_batch=1`` recovers the pure
+    sequential loop.
+
+    **Alphabets / pre-tokenizers** (VERDICT r05 #3): ``pretokenize=
+    'gpt2'`` uses the published GPT-2 regex (leading-space word
+    convention); ``alphabet='bytes'`` starts from per-UTF-8-byte
+    symbols (hex-coded) — together these are the production byte-level
+    BPE shape. Defaults stay 'whitespace'/'chars' (the oracle-checked
+    textstats-compatible flavor).
     """
     import gc
 
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if max_batch < 1:
+        raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+    if top_k < max_batch:
+        raise ValueError(f"top_k ({top_k}) must be >= max_batch ({max_batch})")
     spark = df.sparkSession
     census = (
-        word_census(df, text_col)
-        .withColumn("__syms", F.split("word", ""))
+        word_census(df, text_col, pretokenize)
+        .withColumn("__syms", _sym_expr(F.col("word"), alphabet))
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
         top = (
             pair_counts(census)
             .orderBy(F.desc("pair_count"), "left", "right")
-            .limit(1)
+            .limit(top_k)
             .collect()
         )
-        if not top:
+        batch = _select_merge_batch(
+            top, top_k, min(max_batch, n_merges - len(merges))
+        )
+        if not batch:
             break
-        row = top[0]
-        merges.append((rank, row["left"], row["right"], row["pair_count"]))
-        census = census.withColumn(
-            "__syms", _apply_merge(F.col("__syms"), row["left"], row["right"])
-        ).localCheckpoint(eager=True)
-        if (rank + 1) % 8 == 0:
+        syms = F.col("__syms")
+        for row in batch:
+            merges.append(
+                (len(merges), row["left"], row["right"], row["pair_count"])
+            )
+            # disjoint merges commute — fuse the whole batch into one
+            # projection (k nested folds, one pass each over word-length
+            # arrays), then ONE checkpoint per ROUND
+            syms = _apply_merge(syms, row["left"], row["right"])
+        census = census.withColumn("__syms", syms).localCheckpoint(eager=True)
+        rounds += 1
+        if rounds % 8 == 0:
             gc.collect()
+    if stats is not None:
+        # observability out-param (bench/BENCH.md 5b): how many Spark
+        # rounds the batching actually needed for len(merges) merges
+        stats["rounds"] = rounds
+        stats["merges"] = len(merges)
     merges_df = spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
     )
@@ -166,10 +406,15 @@ def bpe_apply(
     id_col: str = "doc_id",
     out_col: str = "tokens",
     method: str = "broadcast",
+    pretokenize: str = "whitespace",
+    alphabet: str = "chars",
 ) -> DataFrame:
     """Tokenize a document table with a learned segmentation. Words
     absent from the census (unseen at train time) fall back to their
-    character segmentation — the standard open-vocabulary behavior.
+    alphabet segmentation — the standard open-vocabulary behavior.
+    ``pretokenize``/``alphabet`` must match the ``bpe_train`` call that
+    produced the census (the model does not self-describe; mixing modes
+    silently falls back to alphabet segmentation for every word).
 
     Token semantics are identical on both paths and match training:
     split on runs of ASCII whitespace (the Java ``\\s`` class — exactly
@@ -196,16 +441,24 @@ def bpe_apply(
     one groupBy reassembly.
     """
     if method == "broadcast":
-        return _bpe_apply_broadcast(df, segmented_census, text_col, id_col, out_col)
+        return _bpe_apply_broadcast(
+            df, segmented_census, text_col, id_col, out_col, pretokenize, alphabet
+        )
     if method != "join":
         raise ValueError(f"method must be 'broadcast' or 'join', got {method!r}")
+    if pretokenize == "whitespace":
+        # keep the historical explode shape (empties dropped in the WHEN
+        # below — identical result, pinned by the edge-input parity test)
+        toks = F.split(F.col("__t"), r"\s+")
+    else:
+        toks = _pretok_expr(F.coalesce(F.col("__t"), F.lit("")), pretokenize)
     rows = df.select(
         F.col(id_col).alias("__oid"), F.col(text_col).alias("__t")
     ).withColumn("__rk", F.monotonically_increasing_id())
     occ = rows.select(
         "__rk",
         "__oid",
-        F.posexplode_outer(F.split(F.col("__t"), r"\s+")).alias("__pos", "__w"),
+        F.posexplode_outer(toks).alias("__pos", "__w"),
     )
     model = segmented_census.select(
         F.col("word").alias("__w"), F.col("symbols").alias("__syms")
@@ -218,7 +471,7 @@ def bpe_apply(
         # here: the WHEN yields NULL and collect_list skips NULLs
         F.when(
             F.col("__w").isNotNull() & (F.length("__w") > 0),
-            F.coalesce(F.col("__syms"), F.split("__w", "")),
+            F.coalesce(F.col("__syms"), _sym_expr(F.col("__w"), alphabet)),
         ).alias("__syms"),
     )
     per_row = joined.groupBy("__rk").agg(
@@ -261,6 +514,8 @@ def _bpe_apply_broadcast(
     text_col: str,
     id_col: str,
     out_col: str,
+    pretokenize: str = "whitespace",
+    alphabet: str = "chars",
 ) -> DataFrame:
     """Map-side tokenization: broadcast the (word -> symbols) dict, Arrow
     batches in, token arrays out. No shuffle anywhere in the plan."""
@@ -278,7 +533,6 @@ def _bpe_apply_broadcast(
     in_schema = df.select(id_col, text_col).schema
     id_field = in_schema[id_col]
     out_schema = f"{id_col} {id_field.dataType.simpleString()}, {out_col} array<string>"
-    ws = _java_ws()
 
     def tokenize(batches):
         import pandas as pd
@@ -287,13 +541,10 @@ def _bpe_apply_broadcast(
         for pdf in batches:
             texts = pdf[text_col]
             toks = [
-                []
-                if t is None
-                else [
+                [
                     s
-                    for w in ws.split(t)
-                    if w
-                    for s in m.get(w, list(w))
+                    for w in py_pretokenize(t, pretokenize)
+                    for s in m.get(w, py_symbols(w, alphabet))
                 ]
                 for t in texts
             ]

@@ -220,6 +220,67 @@ def stream_stream_asof_interval(
     return p.join(t, cond, "inner").drop("__t_conv_id")
 
 
+def stream_asof_latest(
+    stream_probes: DataFrame,
+    stream_transcripts: DataFrame,
+    tolerance: str = "4 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAMING as-of semantics (VERDICT r05 #6): one row per probe —
+    the LATEST transcript turn inside the freshness window — matching
+    ``asof_join(direction='backward', mode='latest',
+    tiebreak='turn_idx')`` exactly on the emitted rows.
+
+    The r05 interval twin (``stream_stream_asof_interval``) is
+    output-bound (≈3.6× fan-out, BENCH.md §6) because every in-window
+    turn is emitted; the latest-reduction "belongs downstream" — this IS
+    that downstream, implemented as the chained stateful pair Structured
+    Streaming supports natively:
+
+      1. event-time-bounded stream-stream join (state evicted by
+         watermark, bounded by tolerance + watermark per key), then
+      2. a per-probe max aggregation grouped by the watermarked
+         ``query_ts`` — append mode emits each probe ONCE, when the
+         watermark passes its query time (the window is closed, so no
+         later micro-batch can deliver a fresher match — exactly the
+         caveat the interval twin's docstring deferred).
+
+    Tie-break mirrors the batch rule: max matched_ts, then max turn_idx.
+    State: join state O(in-window turns per key) + agg state O(open
+    probes); both watermark-evicted. Probes with NO in-window match are
+    not emitted (inner join — the online-serving contract; the batch
+    twin is left-outer and carries nulls).
+
+    Emission latency: Spark delays the downstream agg's watermark by the
+    join's event-time interval (so the join can still deliver in-window
+    rows), so a probe emits ``watermark + tolerance`` after its
+    query_ts — the price of EXACT latest semantics on a stream
+    (pytest-pinned in test_stream_asof_latest_matches_batch).
+    """
+    j = stream_stream_asof_interval(
+        stream_probes, stream_transcripts, tolerance, watermark
+    )
+    best = F.max(
+        F.struct(
+            F.col("matched_ts"),
+            F.col("matched_turn_idx"),
+            F.col("matched_role"),
+        )
+    ).alias("__best")
+    return (
+        j.groupBy("conv_id", "probe_id", "query_ts")
+        .agg(best)
+        .select(
+            "conv_id",
+            "probe_id",
+            "query_ts",
+            F.col("__best.matched_ts").alias("matched_ts"),
+            F.col("__best.matched_turn_idx").alias("matched_turn_idx"),
+            F.col("__best.matched_role").alias("matched_role"),
+        )
+    )
+
+
 def stream_exact_dedup(
     docs: DataFrame,
     keys: list[str],

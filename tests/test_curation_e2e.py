@@ -181,3 +181,32 @@ def test_facade_curate(spark):
     docs = _corpus(spark).limit(60).localCheckpoint()
     packed, manifest = ff.curate(docs, gopher=False, neardup=None, scorer=None)
     assert packed.count() == manifest["surviving_rows"] > 0
+
+
+def test_e2e_durable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches stage boundaries to parquet writes — same
+    counts and surviving ids as the localCheckpoint path, with per-stage
+    paths recorded in the manifest and real files on disk."""
+    import os
+
+    from kgfarm_spark.curation import curate
+
+    docs = _corpus(spark).limit(120).localCheckpoint()
+    packed_a, m_a = curate(
+        docs, gopher=False, neardup="jaccard",
+        neardup_kw={"threshold": 0.5}, scorer=None, pack_budget=256,
+    )
+    ck = str(tmp_path / "stages")
+    packed_b, m_b = curate(
+        docs, gopher=False, neardup="jaccard",
+        neardup_kw={"threshold": 0.5}, scorer=None, pack_budget=256,
+        checkpoint_dir=ck,
+    )
+    key = lambda df: sorted(r["doc_id"] for r in df.select("doc_id").collect())
+    assert key(packed_a) == key(packed_b)
+    a_counts = [(s["stage"], s["rows"], s["dropped"]) for s in m_a["stages"]]
+    b_counts = [(s["stage"], s["rows"], s["dropped"]) for s in m_b["stages"]]
+    assert a_counts == b_counts
+    for s in m_b["stages"]:
+        if s["stage"] != "pack_sequences":
+            assert "checkpoint" in s and os.path.isdir(s["checkpoint"]), s

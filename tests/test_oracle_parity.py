@@ -79,5 +79,8 @@ def test_queries_have_oracles():
         "semantic_neardup",  # IVF k-means quantizer — full-probe==brute pinned in test_pipeline_ops
         "bpe_merges",        # iterative argmax+re-segment loop (non-SQL) — exact
                              # parity vs the textbook pure-Python BPE in TestBPE
+        "curation_pipeline_e2e",  # LSH components + exact-rank chain (non-SQL
+                             # end-to-end); per-stage counts pinned + hand-composed
+                             # stage equivalence in test_curation_e2e
     }
     assert missing <= allowed_rows_only
