@@ -655,10 +655,26 @@ def run_corpus_scale() -> dict:
         return {"target_frac": 0.1}
 
     def _kn3() -> dict:
+        """KN3 runs at the 1M-doc corpus (like semantic dedup): the
+        synthetic text is near-random — 26.8M distinct trigrams per 30M
+        words — so the trigram TYPE table is corpus-sized here, the
+        worst case for the type-join shape. Natural text reuses
+        trigrams Zipf-style (types << tokens), where the census-sized
+        assumption actually holds."""
         from kgfarm_spark.operators.textstats import kn3_logprob
 
-        _noop(kn3_logprob(docs, "doc_id", "text"))
-        return {"order": 3, "discount": 0.75}
+        d1m = spark.read.parquet(DOCS_SCALE_DIR)
+        n1m = d1m.count()
+        t0 = time.monotonic()
+        _noop(kn3_logprob(d1m, "doc_id", "text"))
+        dt = round(time.monotonic() - t0, 1)
+        return {
+            "order": 3, "discount": 0.75,
+            "docs_1m": n1m, "sec_1m": dt,
+            "docs_per_sec_1m": round(n1m / dt),
+            "note": "benched at 1M (near-random synthetic corpus => "
+                    "trigram types ~ tokens; worst case for the type join)",
+        }
 
     def _curate() -> dict:
         """VERDICT r05 #1 evidence: the chained curate() pipeline at the
@@ -675,7 +691,14 @@ def run_corpus_scale() -> dict:
         _, manifest = curate(
             train,
             eval_df=evalb,
-            neardup_kw={**{"threshold": 0.7}, **{}},
+            # the synthetic corpus words are 'w12345'-shaped (≈83% digit
+            # chars, no English stopwords), so the digit and stopword
+            # rules would drop EVERYTHING and the rest of the chain
+            # would run on 0 rows; relax those two, keep the rest — the
+            # measurement target is the chain's cost, not the verdicts
+            gopher_kw={"gate_kw": {"max_digit_ratio": 1.0,
+                                   "min_stopword_hits": 0}},
+            neardup_kw={"threshold": 0.7},
             decontaminate_kw={"n": 5, "min_overlap": 2},
             pack_budget=2048,
         )

@@ -23,9 +23,11 @@ from kgfarm_spark.operators.windows import (
     backfill_features,
 )
 from kgfarm_spark.pipeline import engineer_features, run_auto_pipeline
+from kgfarm_spark.curation import curate
 from kgfarm_spark.ml import evaluate_model, train_model
 
 __all__ = [
+    "curate",
     "get_spark",
     "FeatureFarm",
     "asof_join",

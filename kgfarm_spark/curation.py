@@ -110,11 +110,16 @@ def curate(
     # stage-internal working columns — a user column with one of these
     # names would be silently overwritten then dropped (house rule:
     # validate reserved names up front, r05 transforms lesson)
-    reserved = {"fingerprint", "__len", "n_tokens"} & set(docs.columns)
-    reserved -= {id_col, text_col}
+    # id_col/text_col get NO exemption: id_col='fingerprint' would be
+    # overwritten by the dedup stage's content hash then dropped —
+    # breaking the module's "no stage rewrites ids" contract (review
+    # finding); same for text_col
+    reserved = {"fingerprint", "__len", "n_tokens"} & (
+        set(docs.columns) | {id_col, text_col}
+    )
     if reserved:
         raise ValueError(
-            f"input columns {sorted(reserved)} collide with curate()'s "
+            f"column names {sorted(reserved)} collide with curate()'s "
             f"working columns; rename them first"
         )
     if neardup not in ("lsh", "jaccard", None):
@@ -132,15 +137,21 @@ def curate(
         return df2.sparkSession.read.parquet(path), {"checkpoint": path}
 
     stages: list[dict] = []
+    t_begin = time.monotonic()
     cur, extra0 = materialize(docs, "input")
     n_cur = cur.count()
     stages.append(
         {"stage": "input", "rows": n_cur, "dropped": 0, "sec": 0.0, **extra0}
     )
 
-    def advance(name: str, nxt: DataFrame, **params) -> DataFrame:
+    def advance(name: str, nxt: DataFrame, t_start: float | None = None, **params) -> DataFrame:
+        # t_start lets a stage include its BUILD cost: several operators
+        # run eager driver actions at construction time (components
+        # iterations in keep-best, the exact-rank fits in ccnet_buckets,
+        # the offsets collect in pack) — timing only the materialize
+        # under-attributed those stages by minutes at 5M docs
         nonlocal cur, n_cur
-        t0 = time.monotonic()
+        t0 = time.monotonic() if t_start is None else t_start
         nxt, extra = materialize(nxt, name)
         n = nxt.count()
         stages.append(
@@ -158,10 +169,12 @@ def curate(
 
     # 1. Gopher quality filter (Rae et al. 2021 Table A1, full set)
     if gopher:
+        t0 = time.monotonic()
         verdict = gopher_filter(cur, id_col, text_col, **(gopher_kw or {}))
         advance(
             "gopher_filter",
             cur.join(verdict.filter(F.col("keep")).select(id_col), id_col),
+            t_start=t0,
             rules="quality_gate+line_rules+repetition",
         )
 
@@ -169,10 +182,12 @@ def curate(
     # lowercased, punctuation-stripped, whitespace-collapsed text) —
     # keeps the smallest id per group, deterministic
     if exact:
+        t0 = time.monotonic()
         fp = fingerprint(cur, text_col)
         advance(
             "exact_dedup",
             exact_dedup(fp, on=["fingerprint"], order_col=id_col).drop("fingerprint"),
+            t_start=t0,
             key="md5(normalized text)",
         )
 
@@ -181,41 +196,53 @@ def curate(
     # id). LSH is the scale path (linear in docs x bands); 'jaccard' is
     # the exact all-pairs variant for small corpora.
     if neardup:
+        t0 = time.monotonic()
         kw = {"n": 3, "threshold": 0.7, **(neardup_kw or {})}
         pair_fn = minhash_lsh_dedup_pairs if neardup == "lsh" else jaccard_pairs
         pairs = pair_fn(cur, id_col, text_col, **kw)
         scored = cur.withColumn("__len", F.length(F.coalesce(F.col(text_col), F.lit(""))))
         kept = dedup_keep_component_best(scored, pairs, id_col, "__len").drop("__len")
-        advance("neardup_" + neardup, kept, **{k: str(v) for k, v in kw.items()})
+        advance("neardup_" + neardup, kept, t_start=t0,
+                **{k: str(v) for k, v in kw.items()})
 
     # 4. Benchmark decontamination (GPT-3 appendix C): drop training
     # docs sharing n-grams with the eval set
     if eval_df is not None:
+        t0 = time.monotonic()
         kw = {"n": 13, "min_overlap": 1, **(decontaminate_kw or {})}
         dirty = decontaminate(cur, eval_df, id_col, text_col, **kw)
         advance(
             "decontaminate",
             cur.join(dirty.select(id_col), id_col, "left_anti"),
+            t_start=t0,
             **{k: v for k, v in kw.items()},
         )
 
     # 5. LM scoring / selection
     if scorer == "ccnet":
+        t0 = time.monotonic()
         buckets = ccnet_buckets(cur, id_col, text_col)
         keep = buckets.filter(F.col("bucket").isin(*keep_buckets)).select(id_col)
-        advance("ccnet_select", cur.join(keep, id_col), keep_buckets=list(keep_buckets))
+        advance("ccnet_select", cur.join(keep, id_col), t_start=t0,
+                keep_buckets=list(keep_buckets))
     elif scorer == "dsir":
+        t0 = time.monotonic()
         chosen = dsir_resample(cur, dsir_target, dsir_k, id_col, text_col)
-        advance("dsir_select", cur.join(chosen.select(id_col), id_col), k=dsir_k)
+        advance("dsir_select", cur.join(chosen.select(id_col), id_col),
+                t_start=t0, k=dsir_k)
 
     # 6. Tokenize (the house _words tokenizer — empty tokens dropped)
-    # and pack into fixed-budget training sequences
+    # and pack into fixed-budget training sequences. t0 BEFORE the
+    # builder: pack_sequences runs its expensive driver actions at
+    # construction time (percentile boundaries, the eager checkpoint of
+    # the tokenized corpus, the per-bucket offsets collect) — timing
+    # only the final agg under-attributed this stage (review finding)
+    t0 = time.monotonic()
     toks = cur.select(
         id_col,
         F.size(_words(F.coalesce(F.col(text_col), F.lit("")))).alias("n_tokens"),
     )
     packed = pack_sequences(toks, id_col, "n_tokens", budget=pack_budget)
-    t0 = time.monotonic()
     total_tokens = packed.agg(
         F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("n")
     ).first()
@@ -236,6 +263,7 @@ def curate(
 
     manifest = {
         "stages": stages,
+        "wall_sec": round(time.monotonic() - t_begin, 3),
         "input_rows": stages[0]["rows"],
         "surviving_rows": n_cur,
         "survival_rate": round(n_cur / max(stages[0]["rows"], 1), 6),

@@ -48,7 +48,9 @@ def exact_dedup(df: DataFrame, on: list[str], order_col: str) -> DataFrame:
     map column (advisor finding, r05); rows tied on order_col AND every
     hashable column then remain shuffle-ordered, the pre-r05 behavior,
     only for frames whose sole distinguishing columns are maps."""
-    hashable = [c for c, t in df.dtypes if not t.startswith("map<")]
+    # recursive check: xxhash64 rejects MAP anywhere in the type tree
+    # (struct<m: map<...>>, array<map<...>>), not just top level
+    hashable = [c for c, t in df.dtypes if "map<" not in t]
     tie = (
         F.xxhash64(F.struct(*hashable)).asc()
         if hashable

@@ -400,19 +400,20 @@ def ccnet_buckets(
     by the interpolated Kneser-Ney trigram (``kn3_logprob``) — the
     closest in-engine analog of CCNet's actual KenLM scorer.
 
-    ``persist_scores`` (default True) caches the scored projection
-    ``(id, n_words, mean_logprob)`` MEMORY_AND_DISK before ranking: the
-    exact percent_rank needs three passes over the scores (boundary
-    fit, bucket counts, transform) plus the empty-doc branch, and
-    without the cache each pass re-runs the full explode→census→join
-    LM pipeline (measured 3.4× the single-pass cost at 5M docs). The
-    cached table is ~3 numeric columns × |docs| — ~30 GB per 10^9
-    documents, spilling to local disk beyond executor memory — and is
-    LRU-evicted / dropped with the session. Pass False to skip the
-    cache when the caller persists upstream itself — note the exact
-    rank fit still runs two driver actions (boundary fit + bucket
-    counts) at CALL time either way; this builder is eager by nature,
-    unlike its siblings.
+    ``persist_scores`` (default True) materializes the scored projection
+    ``(id, n_words, mean_logprob)`` via ``localCheckpoint(eager=True)``
+    before ranking: the exact percent_rank needs three passes over the
+    scores (boundary fit, bucket counts, transform) plus the empty-doc
+    branch, and without materialization each pass re-runs the full
+    explode→census→join LM pipeline (measured 3.4× the single-pass cost
+    at 5M docs). The checkpointed table is ~3 numeric columns × |docs| —
+    ~30 GB per 10^9 documents — and its blocks are freed by the context
+    cleaner once the result is unreferenced (a bare persist had no
+    unpersist handle and pinned the blocks for the session). Pass False
+    to skip materialization when the caller checkpoints upstream AND can
+    afford the recompute — note the exact rank fit still runs two driver
+    actions (boundary fit + bucket counts) at CALL time either way; this
+    builder is eager by nature, unlike its siblings.
     """
     from kgfarm_spark.functions.transforms import quantile_rank_transform
 
@@ -433,9 +434,15 @@ def ccnet_buckets(
             f"scorer must be 'unigram', 'bigram', or 'kn3', got {scorer!r}"
         )
     if persist_scores:
-        from pyspark import StorageLevel
-
-        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        # localCheckpoint, NOT a bare persist: this builder has no
+        # unpersist handle to give the caller, and a bare persist pinned
+        # the |docs|-sized scored projection for the whole session —
+        # repeated calls (e.g. curate() in a loop) accumulated blocks
+        # until eviction pressure (review finding; the packing.py leak
+        # class). Checkpoint blocks are freed by the context cleaner
+        # once the result is unreferenced, same recipe as bpe_train and
+        # semantic_neardup_pairs.
+        scored = scored.localCheckpoint(eager=True)
     nonempty = scored.filter(F.col("n_words") > 0).withColumn(
         "__r", F.col("mean_logprob")
     )
@@ -888,31 +895,46 @@ def kn3_logprob(
             F.col("__it.prev").alias("__prev"),
             F.col("__it.prev2").alias("__prev2"),
         )
-        .withColumn("__hc", F.xxhash64("__cur"))
-        .withColumn("__hbc", F.xxhash64("__prev", "__cur"))
-        .withColumn("__hm", F.xxhash64("__prev"))
-        .withColumn("__h3", F.xxhash64("__prev2", "__prev", "__cur"))
-        .withColumn("__hctx", F.xxhash64("__prev2", "__prev"))
     )
-    # unigram census (vocab size only — counts are not used by KN's
-    # continuation-based P1) and bigram TYPE table
-    uni = (
-        occ.filter(F.col("__cur").isNotNull())
-        .groupBy("__hc")
-        .agg(F.count(F.lit(1)).alias("__cu"))
+    # ONE corpus pass: the per-(doc, position-type) profile. Every
+    # census below derives from this table's type projection, so the
+    # expensive explode + hash happens once and Spark's ReusedExchange
+    # serves both downstream consumers (type stats AND the final join) —
+    # the naive per-census shape re-exploded the corpus five times.
+    # __ht identifies the type including its arity (xxhash64 skips
+    # NULLs: a pos-0 type hashes over (cur), pos-1 over (prev, cur)).
+    perocc = occ.groupBy(
+        "__id",
+        F.xxhash64("__prev2", "__prev", "__cur").alias("__ht"),
+        F.xxhash64("__cur").alias("__hc"),
+        F.xxhash64("__prev", "__cur").alias("__hbc"),
+        F.xxhash64("__prev").alias("__hm"),
+        F.xxhash64("__prev2", "__prev").alias("__hctx"),
+        F.col("__cur").isNotNull().cast("int").alias("__isw"),
+        F.col("__prev").isNotNull().cast("int").alias("__has1"),
+        F.col("__prev2").isNotNull().cast("int").alias("__has2"),
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    # corpus-wide TYPE table (distinct (cur, prev, prev2) triples with
+    # occurrence counts) — census-sized; everything KN needs falls out
+    typ = (
+        perocc.filter(F.col("__isw") == 1)
+        .groupBy("__ht", "__hc", "__hbc", "__hm", "__hctx", "__has1", "__has2")
+        .agg(F.sum("__n").alias("__tn"))
     )
+    # bigram TYPE table: distinct (prev, cur) pairs — KN uses type
+    # counts only, never bigram token counts (a sum here would be dead
+    # computation and a misleading signal; review finding)
     bity = (
-        occ.filter(F.col("__prev").isNotNull())
-        .groupBy("__hbc", "__hc")
-        .agg(F.count(F.lit(1)).alias("__cb"))
+        typ.filter(F.col("__has1") == 1)
+        .select("__hbc", "__hc")
+        .distinct()
     )
     # N1+(·c): distinct left-contexts per continuation word
     r1 = bity.groupBy("__hc").agg(F.count(F.lit(1)).alias("__r1"))
-    # trigram census, carrying its sub-keys (h3 determines the others)
-    tri = (
-        occ.filter(F.col("__prev2").isNotNull())
-        .groupBy("__h3", "__hctx", "__hbc", "__hm", "__hc")
-        .agg(F.count(F.lit(1)).alias("__ct"))
+    # trigram census = the has2 slice of the type table (its __tn IS the
+    # trigram count — no self-join needed for the P3 numerator)
+    tri = typ.filter(F.col("__has2") == 1).select(
+        "__hctx", "__hbc", "__hm", "__hc", F.col("__tn").alias("__ct"),
     )
     ctx = tri.groupBy("__hctx").agg(
         F.sum("__ct").alias("__cctx"), F.count(F.lit(1)).alias("__fwd2")
@@ -922,9 +944,9 @@ def kn3_logprob(
     mid = midcur.groupBy("__hm").agg(
         F.sum("__k").alias("__nmid"), F.count(F.lit(1)).alias("__fwd1")
     )
-    tot = uni.agg(F.count(F.lit(1)).alias("__v")).crossJoin(
-        bity.agg(F.count(F.lit(1)).alias("__nb"))
-    )
+    tot = typ.agg(
+        F.countDistinct("__hc").alias("__v")
+    ).crossJoin(bity.agg(F.count(F.lit(1)).alias("__nb")))
 
     p1 = (F.coalesce(F.col("__r1"), F.lit(0)) + 1.0) / (F.col("__nb") + F.col("__v"))
     p2 = F.when(
@@ -936,7 +958,7 @@ def kn3_logprob(
         / F.col("__nmid"),
     ).otherwise(p1)
     p3 = (
-        F.greatest(F.col("__ct") - D, F.lit(0.0)) + D * F.col("__fwd2") * p2
+        F.greatest(F.col("__tn") - D, F.lit(0.0)) + D * F.col("__fwd2") * p2
     ) / F.col("__cctx")
     lp = (
         F.when(F.col("__has2") == 1, F.log(p3))
@@ -944,45 +966,23 @@ def kn3_logprob(
         .otherwise(F.log(p1))
     )
     # KEY SCALE MOVE: the log-probability depends only on the POSITION
-    # TYPE (cur, prev, prev2) — so join the five KN statistics onto the
+    # TYPE (cur, prev, prev2) — so join the KN statistics onto the
     # distinct-type table (census-sized shuffles), and touch the corpus
     # with exactly ONE join of its (doc, type) profile to the scored
-    # types. The naive alternative — five left joins of the full
-    # occurrence table — shuffles the 150M-row corpus five times; this
-    # shape shuffles it twice (type profile groupBy + one hash join).
-    # __ht identifies the type including its arity (xxhash64 skips
-    # NULLs, so a pos-0 type hashes over (cur) and a pos-1 type over
-    # (prev, cur) — distinct chains).
-    typ = (
-        occ.filter(F.col("__cur").isNotNull())
-        .groupBy(
-            F.xxhash64("__prev2", "__prev", "__cur").alias("__ht"),
-            "__hc", "__hbc", "__hm", "__h3", "__hctx",
-            F.col("__prev").isNotNull().cast("int").alias("__has1"),
-            F.col("__prev2").isNotNull().cast("int").alias("__has2"),
-        )
-        .agg(F.count(F.lit(1)).alias("__tn"))
-    )
+    # types.
     typ_scored = (
         typ.join(r1, "__hc", "left")
         .join(rev2, "__hbc", "left")
         .join(mid, "__hm", "left")
-        .join(tri.select("__h3", "__ct"), "__h3", "left")
         .join(ctx, "__hctx", "left")
         .crossJoin(F.broadcast(tot))
         .select("__ht", lp.alias("__lp"))
-    )
-    perocc = occ.groupBy(
-        "__id", F.xxhash64("__prev2", "__prev", "__cur").alias("__ht")
-    ).agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.max(F.col("__cur").isNotNull().cast("int")).alias("__w"),
     )
     per_doc = (
         perocc.join(typ_scored, "__ht", "left")
         .groupBy("__id")
         .agg(
-            F.sum(F.col("__n") * F.col("__w")).alias("n_words"),
+            F.sum(F.col("__n") * F.col("__isw")).alias("n_words"),
             F.coalesce(F.sum(F.col("__n") * F.col("__lp")), F.lit(0.0)).alias("__s"),
         )
     )

@@ -210,3 +210,18 @@ def test_e2e_durable_checkpoint_dir(spark, tmp_path):
     for s in m_b["stages"]:
         if s["stage"] != "pack_sequences":
             assert "checkpoint" in s and os.path.isdir(s["checkpoint"]), s
+
+
+def test_reserved_names_cover_id_and_text(spark):
+    """Review finding (r06): id_col='fingerprint' must be rejected — the
+    dedup stage would overwrite then drop the id column."""
+    from kgfarm_spark.curation import curate
+
+    docs = _corpus(spark).limit(10).selectExpr(
+        "doc_id AS fingerprint", "text"
+    )
+    with pytest.raises(ValueError, match="fingerprint"):
+        curate(docs, id_col="fingerprint")
+    docs2 = _corpus(spark).limit(10).selectExpr("doc_id", "text AS n_tokens")
+    with pytest.raises(ValueError, match="n_tokens"):
+        curate(docs2, text_col="n_tokens")

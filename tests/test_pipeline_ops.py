@@ -1900,6 +1900,18 @@ class TestBPE:
             "",
             "a",
             " ",
+            # adversarial: contractions at boundaries / uppercase,
+            # apostrophe runs, fused digit-letter words, vtab/formfeed,
+            # emoji, mixed scripts inside one word, combining accents
+            "'s starts with contraction",
+            "ends with it's",
+            "IT'S UPPER 'S",
+            "''' apostrophes '''",
+            "abc123def 12a34",
+            "vtab\x0bhere form\x0cfeed",
+            "emoji 😀😀 mix 日本abc語",
+            "a'b'c'd",
+            "\t\t\tx",
         ]
         df = spark.createDataFrame(
             [(i, t) for i, t in enumerate(fixtures)], "i long, t string"
@@ -2640,3 +2652,22 @@ def test_stream_asof_latest_matches_batch(spark, tmp_path):
     }
     assert closed <= set(got)
     assert len(got) >= len(closed) > 0
+
+
+def test_exact_dedup_handles_nested_map_columns(spark):
+    """Review finding (r06): the map exclusion must be RECURSIVE — a map
+    nested in a struct or array also breaks xxhash64."""
+    from pyspark.sql import functions as F
+
+    from kgfarm_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 5), (3, "b", 7)],
+        "doc_id long, k string, v long",
+    ).withColumn(
+        "s", F.struct(F.create_map(F.lit("x"), F.col("v")).alias("m"))
+    ).withColumn(
+        "am", F.array(F.create_map(F.lit("y"), F.col("v")))
+    )
+    kept = exact_dedup(df, on=["k"], order_col="doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 3]
