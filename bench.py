@@ -77,8 +77,10 @@ def run_once(sf_dir: str, cpus: int, names: list[str], n_runs: int = 3) -> dict:
         from pyspark.sql import functions as F
 
         t0 = time.monotonic()
+        # avg, not sum: summing 200M random 64-bit hashes overflows long
+        # under ANSI mode (avg accumulates in double — same work)
         spark.range(0, 200_000_000, 1, cpus).select(
-            F.sum(F.xxhash64("id"))
+            F.avg(F.xxhash64("id"))
         ).collect()
         return round(time.monotonic() - t0, 3)
 
@@ -1038,8 +1040,20 @@ def run_stream_scale(cpus: int = 8) -> dict:
 
         from kgfarm_spark.streaming.stream import stream_asof_latest
 
-        p_stream = spark.readStream.schema(pschema).parquet(pdir)
-        t_stream = spark.readStream.schema(tschema).parquet(tdir)
+        # chunked triggers so the watermark ADVANCES between batches —
+        # in a single availableNow batch the append-mode agg emits
+        # nothing (watermark commits after the last batch), which would
+        # bench the state shape but not the output path
+        p_stream = (
+            spark.readStream.schema(pschema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(pdir)
+        )
+        t_stream = (
+            spark.readStream.schema(tschema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(tdir)
+        )
         wall, prog = drive(
             stream_asof_latest(
                 p_stream, t_stream, tolerance="4 hours", watermark="1 hour"
