@@ -62,6 +62,7 @@ def curate(
     exact: bool = True,
     neardup: str | None = "lsh",
     neardup_kw: dict | None = None,
+    emb_col: str | None = None,
     decontaminate_kw: dict | None = None,
     scorer: str | None = "ccnet",
     keep_buckets: tuple[str, ...] = ("head", "middle"),
@@ -80,7 +81,10 @@ def curate(
     Stage toggles: ``gopher=False`` skips quality filtering;
     ``neardup`` is ``'lsh'`` (MinHash-LSH candidates, exact-Jaccard
     verify, quality-aware keep-best — the scale path), ``'jaccard'``
-    (exact all-pairs-over-shingle-join — small corpora / audits), or
+    (exact all-pairs-over-shingle-join — small corpora / audits),
+    ``'semantic'`` (SemDeDup: IVF-cell-partitioned cosine pairs over
+    ``emb_col`` — the embedding-space near-dup scale path; pass
+    ``neardup_kw`` like ``{'threshold': 0.95, 'n_cells': 1024}``), or
     ``None``; ``scorer`` is ``'ccnet'`` (keep ``keep_buckets`` of the
     head/middle/tail split), ``'dsir'`` (Gumbel top-``dsir_k`` toward
     ``dsir_target``), or ``None``.
@@ -122,8 +126,14 @@ def curate(
             f"column names {sorted(reserved)} collide with curate()'s "
             f"working columns; rename them first"
         )
-    if neardup not in ("lsh", "jaccard", None):
-        raise ValueError(f"neardup must be 'lsh', 'jaccard', or None, got {neardup!r}")
+    if neardup not in ("lsh", "jaccard", "semantic", None):
+        raise ValueError(
+            f"neardup must be 'lsh', 'jaccard', 'semantic', or None, got {neardup!r}"
+        )
+    if neardup == "semantic" and not emb_col:
+        raise ValueError("neardup='semantic' needs emb_col (embedding column)")
+    if neardup == "semantic" and emb_col not in docs.columns:
+        raise ValueError(f"emb_col {emb_col!r} not in input columns")
     if scorer not in ("ccnet", "dsir", None):
         raise ValueError(f"scorer must be 'ccnet', 'dsir', or None, got {scorer!r}")
     if scorer == "dsir" and (dsir_target is None or dsir_k is None):
@@ -197,9 +207,15 @@ def curate(
     # the exact all-pairs variant for small corpora.
     if neardup:
         t0 = time.monotonic()
-        kw = {"n": 3, "threshold": 0.7, **(neardup_kw or {})}
-        pair_fn = minhash_lsh_dedup_pairs if neardup == "lsh" else jaccard_pairs
-        pairs = pair_fn(cur, id_col, text_col, **kw)
+        if neardup == "semantic":
+            from kgfarm_spark.operators.dedup import semantic_neardup_pairs
+
+            kw = {"threshold": 0.95, **(neardup_kw or {})}
+            pairs = semantic_neardup_pairs(cur, id_col, emb_col, **kw)
+        else:
+            kw = {"n": 3, "threshold": 0.7, **(neardup_kw or {})}
+            pair_fn = minhash_lsh_dedup_pairs if neardup == "lsh" else jaccard_pairs
+            pairs = pair_fn(cur, id_col, text_col, **kw)
         scored = cur.withColumn("__len", F.length(F.coalesce(F.col(text_col), F.lit(""))))
         kept = dedup_keep_component_best(scored, pairs, id_col, "__len").drop("__len")
         advance("neardup_" + neardup, kept, t_start=t0,

@@ -1058,7 +1058,7 @@ FROM pos GROUP BY 1, 2
 """,
 )
 def q_bpe_pair_counts_bytes(spark: SparkSession, sf: str) -> DataFrame:
-    """Round-0 BYTE-level BPE pair statistics (bpe.bpe_pair_counts with
+    r"""Round-0 BYTE-level BPE pair statistics (bpe.bpe_pair_counts with
     alphabet='bytes'): per-UTF-8-byte symbols hex-coded, so the oracle
     replays the identical statistic via hex(encode(word)). The gpt2
     pre-tokenizer variant is pytest-pinned instead (its (?!\S) lookahead

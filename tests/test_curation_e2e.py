@@ -225,3 +225,47 @@ def test_reserved_names_cover_id_and_text(spark):
     docs2 = _corpus(spark).limit(10).selectExpr("doc_id", "text AS n_tokens")
     with pytest.raises(ValueError, match="n_tokens"):
         curate(docs2, text_col="n_tokens")
+
+
+def test_semantic_neardup_stage(spark):
+    """neardup='semantic' routes the near-dup stage through SemDeDup
+    (IVF-cell cosine pairs over emb_col); planted duplicate embeddings
+    collapse to one survivor (longest text wins)."""
+    from kgfarm_spark.curation import curate
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    ).limit(200)
+    docs = base.withColumn(
+        "text", F.concat(F.lit("doc body "), F.col("doc_id").cast("string"))
+    )
+    # plant exact-duplicate embeddings with LONGER text (should win)
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "embedding",
+        F.concat(F.col("text"), F.lit(" longer duplicate twin")).alias("text"),
+    )
+    corpus = docs.unionByName(dups).localCheckpoint()
+    n_dups = dups.count()
+
+    packed, manifest = curate(
+        corpus,
+        gopher=False,
+        exact=False,
+        neardup="semantic",
+        emb_col="embedding",
+        neardup_kw={"threshold": 0.999, "n_cells": 4, "nprobe": 4},
+        scorer=None,
+        pack_budget=128,
+    )
+    st = {s["stage"]: s for s in manifest["stages"]}
+    assert st["neardup_semantic"]["dropped"] == n_dups
+    # the longer twin survives, the original is dropped
+    ids = {r["doc_id"] for r in packed.select("doc_id").collect()}
+    assert all(i + 100000 in ids and i not in ids
+               for i in range(0, 200, 10) if i % 10 == 0)
+
+    with pytest.raises(ValueError, match="emb_col"):
+        curate(corpus, neardup="semantic")
+    with pytest.raises(ValueError, match="emb_col"):
+        curate(corpus, neardup="semantic", emb_col="missing_vec")
