@@ -38,7 +38,9 @@ stage boundary is a narrow filter + checkpoint write.
 
 from __future__ import annotations
 
+import hashlib
 import json
+import os
 import time
 
 from pyspark.sql import Column, DataFrame
@@ -71,6 +73,7 @@ def curate(
     pack_budget: int = 2048,
     manifest_path: str | None = None,
     checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Run the full curation chain over ``docs``; returns
     ``(packed_df, manifest)`` where ``packed_df`` is the
@@ -95,6 +98,20 @@ def curate(
     previous stage's files; the manifest records each path for audit).
     Default is ``localCheckpoint`` (executor-local blocks, session-
     scoped — right for tests and single-session runs).
+
+    ``resume=True`` (needs ``checkpoint_dir``): completed stages are
+    NOT recomputed — each stage directory carries a ``<stage>._meta.json``
+    with a chain fingerprint (sha256 over the input schema, the column
+    bindings, and every upstream stage's name + params); a stage is
+    reused only when its fingerprint matches the current call AND its
+    parquet write completed (``_SUCCESS``), so changing any upstream
+    parameter invalidates that stage and everything after it. This is
+    the restart path for a multi-hour corpus run: a crash in stage k
+    re-reads stage k-1's files and recomputes only k onward. Trust
+    model: the DATA is not re-hashed (that would cost a full scan per
+    stage) — point ``checkpoint_dir`` at a fresh directory when the
+    input corpus changes under the same schema. Resumed stage records
+    carry ``"resumed": true`` and the read-back wall seconds.
     """
     from kgfarm_spark.operators.dedup import (
         decontaminate,
@@ -138,6 +155,27 @@ def curate(
         raise ValueError(f"scorer must be 'ccnet', 'dsir', or None, got {scorer!r}")
     if scorer == "dsir" and (dsir_target is None or dsir_k is None):
         raise ValueError("scorer='dsir' needs dsir_target (Column) and dsir_k (int)")
+    if resume and checkpoint_dir is None:
+        raise ValueError("resume=True needs checkpoint_dir (durable stage files)")
+
+    # chain fingerprint: input schema + column bindings, then folded
+    # per-stage over (stage name, params) — any upstream change flips
+    # every downstream stage's fingerprint, so resume can never splice
+    # a stale tail onto a new head
+    chain_fp = hashlib.sha256(
+        repr((id_col, text_col, docs.schema.simpleString(),
+              None if eval_df is None else eval_df.schema.simpleString())).encode()
+    ).hexdigest()
+
+    def _fold_fp(stage: str, params: dict, fp_extra: str = "") -> str:
+        nonlocal chain_fp
+        chain_fp = hashlib.sha256(
+            (chain_fp + stage + repr(sorted(params.items())) + fp_extra).encode()
+        ).hexdigest()
+        return chain_fp
+
+    def _meta_path(stage: str) -> str:
+        return f"{checkpoint_dir.rstrip('/')}/{stage}._meta.json"
 
     def materialize(df2: DataFrame, stage: str) -> tuple[DataFrame, dict]:
         if checkpoint_dir is None:
@@ -146,13 +184,61 @@ def curate(
         df2.write.mode("overwrite").parquet(path)
         return df2.sparkSession.read.parquet(path), {"checkpoint": path}
 
+    def _write_meta(stage: str, rows: int) -> None:
+        if checkpoint_dir is None:
+            return
+        with open(_meta_path(stage), "w") as f:
+            json.dump({"fp": chain_fp, "rows": rows}, f)
+
     stages: list[dict] = []
     t_begin = time.monotonic()
-    cur, extra0 = materialize(docs, "input")
-    n_cur = cur.count()
-    stages.append(
-        {"stage": "input", "rows": n_cur, "dropped": 0, "sec": 0.0, **extra0}
-    )
+
+    def stage_done(name: str, params: dict, fp_extra: str = "") -> bool:
+        """Advance the fingerprint chain for `name`; when resuming and
+        the stage's durable files are complete under the SAME
+        fingerprint, read them back in place of recomputing and report
+        whether the caller may skip the build. `fp_extra` carries
+        fingerprint-relevant inputs (kw dicts, column exprs) that would
+        clutter the manifest record."""
+        nonlocal cur, n_cur
+        fp = _fold_fp(name, params, fp_extra)
+        if not resume:
+            return False
+        path = f"{checkpoint_dir.rstrip('/')}/{name}"
+        try:
+            with open(_meta_path(name)) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            return False
+        if meta.get("fp") != fp or not os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            return False
+        t0 = time.monotonic()
+        nxt = docs.sparkSession.read.parquet(path)
+        prev = n_cur
+        cur, n_cur = nxt, int(meta["rows"])
+        stages.append(
+            {
+                "stage": name,
+                "rows": n_cur,
+                "dropped": (prev - n_cur) if prev is not None else 0,
+                "sec": round(time.monotonic() - t0, 3),
+                "resumed": True,
+                **params,
+                "checkpoint": path,
+            }
+        )
+        return True
+
+    n_cur: int | None = None
+    if not stage_done("input", {}):
+        cur, extra0 = materialize(docs, "input")
+        n_cur = cur.count()
+        _write_meta("input", n_cur)
+        stages.append(
+            {"stage": "input", "rows": n_cur, "dropped": 0, "sec": 0.0, **extra0}
+        )
 
     def advance(name: str, nxt: DataFrame, t_start: float | None = None, **params) -> DataFrame:
         # t_start lets a stage include its BUILD cost: several operators
@@ -164,6 +250,7 @@ def curate(
         t0 = time.monotonic() if t_start is None else t_start
         nxt, extra = materialize(nxt, name)
         n = nxt.count()
+        _write_meta(name, n)
         stages.append(
             {
                 "stage": name,
@@ -179,73 +266,94 @@ def curate(
 
     # 1. Gopher quality filter (Rae et al. 2021 Table A1, full set)
     if gopher:
-        t0 = time.monotonic()
-        verdict = gopher_filter(cur, id_col, text_col, **(gopher_kw or {}))
-        advance(
-            "gopher_filter",
-            cur.join(verdict.filter(F.col("keep")).select(id_col), id_col),
-            t_start=t0,
-            rules="quality_gate+line_rules+repetition",
-        )
+        params = {"rules": "quality_gate+line_rules+repetition"}
+        if not stage_done("gopher_filter", params,
+                          fp_extra=repr(sorted((gopher_kw or {}).items()))):
+            t0 = time.monotonic()
+            verdict = gopher_filter(cur, id_col, text_col, **(gopher_kw or {}))
+            advance(
+                "gopher_filter",
+                cur.join(verdict.filter(F.col("keep")).select(id_col), id_col),
+                t_start=t0,
+                **params,
+            )
 
     # 2. Exact dedup on the normalized content fingerprint (md5 of
     # lowercased, punctuation-stripped, whitespace-collapsed text) —
     # keeps the smallest id per group, deterministic
     if exact:
-        t0 = time.monotonic()
-        fp = fingerprint(cur, text_col)
-        advance(
-            "exact_dedup",
-            exact_dedup(fp, on=["fingerprint"], order_col=id_col).drop("fingerprint"),
-            t_start=t0,
-            key="md5(normalized text)",
-        )
+        params = {"key": "md5(normalized text)"}
+        if not stage_done("exact_dedup", params):
+            t0 = time.monotonic()
+            fp = fingerprint(cur, text_col)
+            advance(
+                "exact_dedup",
+                exact_dedup(fp, on=["fingerprint"], order_col=id_col).drop(
+                    "fingerprint"
+                ),
+                t_start=t0,
+                **params,
+            )
 
     # 3. Near-dedup: pair discovery + connected components + quality-
     # aware resolution (keep the LONGEST doc per cluster; ties -> larger
     # id). LSH is the scale path (linear in docs x bands); 'jaccard' is
     # the exact all-pairs variant for small corpora.
     if neardup:
-        t0 = time.monotonic()
         if neardup == "semantic":
-            from kgfarm_spark.operators.dedup import semantic_neardup_pairs
-
             kw = {"threshold": 0.95, **(neardup_kw or {})}
-            pairs = semantic_neardup_pairs(cur, id_col, emb_col, **kw)
         else:
             kw = {"n": 3, "threshold": 0.7, **(neardup_kw or {})}
-            pair_fn = minhash_lsh_dedup_pairs if neardup == "lsh" else jaccard_pairs
-            pairs = pair_fn(cur, id_col, text_col, **kw)
-        scored = cur.withColumn("__len", F.length(F.coalesce(F.col(text_col), F.lit(""))))
-        kept = dedup_keep_component_best(scored, pairs, id_col, "__len").drop("__len")
-        advance("neardup_" + neardup, kept, t_start=t0,
-                **{k: str(v) for k, v in kw.items()})
+        params = {k: str(v) for k, v in kw.items()}
+        if not stage_done("neardup_" + neardup, params, fp_extra=repr(emb_col)):
+            t0 = time.monotonic()
+            if neardup == "semantic":
+                from kgfarm_spark.operators.dedup import semantic_neardup_pairs
+
+                pairs = semantic_neardup_pairs(cur, id_col, emb_col, **kw)
+            else:
+                pair_fn = (
+                    minhash_lsh_dedup_pairs if neardup == "lsh" else jaccard_pairs
+                )
+                pairs = pair_fn(cur, id_col, text_col, **kw)
+            scored = cur.withColumn(
+                "__len", F.length(F.coalesce(F.col(text_col), F.lit("")))
+            )
+            kept = dedup_keep_component_best(scored, pairs, id_col, "__len").drop(
+                "__len"
+            )
+            advance("neardup_" + neardup, kept, t_start=t0, **params)
 
     # 4. Benchmark decontamination (GPT-3 appendix C): drop training
     # docs sharing n-grams with the eval set
     if eval_df is not None:
-        t0 = time.monotonic()
         kw = {"n": 13, "min_overlap": 1, **(decontaminate_kw or {})}
-        dirty = decontaminate(cur, eval_df, id_col, text_col, **kw)
-        advance(
-            "decontaminate",
-            cur.join(dirty.select(id_col), id_col, "left_anti"),
-            t_start=t0,
-            **{k: v for k, v in kw.items()},
-        )
+        if not stage_done("decontaminate", dict(kw)):
+            t0 = time.monotonic()
+            dirty = decontaminate(cur, eval_df, id_col, text_col, **kw)
+            advance(
+                "decontaminate",
+                cur.join(dirty.select(id_col), id_col, "left_anti"),
+                t_start=t0,
+                **kw,
+            )
 
     # 5. LM scoring / selection
     if scorer == "ccnet":
-        t0 = time.monotonic()
-        buckets = ccnet_buckets(cur, id_col, text_col)
-        keep = buckets.filter(F.col("bucket").isin(*keep_buckets)).select(id_col)
-        advance("ccnet_select", cur.join(keep, id_col), t_start=t0,
-                keep_buckets=list(keep_buckets))
+        params = {"keep_buckets": list(keep_buckets)}
+        if not stage_done("ccnet_select", params):
+            t0 = time.monotonic()
+            buckets = ccnet_buckets(cur, id_col, text_col)
+            keep = buckets.filter(F.col("bucket").isin(*keep_buckets)).select(id_col)
+            advance("ccnet_select", cur.join(keep, id_col), t_start=t0, **params)
     elif scorer == "dsir":
-        t0 = time.monotonic()
-        chosen = dsir_resample(cur, dsir_target, dsir_k, id_col, text_col)
-        advance("dsir_select", cur.join(chosen.select(id_col), id_col),
-                t_start=t0, k=dsir_k)
+        # str(Column) renders the target expression tree — enough to
+        # invalidate resume when the caller changes the DSIR target
+        if not stage_done("dsir_select", {"k": dsir_k}, fp_extra=str(dsir_target)):
+            t0 = time.monotonic()
+            chosen = dsir_resample(cur, dsir_target, dsir_k, id_col, text_col)
+            advance("dsir_select", cur.join(chosen.select(id_col), id_col),
+                    t_start=t0, k=dsir_k)
 
     # 6. Tokenize (the house _words tokenizer — empty tokens dropped)
     # and pack into fixed-budget training sequences. t0 BEFORE the

@@ -269,3 +269,51 @@ def test_semantic_neardup_stage(spark):
         curate(corpus, neardup="semantic")
     with pytest.raises(ValueError, match="emb_col"):
         curate(corpus, neardup="semantic", emb_col="missing_vec")
+
+
+def test_resume_skips_completed_stages(spark, tmp_path):
+    """resume=True re-reads completed stage parquet instead of
+    recomputing: same counts/ids as the cold run, every resumed record
+    flagged; changing a mid-chain parameter invalidates that stage and
+    everything downstream while the untouched head still resumes."""
+    from kgfarm_spark.curation import curate
+
+    docs = _corpus(spark).limit(120).localCheckpoint()
+    ck = str(tmp_path / "stages")
+    kw = dict(gopher=False, neardup="jaccard", neardup_kw={"threshold": 0.5},
+              scorer="ccnet", keep_buckets=("head", "middle"), pack_budget=256)
+    packed_a, m_a = curate(docs, checkpoint_dir=ck, **kw)
+    packed_b, m_b = curate(docs, checkpoint_dir=ck, resume=True, **kw)
+
+    key = lambda df: sorted(r["doc_id"] for r in df.select("doc_id").collect())
+    assert key(packed_a) == key(packed_b)
+    a = [(s["stage"], s["rows"], s["dropped"]) for s in m_a["stages"]]
+    b = [(s["stage"], s["rows"], s["dropped"]) for s in m_b["stages"]]
+    assert a == b
+    for s in m_b["stages"]:
+        if s["stage"] == "pack_sequences":
+            assert "resumed" not in s  # always recomputed (final, cheap)
+        else:
+            assert s.get("resumed") is True, s
+
+    # change a TAIL param: head resumes, the changed stage recomputes
+    kw2 = dict(kw, keep_buckets=("head",))
+    _, m_c = curate(docs, checkpoint_dir=ck, resume=True, **kw2)
+    st = {s["stage"]: s for s in m_c["stages"]}
+    assert st["input"].get("resumed") is True
+    assert st["exact_dedup"].get("resumed") is True
+    assert st["neardup_jaccard"].get("resumed") is True
+    assert "resumed" not in st["ccnet_select"]
+    assert st["ccnet_select"]["rows"] <= st["neardup_jaccard"]["rows"]
+
+    # change a HEAD param: nothing downstream may resume (chain fp flips)
+    kw3 = dict(kw, neardup_kw={"threshold": 0.4})
+    _, m_d = curate(docs, checkpoint_dir=ck, resume=True, **kw3)
+    st_d = {s["stage"]: s for s in m_d["stages"]}
+    assert st_d["input"].get("resumed") is True
+    assert st_d["exact_dedup"].get("resumed") is True
+    assert "resumed" not in st_d["neardup_jaccard"]
+    assert "resumed" not in st_d["ccnet_select"]
+
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        curate(docs, resume=True)
