@@ -754,6 +754,11 @@ _DEFERRED_PAST_DRIVER_CAP = [
                                 # pack_sequences; md5-uniform shared with dsir_resample
     "ffill_bfill_tool",         # r05 driver-green; cleaning family in-window via
                                 # fill_median_mode + interpolate_series returning
+    # late-r06: online_score_frozen (frozen-model streaming apply) enters;
+    # dedup_lines_corpus defers — r05 driver-green, line-dedup kernel
+    # pytest-pinned, corpus-dedup family in-window via dedup_minhash_lsh,
+    # dedup_keep_best, dedup_exact, duplicate_ngram_spans:
+    "dedup_lines_corpus",
 ]
 
 

@@ -1,0 +1,152 @@
+"""Online curation (streaming/online.py): fit-frozen model parity with
+the batch operators, and stream-vs-batch equality of curate_stream.
+
+The contract is EXACT agreement with the engine's own batch operators on
+the fitted corpus (max_vocab=None): score == unigram_logprob, bucket ==
+ccnet_buckets, top_bigram_frac == repetition_signals — the apply path
+re-derives nothing, it replays frozen JVM-computed artifacts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    from kgfarm_spark.streaming.online import fit_curation_model
+
+    return fit_curation_model(_docs(spark), max_vocab=None)
+
+
+def test_score_matches_unigram_logprob_exactly(spark, model):
+    from kgfarm_spark.operators.textstats import unigram_logprob
+    from kgfarm_spark.streaming.online import score_with_model
+
+    docs = _docs(spark)
+    got = {
+        r["doc_id"]: (r["n_words"], r["logprob_sum"], r["mean_logprob"])
+        for r in score_with_model(docs, model).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_words"], r["logprob_sum"], r["mean_logprob"])
+        for r in unigram_logprob(docs).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_bucket_matches_ccnet_buckets_exactly(spark, model):
+    from kgfarm_spark.operators.textstats import ccnet_buckets
+    from kgfarm_spark.streaming.online import score_with_model
+
+    docs = _docs(spark)
+    got = {r["doc_id"]: r["bucket"] for r in score_with_model(docs, model).collect()}
+    want = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(docs).collect()}
+    assert got == want
+    assert {"head", "middle", "tail"} == set(got.values())
+
+
+def test_top_bigram_frac_matches_repetition_signals(spark, model):
+    from kgfarm_spark.operators.textstats import repetition_signals
+    from kgfarm_spark.streaming.online import score_with_model
+
+    docs = _docs(spark)
+    got = {
+        r["doc_id"]: r["top_bigram_frac"]
+        for r in score_with_model(docs, model).collect()
+    }
+    want = {
+        r["doc_id"]: r["top_bigram_frac"]
+        for r in repetition_signals(docs).collect()
+    }
+    assert got == want
+
+
+def test_capped_vocab_oov_floor_and_json_roundtrip(spark):
+    from kgfarm_spark.streaming.online import (
+        CurationModel,
+        fit_curation_model,
+        score_with_model,
+    )
+
+    docs = _docs(spark)
+    full = fit_curation_model(docs, max_vocab=None)
+    capped = fit_curation_model(docs, max_vocab=10)  # corpus vocab is 31 words
+    assert len(capped.vocab) == 10
+    assert capped.n_total == full.n_total
+    # OOV floor sits below every real word's logprob
+    assert capped.oov_logprob < min(full.vocab.values())
+    # capped vocab = top-10 by count: every kept logprob >= every dropped
+    kept_min = min(capped.vocab.values())
+    dropped = {h: lp for h, lp in full.vocab.items() if h not in capped.vocab}
+    assert all(lp <= kept_min for lp in dropped.values())
+    # scoring still total and deterministic; n_words unaffected by vocab
+    a = score_with_model(docs, capped).select("doc_id", "n_words", "mean_logprob")
+    b = score_with_model(docs, capped).select("doc_id", "n_words", "mean_logprob")
+    assert sorted(map(repr, a.collect())) == sorted(map(repr, b.collect()))
+
+    rt = CurationModel.from_json(capped.to_json())
+    assert rt == capped
+
+    with pytest.raises(ValueError, match="max_vocab"):
+        fit_curation_model(docs, max_vocab=0)
+    with pytest.raises(ValueError, match="cuts"):
+        fit_curation_model(docs, cuts=(0.7, 0.3))
+    with pytest.raises(ValueError, match="__toks"):
+        score_with_model(docs.withColumn("__toks", F.lit(1)), capped)
+
+
+def test_curate_stream_matches_batch_twin(spark, tmp_path, model):
+    """The full streaming chain (availableNow over a parquet source,
+    dedup state keyed on fingerprint within the watermark) must emit the
+    same curated multiset as the identical chain run on the batch frame.
+    Ids differ for duplicate groups (first-arrival vs arbitrary batch
+    pick), so equality is on the content: (text, n_words, mean_logprob,
+    bucket)."""
+    from kgfarm_spark.streaming.online import curate_stream
+
+    docs = _docs(spark).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("doc_id").cast("double")),
+    )
+    # plant exact duplicates (same text, later ts) to exercise the dedup
+    dups = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE"))
+    corpus = docs.unionByName(dups)
+    src = str(tmp_path / "stream_src")
+    corpus.write.mode("overwrite").parquet(src)
+    corpus = spark.read.parquet(src)
+
+    batch_out = curate_stream(corpus, model, watermark=None)
+    key = lambda rows: sorted(
+        (r["text"], r["n_words"], r["mean_logprob"], r["bucket"]) for r in rows
+    )
+    want = key(batch_out.collect())
+
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    q = (
+        curate_stream(stream, model, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("curated_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = key(spark.sql("select * from curated_stream_out").collect())
+    assert got == want and len(got) > 0
+    # the curated set is smaller than the input and duplicates collapsed
+    assert len(got) < corpus.count()
+    texts = [t for t, *_ in got]
+    assert len(texts) == len(set(texts))
