@@ -760,6 +760,35 @@ def run_corpus_scale() -> dict:
             out_rec[f"{meth}_docs_per_sec"] = round(n_docs / dt)
         return out_rec
 
+    def _online() -> dict:
+        from kgfarm_spark.streaming.online import (
+            fit_curation_model,
+            score_with_model,
+        )
+
+        t0 = time.monotonic()
+        model = fit_curation_model(docs, max_vocab=1_000_000)
+        fit_sec = round(time.monotonic() - t0, 1)
+        t1 = time.monotonic()
+        _noop(
+            score_with_model(docs, model).select(
+                "doc_id", "n_words", "mean_logprob", "bucket"
+            )
+        )
+        apply_sec = round(time.monotonic() - t1, 1)
+        return {
+            "fit_sec": fit_sec,
+            "apply_sec": apply_sec,
+            "apply_docs_per_sec": round(n_docs / apply_sec),
+            "vocab": len(model.vocab),
+            "note": (
+                "apply = stateless Arrow path (zero shuffle); synthetic "
+                "corpus vocabulary is small so the broadcast dict is tiny "
+                "and lookup hit rate is unrealistically cache-friendly — "
+                "read apply_sec as the per-row scoring floor"
+            ),
+        }
+
     ops = {
         "quality_gate": _quality_gate,
         "duplicate_ngram_spans": _spans,
@@ -777,6 +806,7 @@ def run_corpus_scale() -> dict:
         "bpe_train_batched": _bpe_batched,
         "bpe_train_bytes": _bpe_bytes,
         "bpe_apply": _bpe_apply,
+        "online_score_frozen": _online,
     }
     only = {x for x in (os.environ.get("SPARK_GRAFT_CORPUS_ONLY") or "").split(",") if x}
     for name, fn in ops.items():

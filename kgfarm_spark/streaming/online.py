@@ -50,7 +50,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kgfarm_spark.operators.textstats import _words
@@ -73,6 +73,13 @@ class CurationModel:
     thr_middle: float
     cuts: tuple[float, float]
     max_vocab: int | None
+    #: optional frozen DSIR importance table: xxhash64(word) → per-token
+    #: log importance ratio ln p_target(w) − ln p_raw(w) (Xie et al.
+    #: 2023), add-alpha smoothed over the fitted vocabulary; words
+    #: unseen at fit time contribute `dsir_oov` (the zero-count ratio)
+    dsir_lambda: dict[int, float] | None = None
+    dsir_oov: float = 0.0
+    dsir_alpha: float | None = None
 
     def to_json(self) -> str:
         d = {
@@ -84,6 +91,11 @@ class CurationModel:
             "thr_middle": self.thr_middle,
             "cuts": list(self.cuts),
             "max_vocab": self.max_vocab,
+            "dsir_lambda": None
+            if self.dsir_lambda is None
+            else {str(k): v for k, v in self.dsir_lambda.items()},
+            "dsir_oov": self.dsir_oov,
+            "dsir_alpha": self.dsir_alpha,
         }
         return json.dumps(d)
 
@@ -98,6 +110,11 @@ class CurationModel:
             thr_middle=float(d["thr_middle"]),
             cuts=tuple(d["cuts"]),
             max_vocab=d["max_vocab"],
+            dsir_lambda=None
+            if d.get("dsir_lambda") is None
+            else {int(k): float(v) for k, v in d["dsir_lambda"].items()},
+            dsir_oov=float(d.get("dsir_oov", 0.0)),
+            dsir_alpha=d.get("dsir_alpha"),
         )
 
 
@@ -107,6 +124,8 @@ def fit_curation_model(
     text_col: str = "text",
     cuts: tuple[float, float] = (0.333333, 0.666667),
     max_vocab: int | None = 1_000_000,
+    dsir_target: Column | None = None,
+    dsir_alpha: float = 0.5,
 ) -> CurationModel:
     """Fit the frozen curation model on a reference corpus snapshot.
 
@@ -127,6 +146,14 @@ def fit_curation_model(
     parity test); a capped vocabulary trades exactness on the TAIL of
     the distribution for a bounded model size (the production setting:
     1M entries ≈ 18 MB shipped once per executor).
+
+    ``dsir_target`` (optional boolean Column over the fit corpus, e.g. a
+    quality verdict): additionally freezes the DSIR importance table —
+    per-word log ratio ln p_target − ln p_raw with add-``dsir_alpha``
+    smoothing over the fitted vocabulary (dsir_importance's exact
+    statistic, JVM-computed) — so ingest-time scoring emits
+    ``dsir_logweight`` without a corpus pass. Words unseen at fit time
+    contribute the zero-count ratio ``ln((n_raw+αV)/(n_target+αV))``.
     """
     from kgfarm_spark.operators.textstats import ccnet_buckets
 
@@ -134,29 +161,57 @@ def fit_curation_model(
         raise ValueError(f"cuts must be ascending in (0, 1), got {cuts}")
     if max_vocab is not None and max_vocab < 1:
         raise ValueError(f"max_vocab must be >= 1 or None, got {max_vocab}")
+    if not dsir_alpha > 0:
+        raise ValueError(f"dsir_alpha must be > 0, got {dsir_alpha}")
 
+    tgt = (
+        dsir_target.cast("int")
+        if dsir_target is not None
+        else F.lit(0)
+    )
     census = (
         df.select(
-            F.explode(_words(F.coalesce(F.col(text_col), F.lit("")))).alias("__w")
+            tgt.alias("__tgt"),
+            F.explode(_words(F.coalesce(F.col(text_col), F.lit("")))).alias("__w"),
         )
-        .select(F.xxhash64("__w").alias("__h"))
+        .select("__tgt", F.xxhash64("__w").alias("__h"))
         .groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.sum("__tgt").alias("__ct"))
     )
     census = census.localCheckpoint(eager=True)  # census pass paid once
-    n_total = census.agg(F.sum("__cnt")).first()[0] or 0
+    totals = census.agg(
+        F.sum("__cnt").alias("__n"),
+        F.sum("__ct").alias("__nt"),
+        F.count(F.lit(1)).alias("__v"),
+    ).first()
+    n_total = totals["__n"] or 0
     kept = census
     if max_vocab is not None:
         kept = census.orderBy(F.desc("__cnt"), F.asc("__h")).limit(max_vocab)
-    # log computed JVM-side — bit-identical to unigram_logprob's
-    # F.log(cnt/n), so apply-side sums can never drift from the batch
-    # operator by a libm-vs-JVM ulp
-    vocab = {
-        r["__h"]: r["__lp"]
-        for r in kept.select(
-            "__h", F.log(F.col("__cnt") / F.lit(float(n_total))).alias("__lp")
-        ).collect()
-    }
+    # logs computed JVM-side — bit-identical to unigram_logprob's
+    # F.log(cnt/n) and dsir_importance's smoothed ratio, so apply-side
+    # sums can never drift from the batch operators by a libm-vs-JVM ulp
+    a, v = float(dsir_alpha), totals["__v"] or 0
+    nt = totals["__nt"] or 0
+    lam = F.log(
+        (F.col("__ct") + F.lit(a)) / F.lit(float(nt) + a * v)
+    ) - F.log(
+        (F.col("__cnt") + F.lit(a)) / F.lit(float(n_total) + a * v)
+    )
+    rows = kept.select(
+        "__h",
+        F.log(F.col("__cnt") / F.lit(float(n_total))).alias("__lp"),
+        lam.alias("__lam"),
+    ).collect()
+    vocab = {r["__h"]: r["__lp"] for r in rows}
+    dsir_lambda = (
+        {r["__h"]: r["__lam"] for r in rows} if dsir_target is not None else None
+    )
+    dsir_oov = (
+        math.log((n_total + a * v) / (nt + a * v))
+        if dsir_target is not None and n_total
+        else 0.0
+    )
 
     buckets = ccnet_buckets(df, id_col, text_col, cuts=cuts)
     mins = {
@@ -176,6 +231,9 @@ def fit_curation_model(
         thr_middle=float(mins.get("middle", math.inf)),
         cuts=cuts,
         max_vocab=max_vocab,
+        dsir_lambda=dsir_lambda,
+        dsir_oov=dsir_oov,
+        dsir_alpha=dsir_alpha if dsir_target is not None else None,
     )
 
 
@@ -187,12 +245,17 @@ def _score_udf(spark, model: CurationModel):
     runs — no per-word Python."""
     from pyspark.sql.functions import pandas_udf
 
-    bc = spark.sparkContext.broadcast((model.vocab, model.oov_logprob))
+    bc = spark.sparkContext.broadcast(
+        (model.vocab, model.oov_logprob, model.dsir_lambda, model.dsir_oov)
+    )
 
-    @pandas_udf("struct<logprob_sum:double, top_bigram_frac:double>")
+    @pandas_udf(
+        "struct<logprob_sum:double, top_bigram_frac:double, dsir_sum:double>"
+    )
     def score(hashes: pd.Series, toks: pd.Series) -> pd.DataFrame:
-        vocab, oov = bc.value
+        vocab, oov, dlam, doov = bc.value
         lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=len(hashes))
+        dsums = np.zeros(len(hashes))
         if lens.sum():
             flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hashes])
             lp = pd.Series(flat).map(vocab).fillna(oov).to_numpy()
@@ -201,6 +264,10 @@ def _score_udf(spark, model: CurationModel):
             np.cumsum(lens, out=bounds[1:])
             csum = np.concatenate(([0.0], np.cumsum(lp)))
             sums = csum[bounds[1:]] - csum[bounds[:-1]]
+            if dlam is not None:
+                dl = pd.Series(flat).map(dlam).fillna(doov).to_numpy()
+                dcs = np.concatenate(([0.0], np.cumsum(dl)))
+                dsums = dcs[bounds[1:]] - dcs[bounds[:-1]]
         else:
             sums = np.zeros(len(hashes))
         # Gopher top-bigram fraction: exact integer counts per doc —
@@ -215,7 +282,9 @@ def _score_udf(spark, model: CurationModel):
             return max(c.values()) / (len(t) - 1)
 
         tbf = np.fromiter((top_bg(t) for t in toks), dtype=np.float64, count=len(toks))
-        return pd.DataFrame({"logprob_sum": sums, "top_bigram_frac": tbf})
+        return pd.DataFrame(
+            {"logprob_sum": sums, "top_bigram_frac": tbf, "dsir_sum": dsums}
+        )
 
     return score
 
@@ -232,9 +301,11 @@ def score_with_model(
 
     Appends ``n_words``, ``logprob_sum``, ``mean_logprob`` (both rounded
     to 6, the unigram_logprob contract) and the frozen-threshold
-    ``bucket`` label. With ``max_vocab=None`` at fit time, output on the
-    fitted corpus equals ``unigram_logprob`` + ``ccnet_buckets`` exactly
-    (pinned by tests)."""
+    ``bucket`` label; when the model carries a DSIR table (fit with
+    ``dsir_target``), also ``dsir_logweight``. With ``max_vocab=None``
+    at fit time, output on the fitted corpus equals ``unigram_logprob``
+    + ``ccnet_buckets`` + ``dsir_importance`` exactly (pinned by
+    tests)."""
     clash = set(_WORK_COLS) & set(df.columns)
     if clash:
         raise ValueError(
@@ -268,9 +339,10 @@ def score_with_model(
             .when(F.col("mean_logprob") >= model.thr_middle, "middle")
             .otherwise("tail"),
         )
-        .drop(*_WORK_COLS)
     )
-    return out
+    if model.dsir_lambda is not None:
+        out = out.withColumn("dsir_logweight", F.round("__score.dsir_sum", 6))
+    return out.drop(*_WORK_COLS)
 
 
 def curate_stream(

@@ -150,3 +150,40 @@ def test_curate_stream_matches_batch_twin(spark, tmp_path, model):
     assert len(got) < corpus.count()
     texts = [t for t, *_ in got]
     assert len(texts) == len(set(texts))
+
+
+def test_dsir_logweight_matches_dsir_importance_exactly(spark):
+    """Frozen DSIR table parity: fit with dsir_target (max_vocab=None),
+    apply stateless — dsir_logweight must equal the batch
+    dsir_importance statistic bit-for-bit (the lambda table is
+    JVM-computed at fit, so no libm drift), and survive a JSON
+    round-trip."""
+    from kgfarm_spark.operators.textstats import dsir_importance
+    from kgfarm_spark.streaming.online import (
+        CurationModel,
+        fit_curation_model,
+        score_with_model,
+    )
+
+    docs = _docs(spark)
+    target = F.col("doc_id") % 3 == 0
+    m = fit_curation_model(docs, max_vocab=None, dsir_target=target)
+    assert m.dsir_lambda is not None and m.dsir_alpha == 0.5
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["dsir_logweight"])
+        for r in score_with_model(docs, m).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_words"], r["dsir_logweight"])
+        for r in dsir_importance(docs, target).collect()
+    }
+    assert got == want and len(got) > 0
+
+    rt = CurationModel.from_json(m.to_json())
+    assert rt == m
+    # a model fit WITHOUT a target has no dsir column
+    plain = fit_curation_model(docs, max_vocab=None)
+    assert "dsir_logweight" not in score_with_model(docs, plain).columns
+    with pytest.raises(ValueError, match="dsir_alpha"):
+        fit_curation_model(docs, dsir_target=target, dsir_alpha=0.0)
