@@ -187,3 +187,38 @@ def test_dsir_logweight_matches_dsir_importance_exactly(spark):
     assert "dsir_logweight" not in score_with_model(docs, plain).columns
     with pytest.raises(ValueError, match="dsir_alpha"):
         fit_curation_model(docs, dsir_target=target, dsir_alpha=0.0)
+
+
+def test_bpe_apply_broadcast_streams_unchanged(spark, tmp_path):
+    """Tokenize-at-ingest: bpe_apply(method='broadcast') is a stateless
+    Arrow kernel over a broadcast census, so the identical call works on
+    a readStream frame and must emit exactly the batch tokens — the
+    tokenizer-model analog of score_with_model's frozen-artifact
+    pattern."""
+    from kgfarm_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = _docs(spark).limit(200).localCheckpoint()
+    _, seg = bpe_train(docs, "text", n_merges=8)
+    seg = seg.localCheckpoint()
+
+    src = str(tmp_path / "tok_src")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        bpe_apply(stream, seg, "text", "doc_id")
+        .writeStream.format("memory")
+        .queryName("bpe_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in spark.sql("select * from bpe_stream_out").collect()
+    }
+    want = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_apply(docs, seg, "text", "doc_id").collect()
+    }
+    assert got == want and len(got) == 200
