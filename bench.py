@@ -1097,6 +1097,47 @@ def run_stream_scale(cpus: int = 8) -> dict:
             "note": "join + per-probe max agg (two stateful ops); output "
                     "one row per closed probe vs the interval twin's fan-out",
         }
+
+        # ingest-time curation: model fit OFFLINE on the 1M reference
+        # corpus (the production pattern — fit on a snapshot, apply to
+        # the firehose), then the full curate_stream chain over the 5M
+        # corpus; the fingerprint dedup is the only state store
+        from pyspark.sql import functions as F
+
+        from kgfarm_spark.streaming.online import curate_stream, fit_curation_model
+
+        ensure_llm_data()
+        t0 = time.monotonic()
+        model = fit_curation_model(
+            spark.read.parquet(DOCS_SCALE_DIR), max_vocab=1_000_000
+        )
+        fit_sec = round(time.monotonic() - t0, 1)
+        dschema = spark.read.parquet(DOCS_DIR).schema
+        n_docs = spark.read.parquet(DOCS_DIR).count()
+        d_stream = (
+            spark.readStream.schema(dschema)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(DOCS_DIR)
+            .withColumn(
+                "ts",
+                F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                + F.make_interval(secs=(F.col("doc_id") % 3600).cast("double")),
+            )
+        )
+        wall, prog = drive(
+            curate_stream(d_stream, model, watermark="1 hour"),
+            os.path.join(base, "curate_stream"),
+        )
+        out["curate_stream"] = {
+            "sec": wall,
+            "docs": n_docs,
+            "docs_per_sec": round(n_docs / wall, 1),
+            "fit_sec_1m_ref": fit_sec,
+            **state_summary(prog),
+            "note": "gopher gate + fingerprint dedup-within-watermark + "
+                    "frozen CCNet select; state = fingerprints inside the "
+                    "watermark horizon only",
+        }
     finally:
         shutil.rmtree(base, ignore_errors=True)
         spark.stop()
