@@ -239,10 +239,10 @@ def fit_curation_model(
 
 def _score_udf(spark, model: CurationModel):
     """Arrow-batched scorer: token hashes (JVM xxhash64) + token strings
-    in, per-doc (logprob_sum, top_bigram_frac) out. The vocabulary ships
-    once per executor as a SparkContext broadcast; inside the batch the
-    lookup is one vectorized pandas ``map`` over the concatenated hash
-    runs — no per-word Python."""
+    in, per-doc (logprob_sum, top_bigram_frac, dsir_sum) out. The model
+    tables ship once per executor as a SparkContext broadcast; inside
+    the batch the lookups are vectorized pandas ``map``s over the
+    concatenated hash runs — no per-word Python."""
     from pyspark.sql.functions import pandas_udf
 
     bc = spark.sparkContext.broadcast(
@@ -370,8 +370,10 @@ def curate_stream(
     compaction job over the curated sink in this architecture, not a
     per-event operation. Returns the curated streaming DataFrame (all
     input columns + ``n_words``/``mean_logprob``/``bucket``) ready for
-    ``writeStream``; also works verbatim on a batch frame (the parity
-    tests run both sides).
+    ``writeStream``; also works verbatim on a batch frame — the dedup
+    then runs all-time (``watermark`` only applies to streams; Spark
+    rejects the watermark variant on batch) — which is what the
+    stream-vs-batch parity tests compare against.
 
     State story at 10^12 rows: every stage except the dedup is a per-row
     projection; the dedup keys on the 16-byte md5 fingerprint with
@@ -409,9 +411,13 @@ def curate_stream(
     gated = gated.select(*pre_cols).filter(dup_line_frac <= max_dup_line_frac)
 
     # 2. exact dedup on the normalized content fingerprint — the chain's
-    # only stateful operator
+    # only stateful operator. On a BATCH frame the watermark variant is
+    # unsupported by Spark (dropDuplicatesWithinWatermark raises on
+    # batch) and meaningless — route to the all-time dedup so the same
+    # call runs verbatim on both (the parity tests' batch twin)
+    wm = watermark if stream.isStreaming else None
     deduped = stream_exact_dedup(
-        fingerprint(gated, text_col), ["fingerprint"], event_ts, watermark
+        fingerprint(gated, text_col), ["fingerprint"], event_ts, wm
     ).drop("fingerprint")
 
     # 3. frozen-model scoring + the top-bigram repetition cap (computed
