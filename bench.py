@@ -1036,68 +1036,81 @@ def run_stream_scale(cpus: int = 8) -> dict:
         }
 
     out: dict = {"turns": n_turns, "probes": n_probes, "cpus": cpus}
+    # SPARK_GRAFT_STREAM_ONLY="curate_stream" re-benches a subset (the
+    # SPARK_GRAFT_CORPUS_ONLY pattern)
+    only = {
+        x for x in (os.environ.get("SPARK_GRAFT_STREAM_ONLY") or "").split(",") if x
+    }
+
+    def _want(name: str) -> bool:
+        return not only or name in only
 
     base = os.path.join(REPO, ".bench", f"stream_ckpt_{uuid.uuid4().hex[:8]}")
     try:
-        stream = (
-            spark.readStream.schema(tschema)
-            .option("maxFilesPerTrigger", 8)
-            .parquet(tdir)
-        )
-        wall, prog = drive(
-            stream_running_features(stream, watermark="0 seconds"),
-            os.path.join(base, "run_feat"),
-        )
-        out["stream_running_features"] = {
-            "sec": wall,
-            "turns_per_sec": round(n_turns / wall, 1),
-            **state_summary(prog),
-        }
+        if _want("stream_running_features"):
+            stream = (
+                spark.readStream.schema(tschema)
+                .option("maxFilesPerTrigger", 8)
+                .parquet(tdir)
+            )
+            wall, prog = drive(
+                stream_running_features(stream, watermark="0 seconds"),
+                os.path.join(base, "run_feat"),
+            )
+            out["stream_running_features"] = {
+                "sec": wall,
+                "turns_per_sec": round(n_turns / wall, 1),
+                **state_summary(prog),
+            }
 
-        p_stream = spark.readStream.schema(pschema).parquet(pdir)
-        t_stream = spark.readStream.schema(tschema).parquet(tdir)
-        wall, prog = drive(
-            stream_stream_asof_interval(
-                p_stream, t_stream, tolerance="4 hours", watermark="1 hour"
-            ),
-            os.path.join(base, "ss_asof"),
-        )
-        out["stream_stream_asof_interval"] = {
-            "sec": wall,
-            "rows_per_sec": round((n_turns + n_probes) / wall, 1),
-            **state_summary(prog),
-        }
+        if _want("stream_stream_asof_interval"):
+            p_stream = spark.readStream.schema(pschema).parquet(pdir)
+            t_stream = spark.readStream.schema(tschema).parquet(tdir)
+            wall, prog = drive(
+                stream_stream_asof_interval(
+                    p_stream, t_stream, tolerance="4 hours", watermark="1 hour"
+                ),
+                os.path.join(base, "ss_asof"),
+            )
+            out["stream_stream_asof_interval"] = {
+                "sec": wall,
+                "rows_per_sec": round((n_turns + n_probes) / wall, 1),
+                **state_summary(prog),
+            }
 
-        from kgfarm_spark.streaming.stream import stream_asof_latest
+        if _want("stream_asof_latest"):
+            from kgfarm_spark.streaming.stream import stream_asof_latest
 
-        # chunked triggers so the watermark ADVANCES between batches —
-        # in a single availableNow batch the append-mode agg emits
-        # nothing (watermark commits after the last batch), which would
-        # bench the state shape but not the output path
-        p_stream = (
-            spark.readStream.schema(pschema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(pdir)
-        )
-        t_stream = (
-            spark.readStream.schema(tschema)
-            .option("maxFilesPerTrigger", 8)
-            .parquet(tdir)
-        )
-        wall, prog = drive(
-            stream_asof_latest(
-                p_stream, t_stream, tolerance="4 hours", watermark="1 hour"
-            ),
-            os.path.join(base, "ss_asof_latest"),
-        )
-        out["stream_asof_latest"] = {
-            "sec": wall,
-            "rows_per_sec": round((n_turns + n_probes) / wall, 1),
-            **state_summary(prog),
-            "note": "join + per-probe max agg (two stateful ops); output "
-                    "one row per closed probe vs the interval twin's fan-out",
-        }
+            # chunked triggers so the watermark ADVANCES between batches —
+            # in a single availableNow batch the append-mode agg emits
+            # nothing (watermark commits after the last batch), which would
+            # bench the state shape but not the output path
+            p_stream = (
+                spark.readStream.schema(pschema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(pdir)
+            )
+            t_stream = (
+                spark.readStream.schema(tschema)
+                .option("maxFilesPerTrigger", 8)
+                .parquet(tdir)
+            )
+            wall, prog = drive(
+                stream_asof_latest(
+                    p_stream, t_stream, tolerance="4 hours", watermark="1 hour"
+                ),
+                os.path.join(base, "ss_asof_latest"),
+            )
+            out["stream_asof_latest"] = {
+                "sec": wall,
+                "rows_per_sec": round((n_turns + n_probes) / wall, 1),
+                **state_summary(prog),
+                "note": "join + per-probe max agg (two stateful ops); output "
+                        "one row per closed probe vs the interval twin's fan-out",
+            }
 
+        if not _want("curate_stream"):
+            return out
         # ingest-time curation: model fit OFFLINE on the 1M reference
         # corpus (the production pattern — fit on a snapshot, apply to
         # the firehose), then the full curate_stream chain over the 5M
@@ -1125,7 +1138,15 @@ def run_stream_scale(cpus: int = 8) -> dict:
             )
         )
         wall, prog = drive(
-            curate_stream(d_stream, model, watermark="1 hour"),
+            curate_stream(
+                d_stream,
+                model,
+                watermark="1 hour",
+                # synthetic 'w12345'-shaped words: relax the digit and
+                # stopword rules exactly like the batch curate() bench
+                # (the measurement target is the chain's cost)
+                gate_kw={"max_digit_ratio": 1.0, "min_stopword_hits": 0},
+            ),
             os.path.join(base, "curate_stream"),
         )
         out["curate_stream"] = {
