@@ -222,3 +222,43 @@ def test_bpe_apply_broadcast_streams_unchanged(spark, tmp_path):
         for r in bpe_apply(docs, seg, "text", "doc_id").collect()
     }
     assert got == want and len(got) == 200
+
+
+# --- property: fit→freeze→apply parity on adversarial corpora ---------------
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+# unicode-whitespace-adjacent text: ASCII words, tabs/CR/LF/NBSP runs,
+# digits-only tokens, empty and None docs — the token-drift surface
+_piece = st.one_of(
+    st.sampled_from(["alpha", "beta", "w12", "9", "...", "#tag", "é", "日本"]),
+    st.sampled_from([" ", "\t", "\n", "\r\n", " ", "  "]),
+)
+_doc = st.one_of(st.none(), st.lists(_piece, max_size=12).map("".join))
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=25))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fit_apply_parity_property(spark, texts):
+    """For ANY corpus (unicode whitespace, NBSP-glued words, None/empty
+    docs), frozen-apply == unigram_logprob and frozen buckets ==
+    ccnet_buckets — tokenization and hashing can never drift because
+    both stay JVM-side."""
+    from kgfarm_spark.operators.textstats import ccnet_buckets, unigram_logprob
+    from kgfarm_spark.streaming.online import fit_curation_model, score_with_model
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(4)
+    m = fit_curation_model(docs, max_vocab=None)
+    got = {
+        r["doc_id"]: (r["n_words"], r["logprob_sum"], r["mean_logprob"], r["bucket"])
+        for r in score_with_model(docs, m).collect()
+    }
+    lm = {r["doc_id"]: (r["n_words"], r["logprob_sum"], r["mean_logprob"])
+          for r in unigram_logprob(docs).collect()}
+    bk = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(docs).collect()}
+    assert got == {i: (*lm[i], bk[i]) for i in lm}, texts
