@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import math
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -428,3 +429,59 @@ def curate_stream(
         .filter(F.col("bucket").isin(*keep_buckets))
         .drop("top_bigram_frac", "logprob_sum")
     )
+
+
+def compact_curated_sink(
+    spark,
+    sink_path: str,
+    out_path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    neardup_kw: dict | None = None,
+) -> tuple[DataFrame, dict]:
+    """The periodic BATCH compaction leg of the streaming architecture:
+    MinHash-LSH near-dedup over a ``curate_stream`` parquet sink.
+
+    ``curate_stream`` deliberately omits near-dedup — candidate
+    generation needs corpus-wide band buckets, which no per-event
+    operator can provide. The production shape is ingest-curate →
+    append to a sink → compact the sink on a schedule; this runs the
+    batch engine's LSH pair discovery + quality-aware keep-best (longer
+    text wins, the ``curate()`` rule) over the accumulated sink and
+    returns ``(kept_df, stats)``. With ``out_path`` the compacted
+    corpus is written there (never in place — the stream keeps
+    appending to ``sink_path`` while the compactor runs; swap paths
+    downstream), and ``stats`` records rows in/out and the write path.
+
+    Scale: identical plan to ``curate()``'s neardup stage — LSH bands
+    linear in docs, components in O(cluster diameter) rounds; nothing
+    here is sink-size quadratic."""
+    from kgfarm_spark.operators.dedup import (
+        dedup_keep_component_best,
+        minhash_lsh_dedup_pairs,
+    )
+
+    docs = spark.read.parquet(sink_path)
+    if "__len" in docs.columns:
+        raise ValueError("column name __len collides with the compactor's "
+                         "working column; rename it first")
+    kw = {"n": 3, "threshold": 0.7, **(neardup_kw or {})}
+    t0 = time.monotonic()
+    n_in = docs.count()
+    pairs = minhash_lsh_dedup_pairs(docs, id_col, text_col, **kw)
+    scored = docs.withColumn(
+        "__len", F.length(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    kept = dedup_keep_component_best(scored, pairs, id_col, "__len").drop("__len")
+    stats: dict = {"rows_in": n_in, **{k: str(v) for k, v in kw.items()}}
+    if out_path:
+        kept.write.mode("overwrite").parquet(out_path)
+        kept = spark.read.parquet(out_path)
+        stats["out_path"] = out_path
+    n_out = kept.count()
+    stats.update(
+        rows_out=n_out,
+        dropped=n_in - n_out,
+        sec=round(time.monotonic() - t0, 3),
+    )
+    return kept, stats

@@ -262,3 +262,63 @@ def test_fit_apply_parity_property(spark, texts):
           for r in unigram_logprob(docs).collect()}
     bk = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(docs).collect()}
     assert got == {i: (*lm[i], bk[i]) for i in lm}, texts
+
+
+def test_compact_curated_sink_end_to_end(spark, tmp_path, model):
+    """The full streaming architecture: curate_stream appends to a
+    parquet sink, then the batch compactor removes near-duplicates the
+    per-event chain cannot see (planted high-Jaccard variants that
+    differ by one word, so exact fingerprint dedup keeps both)."""
+    from kgfarm_spark.streaming.online import compact_curated_sink, curate_stream
+
+    docs = _docs(spark).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("doc_id").cast("double")),
+    )
+    # near-dup twins: append IN-VOCABULARY tokens -> different
+    # fingerprint, near-1 Jaccard, same CCNet bucket (an OOV suffix
+    # would tank mean_logprob and the select would drop the twin as
+    # tail — correct behavior, wrong fixture); longer twin must win
+    # the compaction
+    twins = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" the table scan")).alias("text"),
+        "ts",
+    )
+    src = str(tmp_path / "raw_src")
+    docs.unionByName(twins).write.mode("overwrite").parquet(src)
+
+    sink = str(tmp_path / "curated_sink")
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        curate_stream(stream, model, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    sunk = spark.read.parquet(sink)
+    n_sunk = sunk.count()
+    # both twin halves survive the exact-fingerprint stream dedup
+    survivors = {r["doc_id"] for r in sunk.select("doc_id").collect()}
+    twin_pairs = [(i, i + 200000) for i in range(0, 615, 5)
+                  if i in survivors and i + 200000 in survivors]
+    assert twin_pairs, "fixture must land at least one full twin pair in the sink"
+
+    out = str(tmp_path / "compacted")
+    kept, stats = compact_curated_sink(
+        spark, sink, out_path=out, neardup_kw={"threshold": 0.6}
+    )
+    assert stats["rows_in"] == n_sunk and stats["out_path"] == out
+    assert stats["rows_out"] == n_sunk - stats["dropped"] > 0
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    for base_id, twin_id in twin_pairs:
+        # longer twin wins, base dropped
+        assert twin_id in kept_ids and base_id not in kept_ids, (base_id, twin_id)
+    # compacted parquet really on disk and re-readable
+    assert spark.read.parquet(out).count() == stats["rows_out"]
