@@ -51,7 +51,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kgfarm_spark.operators.textstats import _words
@@ -485,3 +485,35 @@ def compact_curated_sink(
         sec=round(time.monotonic() - t0, 3),
     )
     return kept, stats
+
+
+def bucket_drift(scored: DataFrame, model: CurationModel) -> DataFrame:
+    """Shard-drift monitor for the frozen model: observed bucket rates
+    on a scored shard vs the rates the fitted cuts imply (head =
+    1 − cuts[1], middle = cuts[1] − cuts[0], tail = cuts[0] — exact on
+    the fit corpus by percent_rank's construction). A shard whose
+    distribution shifted away from the reference snapshot shows
+    ``drift`` far from 0 (e.g. a new source scoring mostly ``tail``
+    means the frozen census no longer describes the ingest — time to
+    refit). One |buckets|-row aggregate over an already-scored frame;
+    run it on each micro-batch's output or any sampled shard.
+
+    Returns ``(bucket, n, rate, expected_rate, drift)`` with
+    ``drift = rate − expected_rate``, rounded to 6.
+    """
+    lo, hi = model.cuts
+    expected = {"head": 1.0 - hi, "middle": hi - lo, "tail": lo}
+    exp_map = F.create_map(
+        *[F.lit(x) for kv in expected.items() for x in kv]
+    )
+    # |buckets| <= 3 rows: the unpartitioned window is fine at any scale
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        scored.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rate", F.round(F.col("n") / total, 6))
+        .withColumn("expected_rate", F.round(exp_map[F.col("bucket")], 6))
+        .withColumn(
+            "drift", F.round(F.col("rate") - exp_map[F.col("bucket")], 6)
+        )
+    )

@@ -322,3 +322,30 @@ def test_compact_curated_sink_end_to_end(spark, tmp_path, model):
         assert twin_id in kept_ids and base_id not in kept_ids, (base_id, twin_id)
     # compacted parquet really on disk and re-readable
     assert spark.read.parquet(out).count() == stats["rows_out"]
+
+
+def test_bucket_drift_zero_on_fit_corpus(spark, model):
+    """On the fit corpus itself the observed bucket rates equal the
+    fitted-cut expectations up to the empty-doc mass (empty docs are
+    forced 'tail' outside the ranking), so head/middle drift ≈ 0 and
+    tail absorbs the empties; on a shifted shard (tail-only docs) drift
+    is grossly nonzero."""
+    from kgfarm_spark.streaming.online import bucket_drift, score_with_model
+
+    docs = _docs(spark)
+    scored = score_with_model(docs, model)
+    n_empty = scored.filter(F.col("n_words") == 0).count()
+    n = docs.count()
+    drift = {r["bucket"]: r for r in bucket_drift(scored, model).collect()}
+    assert set(drift) == {"head", "middle", "tail"}
+    for b in ("head", "middle"):
+        # rank terciles are exact up to ties; empties only inflate tail
+        assert abs(drift[b]["drift"]) <= n_empty / n + 0.02, drift[b]
+    assert abs(sum(r["rate"] for r in drift.values()) - 1.0) < 1e-6
+
+    # a shard drawn ONLY from the fitted tail: tail rate 1.0, drift ~ 2/3
+    tail_ids = [r["doc_id"] for r in scored.filter("bucket = 'tail'").collect()]
+    shard = scored.filter(F.col("doc_id").isin(tail_ids[:50]))
+    d2 = {r["bucket"]: r for r in bucket_drift(shard, model).collect()}
+    assert set(d2) == {"tail"} and d2["tail"]["rate"] == 1.0
+    assert d2["tail"]["drift"] > 0.6
