@@ -747,6 +747,32 @@ def run_corpus_scale() -> dict:
         return {"n_merges": 50, "rounds": st["rounds"],
                 "pretokenize": "gpt2", "alphabet": "bytes"}
 
+    def _bpe_local() -> dict:
+        """r06 evidence: strategy='local' (census-collect + incremental
+        pair-index trainer) vs the exact-batched distributed rounds at a
+        production-shaped merge count. Output identical (pytest-pinned);
+        the merge loop cost drops from per-merge Spark rounds to an
+        in-memory loop — wall time becomes census-bound, so vocabulary
+        size stops mattering (the 5000-merge row exhausts this corpus's
+        pair space and shows the loop is not the bottleneck)."""
+        rec: dict = {"n_merges": 500}
+        st: dict = {}
+        t0 = time.monotonic()
+        bpe_train(docs, "text", n_merges=500, max_batch=16, stats=st)
+        rec["batched_sec"] = round(time.monotonic() - t0, 1)
+        rec["batched_rounds"] = st["rounds"]
+        st = {}
+        t1 = time.monotonic()
+        bpe_train(docs, "text", n_merges=500, strategy="local", stats=st)
+        rec["local_sec"] = round(time.monotonic() - t1, 1)
+        rec["speedup"] = round(rec["batched_sec"] / rec["local_sec"], 1)
+        st = {}
+        t2 = time.monotonic()
+        bpe_train(docs, "text", n_merges=5000, strategy="local", stats=st)
+        rec["local_5000_sec"] = round(time.monotonic() - t2, 1)
+        rec["local_5000_merges"] = st["merges"]
+        return rec
+
     def _bpe_apply() -> dict:
         from kgfarm_spark.operators.bpe import bpe_apply
 
@@ -805,6 +831,7 @@ def run_corpus_scale() -> dict:
         "bpe_train": _bpe,
         "bpe_train_batched": _bpe_batched,
         "bpe_train_bytes": _bpe_bytes,
+        "bpe_train_local": _bpe_local,
         "bpe_apply": _bpe_apply,
         "online_score_frozen": _online,
     }

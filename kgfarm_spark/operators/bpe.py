@@ -285,6 +285,81 @@ def _select_merge_batch(
     return included
 
 
+def _local_merge_loop(
+    syms: list, counts: list, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """EXACT incremental BPE merge loop over a collected census — the
+    classic pair-index + lazy max-heap trainer (the algorithm inside
+    every production tokenizer library). ``syms`` is mutated in place to
+    the final segmentations.
+
+    Identical output to the textbook rescan loop (and to the distributed
+    rounds — pytest-pinned): same greedy left-to-right application, same
+    deterministic tie-break (max count, then lexicographically smallest
+    (left, right) — the heap key (-count, left, right) IS that order).
+    The difference is complexity: each merge touches only the words that
+    contain the merged pair (found via the inverted pair→words index),
+    so 50k merges cost O(total affected word lengths), not
+    O(n_merges × census).
+    """
+    import heapq
+    from collections import Counter
+
+    pair_count: dict = {}
+    pair_words: dict = {}
+    for i, s in enumerate(syms):
+        c = counts[i]
+        for p in zip(s, s[1:]):
+            pair_count[p] = pair_count.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(i)
+    heap = [(-c, l, r) for (l, r), c in pair_count.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges and heap:
+        negc, left, right = heapq.heappop(heap)
+        cur = pair_count.get((left, right), 0)
+        if cur != -negc or cur <= 0:
+            continue  # stale lazy-heap entry — the live count re-pushed
+        merges.append((len(merges), left, right, cur))
+        fused = left + right
+        for i in sorted(pair_words.get((left, right), ())):
+            s = syms[i]
+            before = Counter(zip(s, s[1:]))
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = fused
+                else:
+                    out.append(x)
+            syms[i] = out
+            after = Counter(zip(out, out[1:]))
+            c = counts[i]
+            for p in before.keys() | after.keys():
+                d = after.get(p, 0) - before.get(p, 0)
+                if d:
+                    nc = pair_count.get(p, 0) + d * c
+                    if nc > 0:
+                        pair_count[p] = nc
+                        heapq.heappush(heap, (-nc, p[0], p[1]))
+                    else:
+                        pair_count.pop(p, None)
+                if after.get(p, 0) > 0:
+                    pair_words.setdefault(p, set()).add(i)
+                else:
+                    w = pair_words.get(p)
+                    if w is not None:
+                        w.discard(i)
+        pair_words.pop((left, right), None)
+        pair_count.pop((left, right), None)
+    return merges
+
+
+#: census-collect cap for ``bpe_train(strategy='local')``: past this the
+#: distinct-word census stops being "model-sized" for the driver — route
+#: to strategy='distributed' (or prune the tail with ``min_count``).
+MAX_LOCAL_VOCAB = 5_000_000
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -294,6 +369,9 @@ def bpe_train(
     max_batch: int = 16,
     top_k: int = 256,
     stats: dict | None = None,
+    strategy: str = "distributed",
+    min_count: int = 1,
+    max_local_vocab: int = MAX_LOCAL_VOCAB,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges over a document table. Returns
     ``(merges, segmented_census)``:
@@ -340,6 +418,23 @@ def bpe_train(
     symbols (hex-coded) — together these are the production byte-level
     BPE shape. Defaults stay 'whitespace'/'chars' (the oracle-checked
     textstats-compatible flavor).
+
+    **strategy='local'** — the production-vocabulary path. The census
+    is the MODEL-sized object here (distinct words, Heaps-law sublinear
+    in corpus size), so after the one corpus-linear census pass the
+    merge loop itself needs no cluster: collect the census (cap-guarded
+    at ``max_local_vocab``) and run the exact incremental pair-index +
+    lazy-heap trainer (``_local_merge_loop``) on the driver — each merge
+    touches only the words containing the merged pair, so a 50k-merge
+    vocabulary costs seconds, not 50k Spark rounds. Output is IDENTICAL
+    to the distributed rounds and the textbook loop (pytest-pinned).
+    Census above the cap → raise with routing advice: prune the tail
+    with ``min_count`` (the standard Heaps-law lever — hapax words
+    cannot win merges early anyway) or use strategy='distributed'.
+
+    ``min_count`` drops census words rarer than the threshold BEFORE
+    training, in both strategies (default 1 = keep everything, the
+    oracle-checked semantics).
     """
     import gc
 
@@ -349,12 +444,23 @@ def bpe_train(
         raise ValueError(f"max_batch must be >= 1, got {max_batch}")
     if top_k < max_batch:
         raise ValueError(f"top_k ({top_k}) must be >= max_batch ({max_batch})")
+    if strategy not in ("distributed", "local"):
+        raise ValueError(
+            f"strategy must be 'distributed' or 'local', got {strategy!r}"
+        )
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
     spark = df.sparkSession
-    census = (
-        word_census(df, text_col, pretokenize)
-        .withColumn("__syms", _sym_expr(F.col("word"), alphabet))
-        .localCheckpoint(eager=True)
-    )
+    census = word_census(df, text_col, pretokenize)
+    if min_count > 1:
+        census = census.filter(F.col("count") >= min_count)
+    if strategy == "local":
+        return _bpe_train_local(
+            spark, census, n_merges, alphabet, max_local_vocab, stats
+        )
+    census = census.withColumn(
+        "__syms", _sym_expr(F.col("word"), alphabet)
+    ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     rounds = 0
     while len(merges) < n_merges:
@@ -391,6 +497,46 @@ def bpe_train(
         merges, "rank int, left string, right string, pair_count bigint"
     )
     segmented = census.select("word", "count", F.col("__syms").alias("symbols"))
+    return merges_df, segmented
+
+
+def _bpe_train_local(
+    spark, census: DataFrame, n_merges: int, alphabet: str,
+    max_local_vocab: int, stats: dict | None,
+) -> tuple[DataFrame, DataFrame]:
+    """strategy='local' tail of ``bpe_train``: ONE Arrow collect of the
+    (word, count) census, the exact driver-side merge loop, then the
+    (merges, segmented_census) pair re-parallelized with the same
+    schemas the distributed path returns."""
+    pdf = census.toPandas()
+    if len(pdf) > max_local_vocab:
+        raise ValueError(
+            f"census has {len(pdf):,} distinct words > max_local_vocab="
+            f"{max_local_vocab:,}; raise min_count to prune the tail or "
+            "use strategy='distributed'"
+        )
+    words = pdf["word"].tolist()
+    counts = [int(c) for c in pdf["count"].tolist()]
+    syms = [py_symbols(w, alphabet) for w in words]
+    merges = _local_merge_loop(syms, counts, n_merges)
+    if stats is not None:
+        stats["rounds"] = 0  # zero per-merge Spark rounds — census only
+        stats["merges"] = len(merges)
+    merges_df = spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )
+    from pyspark.sql import types as T
+
+    seg_schema = T.StructType(
+        [
+            T.StructField("word", T.StringType(), False),
+            T.StructField("count", T.LongType(), False),
+            T.StructField("symbols", T.ArrayType(T.StringType(), True), True),
+        ]
+    )  # nullability pinned to the distributed path's census schema
+    segmented = spark.createDataFrame(
+        [(w, c, s) for w, c, s in zip(words, counts, syms)], seg_schema
+    )
     return merges_df, segmented
 
 

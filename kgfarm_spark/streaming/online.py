@@ -307,11 +307,18 @@ def score_with_model(
     at fit time, output on the fitted corpus equals ``unigram_logprob``
     + ``ccnet_buckets`` + ``dsir_importance`` exactly (pinned by
     tests)."""
-    clash = set(_WORK_COLS) & set(df.columns)
+    out_cols = {"n_words", "logprob_sum", "mean_logprob", "top_bigram_frac",
+                "bucket"}
+    if model.dsir_lambda is not None:
+        out_cols.add("dsir_logweight")
+    clash = (set(_WORK_COLS) | out_cols) & set(df.columns)
     if clash:
+        # withColumn would silently REPLACE same-named input columns,
+        # breaking the "all input columns +" contract (house rule:
+        # validate reserved names up front, curation.py:133)
         raise ValueError(
             f"column names {sorted(clash)} collide with score_with_model's "
-            f"working columns; rename them first"
+            f"working/output columns; rename them first"
         )
     spark = df.sparkSession
     toks = _words(F.coalesce(F.col(text_col), F.lit("")))
@@ -389,6 +396,25 @@ def curate_stream(
     from kgfarm_spark.streaming.stream import stream_exact_dedup
 
     pre_cols = list(stream.columns)
+    # the gate/line/fingerprint stages withColumn their flag outputs,
+    # which would silently REPLACE same-named input columns — and the
+    # mid-chain select(*pre_cols) would then propagate the clobbered
+    # values downstream (house rule: validate reserved names up front,
+    # curation.py:133; score_with_model guards its own output names)
+    reserved = {
+        "keep", "fingerprint",
+        # quality_gate flags
+        "words_ok", "word_len_ok", "punct_ok", "digit_ok", "stopword_ok",
+        # gopher_line_rules flags
+        "hash_word_ratio", "ellipsis_word_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "hash_ok", "ellipsis_ok",
+        "bullet_ok", "ellipsis_line_ok", "alpha_ok",
+    } & set(pre_cols)
+    if reserved:
+        raise ValueError(
+            f"column names {sorted(reserved)} collide with curate_stream's "
+            f"stage output columns; rename them first"
+        )
     # 1. stateless Gopher verdicts, one chained codegen projection
     gated = quality_gate(
         stream, id_col, text_col, append=True, **(gate_kw or {})
@@ -495,8 +521,10 @@ def bucket_drift(scored: DataFrame, model: CurationModel) -> DataFrame:
     distribution shifted away from the reference snapshot shows
     ``drift`` far from 0 (e.g. a new source scoring mostly ``tail``
     means the frozen census no longer describes the ingest — time to
-    refit). One |buckets|-row aggregate over an already-scored frame;
-    run it on each micro-batch's output or any sampled shard.
+    refit). One |buckets|-row aggregate over an already-scored frame.
+    Feed it ``score_with_model`` output BEFORE any bucket select (a
+    curated sink is filtered to keep_buckets, so its rates renormalize
+    over the kept buckets and the drift reads falsely high).
 
     Returns ``(bucket, n, rate, expected_rate, drift)`` with
     ``drift = rate − expected_rate``, rounded to 6.

@@ -349,3 +349,22 @@ def test_bucket_drift_zero_on_fit_corpus(spark, model):
     d2 = {r["bucket"]: r for r in bucket_drift(shard, model).collect()}
     assert set(d2) == {"tail"} and d2["tail"]["rate"] == 1.0
     assert d2["tail"]["drift"] > 0.6
+
+
+def test_reserved_name_guards(spark, model):
+    """score_with_model and curate_stream must REFUSE input frames whose
+    columns collide with stage outputs — withColumn would silently
+    replace them and the mid-chain select(*pre_cols) would propagate the
+    clobbered values (the r06 self-review finding; house rule from
+    curation.py's up-front validation)."""
+    from kgfarm_spark.streaming.online import curate_stream, score_with_model
+
+    docs = _docs(spark)
+    for bad in ("bucket", "n_words", "mean_logprob"):
+        with pytest.raises(ValueError, match=bad):
+            score_with_model(docs.withColumn(bad, F.lit(1)), model)
+    for bad in ("keep", "fingerprint", "alpha_ok"):
+        with pytest.raises(ValueError, match=bad):
+            curate_stream(docs.withColumn(bad, F.lit(1)), model)
+    # dsir_logweight is reserved only when the model carries a DSIR table
+    score_with_model(docs.withColumn("dsir_logweight", F.lit(1)), model)

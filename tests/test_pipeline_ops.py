@@ -1983,6 +1983,78 @@ class TestBPE:
             bpe_train(df, "text", n_merges=2, alphabet="utf32")
         with pytest.raises(ValueError, match="pretokenize"):
             bpe_train(df, "text", n_merges=2, pretokenize="spacy")
+        with pytest.raises(ValueError, match="strategy"):
+            bpe_train(df, "text", n_merges=2, strategy="magic")
+        with pytest.raises(ValueError, match="min_count"):
+            bpe_train(df, "text", n_merges=2, min_count=0)
+
+    def test_local_strategy_equals_distributed_and_twin(self, spark):
+        """strategy='local' (census-collect + incremental pair-index
+        trainer) must produce the IDENTICAL merges and segmentations as
+        the distributed rounds and the textbook rescan loop — the wall
+        time changes, never the output."""
+        from kgfarm_spark.operators.bpe import bpe_train
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        stats = {}
+        loc_m, loc_s = bpe_train(df, "text", n_merges=12, strategy="local",
+                                 stats=stats)
+        assert stats == {"rounds": 0, "merges": 12}
+        words = " ".join(t for _, t in self.CORPUS).split()
+        ref_merges, ref_seg = _py_bpe(words, 12)
+        got = [(r["rank"], r["left"], r["right"], r["pair_count"])
+               for r in loc_m.orderBy("rank").collect()]
+        assert got == ref_merges
+        got_seg = {r["word"]: (r["count"], list(r["symbols"]))
+                   for r in loc_s.collect()}
+        assert got_seg == ref_seg
+        # schema parity with the distributed return
+        dist_m, dist_s = bpe_train(df, "text", n_merges=12)
+        assert loc_m.schema == dist_m.schema and loc_s.schema == dist_s.schema
+
+    def test_local_strategy_gpt2_bytes_and_corpus(self, spark):
+        """Local == distributed on the sf0.001 documents corpus under the
+        production gpt2/bytes modes (exercises the incremental updates on
+        real many-word data, fused-symbol collisions included)."""
+        from kgfarm_spark.operators.bpe import bpe_train
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        for pretok, alpha in [("whitespace", "chars"), ("gpt2", "bytes")]:
+            d_m, d_s = bpe_train(docs, "text", n_merges=24,
+                                 pretokenize=pretok, alphabet=alpha)
+            l_m, l_s = bpe_train(docs, "text", n_merges=24, strategy="local",
+                                 pretokenize=pretok, alphabet=alpha)
+            assert [tuple(r) for r in d_m.orderBy("rank").collect()] == \
+                   [tuple(r) for r in l_m.orderBy("rank").collect()]
+            assert sorted(map(tuple, d_s.collect())) == \
+                   sorted(map(tuple, l_s.collect()))
+
+    def test_local_strategy_min_count_and_cap(self, spark):
+        """min_count prunes the census identically in both strategies;
+        the local census cap raises with routing advice."""
+        from kgfarm_spark.operators.bpe import bpe_train
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        d_m, d_s = bpe_train(df, "text", n_merges=6, min_count=2)
+        l_m, l_s = bpe_train(df, "text", n_merges=6, min_count=2,
+                             strategy="local")
+        assert [tuple(r) for r in d_m.orderBy("rank").collect()] == \
+               [tuple(r) for r in l_m.orderBy("rank").collect()]
+        assert sorted(map(tuple, d_s.collect())) == \
+               sorted(map(tuple, l_s.collect()))
+        # rare words (count < 2) are gone from the segmented census
+        assert all(r["count"] >= 2 for r in l_s.collect())
+        with pytest.raises(ValueError, match="max_local_vocab"):
+            bpe_train(df, "text", n_merges=2, strategy="local",
+                      max_local_vocab=3)
+
+    def test_local_merge_loop_early_stop(self, spark):
+        from kgfarm_spark.operators.bpe import bpe_train
+
+        df = spark.createDataFrame([(1, "a b a c")], "doc_id long, text string")
+        merges, seg = bpe_train(df, "text", n_merges=5, strategy="local")
+        assert merges.count() == 0
+        assert {r["word"] for r in seg.collect()} == {"a", "b", "c"}
 
 
 def test_gopher_and_dsir_null_text(spark):
