@@ -773,6 +773,28 @@ def run_corpus_scale() -> dict:
         rec["local_5000_merges"] = st["merges"]
         return rec
 
+    def _unigram() -> dict:
+        """r06: SentencePiece-style unigram trainer + Viterbi apply at
+        the 5M-doc corpus. Train is census-bound (distinct words only);
+        apply is the bpe_apply broadcast shape (zero shuffle)."""
+        from kgfarm_spark.operators.unigram import unigram_apply, unigram_train
+
+        st: dict = {}
+        t0 = time.monotonic()
+        pieces = unigram_train(
+            docs, "text", vocab_size=8000, max_piece_len=6,
+            seed_size=50_000, em_iters=2, strategy="local", stats=st,
+        )
+        train_sec = round(time.monotonic() - t0, 1)
+        t1 = time.monotonic()
+        _noop(unigram_apply(docs, pieces, "text", "doc_id", max_piece_len=6))
+        apply_sec = round(time.monotonic() - t1, 1)
+        return {
+            "train_sec": train_sec, "em_passes": st["em_passes"],
+            "vocab": st["vocab"], "apply_sec": apply_sec,
+            "apply_docs_per_sec": round(n_docs / apply_sec),
+        }
+
     def _bpe_apply() -> dict:
         from kgfarm_spark.operators.bpe import bpe_apply
 
@@ -832,6 +854,7 @@ def run_corpus_scale() -> dict:
         "bpe_train_batched": _bpe_batched,
         "bpe_train_bytes": _bpe_bytes,
         "bpe_train_local": _bpe_local,
+        "unigram_tokenizer": _unigram,
         "bpe_apply": _bpe_apply,
         "online_score_frozen": _online,
     }

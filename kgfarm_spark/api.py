@@ -440,6 +440,30 @@ class FeatureFarm:
 
         return bpe_train(docs, text_col, n_merges, **kw)
 
+    def train_unigram(
+        self, docs: DataFrame, text_col: str = "text",
+        vocab_size: int = 2000, **kw
+    ) -> DataFrame:
+        """Train a SentencePiece-style unigram-LM tokenizer
+        (operators.unigram.unigram_train). Returns the (piece, logprob)
+        table; tokenize with ``tokenize_unigram``. ``strategy='local'``
+        runs the EM in-driver over the collected census (the fast path
+        whenever distinct words fit the cap)."""
+        from kgfarm_spark.operators.unigram import unigram_train
+
+        return unigram_train(docs, text_col, vocab_size, **kw)
+
+    def tokenize_unigram(
+        self, docs: DataFrame, pieces: DataFrame, text_col: str = "text",
+        id_col: str = "doc_id", **kw
+    ) -> DataFrame:
+        """Viterbi-tokenize with a trained unigram piece table
+        (operators.unigram.unigram_apply) — broadcast vocab, JVM
+        pre-tokenization, zero shuffle."""
+        from kgfarm_spark.operators.unigram import unigram_apply
+
+        return unigram_apply(docs, pieces, text_col, id_col, **kw)
+
     def train_model(self, train: DataFrame, target: str, task: str, **kw):
         from kgfarm_spark.ml import train_model as _tm
 

@@ -1141,6 +1141,63 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "unigram_seed_counts",
+    r"""
+WITH census AS (
+  SELECT w AS word, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                              x -> length(x) > 0)) AS w
+    FROM documents)
+  GROUP BY 1
+),
+lens AS (
+  SELECT word, cnt, unnest(range(1, least(length(word), 4) + 1)) AS l
+  FROM census
+),
+pos AS (
+  SELECT word, cnt, l, unnest(range(1, length(word) - l + 2)) AS i
+  FROM lens
+)
+SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+       CAST(sum(cnt) AS BIGINT) AS piece_count
+FROM pos GROUP BY 1
+""",
+)
+def q_unigram_seed_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Seed statistics of the SentencePiece-style unigram-LM tokenizer
+    trainer (unigram.unigram_seed_counts): occurrence-weighted substring
+    census up to 4 chars over the word census — the candidate-piece pool
+    EM starts from. The oracle replays the identical double position
+    explode in SQL."""
+    from kgfarm_spark.operators.unigram import unigram_seed_counts
+
+    docs = load_table(spark, sf, "documents").select("text")
+    return unigram_seed_counts(docs, "text", max_piece_len=4)
+
+
+# unigram_pieces is rows-only BY CONTRACT: the EM fit (forward-backward
+# expected counts + iterative pruning) is not SQL-expressible; exact
+# parity vs an independent pure-Python EM twin, local==distributed
+# equality, and partition invariance are pytest-enforced
+# (tests/test_pipeline_ops.py::TestUnigramTokenizer), and the seed stage
+# of the same machinery IS oracle-checked above via unigram_seed_counts.
+@register("unigram_pieces")
+def q_unigram_pieces(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM tokenizer piece table (unigram.unigram_train) fitted on
+    the documents corpus: 500-piece vocabulary, census-local exact EM."""
+    from pyspark.sql import functions as F
+
+    from kgfarm_spark.operators.unigram import unigram_train
+
+    docs = load_table(spark, sf, "documents").select("text")
+    pieces = unigram_train(
+        docs, "text", vocab_size=500, max_piece_len=4,
+        seed_size=2000, em_iters=1, strategy="local",
+    )
+    return pieces.withColumn("logprob", F.round("logprob", 6))
+
+
+@register(
     "dedup_keep_best",
     f"""
 WITH RECURSIVE {_DUP_CORPUS_SQL},

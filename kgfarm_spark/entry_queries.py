@@ -759,6 +759,12 @@ _DEFERRED_PAST_DRIVER_CAP = [
     # pytest-pinned, corpus-dedup family in-window via dedup_minhash_lsh,
     # dedup_keep_best, dedup_exact, duplicate_ngram_spans:
     "dedup_lines_corpus",
+    # late-r06: unigram_seed_counts (unigram tokenizer seed census)
+    # enters; bpe_pair_counts defers — r05 driver-green, and the same
+    # census+position-explode machinery stays in-window TWICE via
+    # bpe_pair_counts_bytes (new this round, never driver-checked) and
+    # unigram_seed_counts itself:
+    "bpe_pair_counts",
 ]
 
 

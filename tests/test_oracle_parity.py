@@ -82,5 +82,8 @@ def test_queries_have_oracles():
         "curation_pipeline_e2e",  # LSH components + exact-rank chain (non-SQL
                              # end-to-end); per-stage counts pinned + hand-composed
                              # stage equivalence in test_curation_e2e
+        "unigram_pieces",    # iterative EM fit (non-SQL) — independent pure-Python
+                             # EM twin parity in TestUnigramTokenizer; seed stage
+                             # oracle-checked via unigram_seed_counts
     }
     assert missing <= allowed_rows_only

@@ -2743,3 +2743,186 @@ def test_exact_dedup_handles_nested_map_columns(spark):
     )
     kept = exact_dedup(df, on=["k"], order_col="doc_id").collect()
     assert sorted(r["doc_id"] for r in kept) == [1, 3]
+
+
+def _py_unigram(words, vocab_size, max_piece_len, seed_size, em_iters, shrink):
+    """Independent pure-Python reference of the unigram-LM trainer spec
+    (Kudo 2018 EM + expected-count pruning, the operators/unigram.py
+    contract): substring-census seed, forward-backward E-step (max-trick
+    logsumexp — deliberately different float expression order than the
+    module's pairwise log1p), relative char floor, 6-decimal-rounded
+    prune ranking."""
+    import math
+    from collections import Counter
+
+    census = Counter(words)
+    sub = Counter()
+    for w, c in census.items():
+        for ln in range(1, min(len(w), max_piece_len) + 1):
+            for i in range(len(w) - ln + 1):
+                sub[w[i:i + ln]] += c
+    chars = {p for p in sub if len(p) == 1}
+    multi = sorted((p for p in sub if len(p) > 1),
+                   key=lambda p: (-sub[p], p))[:seed_size]
+
+    def lse(terms):
+        m = max(terms)
+        return m + math.log(sum(math.exp(t - m) for t in terms))
+
+    def mstep(e):
+        tot = sum(e.values())
+        return {p: math.log(v / tot) for p, v in e.items() if v > 0}
+
+    def floor(e):
+        tot = sum(e.values()) or 1.0
+        eps = 1e-10 * tot
+        for ch in chars:
+            if e.get(ch, 0.0) < eps:
+                e[ch] = eps
+        return e
+
+    def estep(lp):
+        acc = {}
+        for w, c in census.items():
+            n = len(w)
+            alpha = [None] * (n + 1)
+            alpha[0] = 0.0
+            for j in range(1, n + 1):
+                terms = [alpha[i] + lp[w[i:j]]
+                         for i in range(max(0, j - max_piece_len), j)
+                         if alpha[i] is not None and w[i:j] in lp]
+                alpha[j] = lse(terms) if terms else None
+            if alpha[n] is None:
+                continue
+            beta = [None] * (n + 1)
+            beta[n] = 0.0
+            for i in range(n - 1, -1, -1):
+                terms = [lp[w[i:j]] + beta[j]
+                         for j in range(i + 1, min(n, i + max_piece_len) + 1)
+                         if beta[j] is not None and w[i:j] in lp]
+                beta[i] = lse(terms) if terms else None
+            for i in range(n):
+                if alpha[i] is None:
+                    continue
+                for j in range(i + 1, min(n, i + max_piece_len) + 1):
+                    p = w[i:j]
+                    if p in lp and beta[j] is not None:
+                        acc[p] = acc.get(p, 0.0) + math.exp(
+                            alpha[i] + lp[p] + beta[j] - alpha[n]) * c
+        return acc
+
+    logp = mstep({p: float(sub[p]) for p in chars | set(multi)})
+    n_chars = len(chars)
+    while True:
+        for _ in range(em_iters):
+            e = floor(estep(logp))
+            logp = mstep(e)
+        n_multi = sum(1 for p in logp if len(p) > 1)
+        tgt = max(vocab_size - n_chars, 0)
+        if n_multi <= tgt:
+            break
+        keep = max(tgt, int(n_multi * shrink))
+        kept = sorted((p for p in logp if len(p) > 1),
+                      key=lambda p: (-round(e.get(p, 0.0), 6), p))[:keep]
+        logp = mstep({p: e.get(p, 0.0) for p in set(kept) | chars})
+    return logp
+
+
+class TestUnigramTokenizer:
+    """operators/unigram.py — SentencePiece-style unigram-LM trainer +
+    Viterbi apply, pinned against an independent pure-Python EM twin."""
+
+    CORPUS = [
+        (1, "low low low lower lower newest newest newest newest widest"),
+        (2, "widest widest low newest the the the cat sat"),
+        (3, ""),
+    ]
+    KW = dict(vocab_size=18, max_piece_len=4, seed_size=50, em_iters=2)
+
+    def test_seed_counts_tiny(self, spark):
+        from kgfarm_spark.operators.unigram import unigram_seed_counts
+
+        df = spark.createDataFrame([(1, "ab ab b")], "doc_id long, text string")
+        got = {(r["piece"], r["piece_count"])
+               for r in unigram_seed_counts(df, "text", max_piece_len=2).collect()}
+        assert got == {("a", 2), ("ab", 2), ("b", 3)}
+
+    def test_train_matches_python_twin(self, spark):
+        from kgfarm_spark.operators.unigram import unigram_train
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        pieces = unigram_train(df, "text", **self.KW)
+        got = {r["piece"]: r["logprob"] for r in pieces.collect()}
+        ref = _py_unigram(
+            " ".join(t for _, t in self.CORPUS).split(),
+            vocab_size=18, max_piece_len=4, seed_size=50,
+            em_iters=2, shrink=0.75,
+        )
+        assert set(got) == set(ref)
+        for p in ref:
+            assert abs(got[p] - ref[p]) < 1e-9, p
+
+    def test_local_equals_distributed_and_partition_invariance(self, spark):
+        from kgfarm_spark.operators.unigram import unigram_train
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        a = unigram_train(df, "text", **self.KW)
+        b = unigram_train(df.repartition(7), "text", **self.KW)
+        c = unigram_train(df, "text", strategy="local", **self.KW)
+        ra = sorted((r["piece"], round(r["logprob"], 9)) for r in a.collect())
+        rb = sorted((r["piece"], round(r["logprob"], 9)) for r in b.collect())
+        rc = sorted((r["piece"], round(r["logprob"], 9)) for r in c.collect())
+        assert ra == rb == rc
+        assert a.schema == c.schema
+
+    def test_apply_viterbi_semantics(self, spark):
+        from kgfarm_spark.operators.unigram import py_viterbi, unigram_apply
+
+        pieces = spark.createDataFrame(
+            [("ab", -1.0), ("a", -2.0), ("b", -2.0)],
+            "piece string, logprob double",
+        )
+        df = spark.createDataFrame(
+            [(1, "abab abc"), (2, None)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: list(r["tokens"])
+               for r in unigram_apply(df, pieces, "text", "doc_id",
+                                      max_piece_len=4).collect()}
+        # 'abab' -> ab+ab (-2) beats a+b+a+b (-8); 'c' unseen -> OOV char
+        assert got[1] == ["ab", "ab", "ab", "c"]
+        assert got[2] == []
+        # tie prefers the LONGER piece: ab(-2) == a(-1)+b(-1) -> 'ab'
+        lp = {"ab": -2.0, "a": -1.0, "b": -1.0}
+        assert py_viterbi("ab", lp, 4, -10.0) == ["ab"]
+
+    def test_apply_reassembly_gpt2(self, spark):
+        from pyspark.sql import functions as F
+
+        from kgfarm_spark.operators.unigram import unigram_apply, unigram_train
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").limit(200)
+        pieces = unigram_train(docs, "text", vocab_size=300, max_piece_len=4,
+                               seed_size=1000, em_iters=1, strategy="local",
+                               pretokenize="gpt2")
+        out = unigram_apply(docs, pieces, "text", "doc_id",
+                            pretokenize="gpt2", max_piece_len=4)
+        bad = out.filter(
+            F.concat_ws("", F.col("tokens"))
+            != F.coalesce(F.col("text"), F.lit(""))
+        ).count()
+        assert bad == 0  # gpt2 pre-tokens reassemble the exact input
+
+    def test_arg_validation(self, spark):
+        from kgfarm_spark.operators.unigram import unigram_apply, unigram_train
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        for kw in ({"vocab_size": 0}, {"seed_size": 0}, {"em_iters": 0},
+                   {"shrink": 1.0}, {"strategy": "magic"}, {"min_count": 0}):
+            with pytest.raises(ValueError):
+                unigram_train(df, "text", **kw)
+        with pytest.raises(ValueError, match="max_local_vocab"):
+            unigram_train(df, "text", strategy="local", max_local_vocab=1)
+        pieces = spark.createDataFrame([("a", -1.0)], "piece string, logprob double")
+        with pytest.raises(ValueError, match="out_col"):
+            unigram_apply(df.withColumn("tokens", df.doc_id), pieces, "text")
