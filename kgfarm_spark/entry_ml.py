@@ -217,10 +217,11 @@ def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     JVM-side frame sampling. Since round 5 the image half runs the REAL
     pure-numpy decode → stat-feature kernel (multimodal.py:
     decode_image_numpy); since round 6 the image table is fmt='mixed' —
-    half BMP, half zlib-COMPRESSED PNG (stdlib-inflate decoder,
-    multimodal.decode_png). The audio/video half keeps the deterministic
-    hash extractor (those codecs genuinely need external libraries).
-    Deterministic synth tables, independent of sf."""
+    BMP / zlib-COMPRESSED PNG (stdlib-inflate decoder,
+    multimodal.decode_png) / lossy baseline JPEG (Huffman+IDCT decoder,
+    jpeg.decode_jpeg) cycling by id. The audio/video half keeps the
+    deterministic hash extractor (those codecs genuinely need external
+    libraries). Deterministic synth tables, independent of sf."""
     from kgfarm_spark.operators.multimodal import (
         extract_features,
         sample_frames,

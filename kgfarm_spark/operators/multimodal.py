@@ -75,14 +75,18 @@ def synth_bmp_media_table(
     per-row gradients+noise, generated DISTRIBUTED via mapInPandas (each
     row's image derives only from (media_id, seed), so the table is
     identical at any partitioning). ``fmt``: 'bmp' (24-bit BI_RGB via
-    ``encode_bmp``), 'png' (zlib-compressed RGB via ``encode_png``), or
-    'mixed' (even ids BMP, odd ids PNG — exercises both native decoders
-    in one scan). The meta codec field records the per-row format."""
+    ``encode_bmp``), 'png' (zlib-compressed RGB via ``encode_png``),
+    'jpeg' (baseline 4:2:0 via ``jpeg.encode_jpeg`` — lossy), or
+    'mixed' (ids cycle BMP/PNG/JPEG — exercises all three native
+    decoders in one scan). The meta codec field records the per-row
+    format."""
     import numpy as np
     import pandas as pd
 
-    if fmt not in ("bmp", "png", "mixed"):
-        raise ValueError(f"fmt must be 'bmp', 'png', or 'mixed', got {fmt!r}")
+    if fmt not in ("bmp", "png", "jpeg", "mixed"):
+        raise ValueError(
+            f"fmt must be 'bmp', 'png', 'jpeg', or 'mixed', got {fmt!r}"
+        )
 
     def gen(batches):
         for pdf in batches:
@@ -98,8 +102,18 @@ def synth_bmp_media_table(
                      rng.integers(0, 256, (h, w), dtype=np.uint8)],
                     axis=2,
                 )
-                codec = fmt if fmt != "mixed" else ("bmp" if mid % 2 == 0 else "png")
-                payload = encode_bmp(img) if codec == "bmp" else encode_png(img)
+                codec = (
+                    fmt if fmt != "mixed"
+                    else ("bmp", "png", "jpeg")[mid % 3]
+                )
+                if codec == "bmp":
+                    payload = encode_bmp(img)
+                elif codec == "png":
+                    payload = encode_png(img)
+                else:
+                    from kgfarm_spark.operators.jpeg import encode_jpeg
+
+                    payload = encode_jpeg(img, quality=90, subsampling="4:2:0")
                 rows.append((int(mid), "image", payload, w, h, codec))
             yield pd.DataFrame(
                 rows,
@@ -153,17 +167,20 @@ def load_media(
 
 
 def decode_image(payload: bytes):
-    """Decode any image payload: uncompressed BMP/PPM (and stdlib-zlib
-    PNG) via the pure-python decoders below; everything else gated on
-    Pillow being present (it is not in this container; the guard keeps
-    the call signature honest).
+    """Decode any image payload: uncompressed BMP/PPM, stdlib-zlib PNG,
+    and baseline JPEG (operators/jpeg.py) via the pure-python decoders;
+    everything else gated on Pillow being present (it is not in this
+    container; the guard keeps the call signature honest).
 
-    The native decoders are a FAST PATH, not a gate: a BMP/PPM subformat
-    they don't handle (32-bit/RLE BMP, maxval!=255 PPM, exotic PNG bit
-    depths) falls through to Pillow when it is installed instead of
-    propagating NotImplementedError (advisor finding, r05)."""
+    The native decoders are a FAST PATH, not a gate: a subformat they
+    don't handle (32-bit/RLE BMP, maxval!=255 PPM, exotic PNG bit
+    depths, progressive/arithmetic JPEG) falls through to Pillow when it
+    is installed instead of propagating NotImplementedError (advisor
+    finding, r05)."""
     native = (
-        payload[:2] in (b"BM", b"P6") or payload[:8] == PNG_SIGNATURE
+        payload[:2] in (b"BM", b"P6")
+        or payload[:8] == PNG_SIGNATURE
+        or payload[:3] == b"\xff\xd8\xff"
     )
     if native:
         try:
@@ -178,10 +195,11 @@ def decode_image(payload: bytes):
     except ImportError as e:
         raise NotImplementedError(
             "decode requires Pillow for this payload (compressed format "
-            "or a BMP/PPM/PNG subformat outside the native decoders), "
-            "and Pillow is not installed in this environment; 24-bit "
-            "BMP, P6 PPM and 8-bit RGB/RGBA/gray PNG decode natively, "
-            "or use fake_features=True for plumbing tests"
+            "or a BMP/PPM/PNG/JPEG subformat outside the native "
+            "decoders), and Pillow is not installed in this environment; "
+            "24-bit BMP, P6 PPM, 8-bit RGB/RGBA/gray PNG and baseline "
+            "JPEG decode natively, or use fake_features=True for "
+            "plumbing tests"
         ) from e
 
 
@@ -253,9 +271,15 @@ def decode_image_numpy(payload: bytes):
         if a.shape[2] == 2:  # gray + alpha
             return np.repeat(a[:, :, :1], 3, axis=2)
         return a[:, :, :3].copy() if a.shape[2] == 4 else a
+    if payload[:3] == b"\xff\xd8\xff":
+        from kgfarm_spark.operators.jpeg import decode_jpeg
+
+        # baseline sequential Huffman JPEG; progressive/arithmetic
+        # raise NotImplementedError and fall through to Pillow upstream
+        return decode_jpeg(payload)
     raise NotImplementedError(
         "decode_image_numpy supports uncompressed BMP (24-bit), binary "
-        "PPM (P6), and 8-bit non-interlaced PNG only"
+        "PPM (P6), 8-bit non-interlaced PNG, and baseline JPEG only"
     )
 
 

@@ -447,19 +447,22 @@ class TestMultimodal:
         assert out.shape == (5, 4, 3) and (out == ra[:, :, :3]).all()
 
     def test_mixed_format_real_features(self, spark):
-        """fmt='mixed' media (half BMP, half compressed PNG) through the
-        REAL extract kernel must match the driver-side numpy twin — the
-        PNG half proves a compressed format decodes distributed."""
+        """fmt='mixed' media (BMP / compressed PNG / lossy baseline JPEG
+        cycling by id) through the REAL extract kernel must match the
+        driver-side numpy twin — the PNG and JPEG thirds prove two
+        genuinely compressed formats decode distributed."""
         from kgfarm_spark.operators.multimodal import (
             decode_image_numpy,
             image_stat_features,
             synth_bmp_media_table,
         )
 
-        media = synth_bmp_media_table(spark, n=20, seed=7, fmt="mixed")
+        media = synth_bmp_media_table(spark, n=21, seed=7, fmt="mixed")
         rows = media.collect()
         codecs = {r["media_id"]: r["meta"]["codec"] for r in rows}
-        assert sum(1 for c in codecs.values() if c == "png") == 10
+        from collections import Counter
+
+        assert Counter(codecs.values()) == {"bmp": 7, "png": 7, "jpeg": 7}
         want = {
             r["media_id"]: image_stat_features(decode_image_numpy(bytes(r["payload"])))
             for r in rows
@@ -2926,3 +2929,102 @@ class TestUnigramTokenizer:
         pieces = spark.createDataFrame([("a", -1.0)], "piece string, logprob double")
         with pytest.raises(ValueError, match="out_col"):
             unigram_apply(df.withColumn("tokens", df.doc_id), pieces, "text")
+
+
+class TestJpegCodec:
+    """operators/jpeg.py — pure-python baseline JPEG. The encoder exists
+    to make the decoder's full surface (markers, Huffman entropy, IDCT,
+    chroma subsampling, restarts) round-trip testable without Pillow."""
+
+    @staticmethod
+    def _img(h=45, w=52, seed=7):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(xx * 4) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], axis=2
+        ).astype(np.uint8)
+        noise = rng.integers(-6, 7, img.shape)
+        return np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8)
+
+    @staticmethod
+    def _psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 10 * np.log10(255**2 / mse) if mse else float("inf")
+
+    def test_round_trip_quality_ladder(self):
+        from kgfarm_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        img = self._img()
+        last = None
+        for q in (95, 75, 30):
+            data = encode_jpeg(img, quality=q)
+            assert data[:3] == b"\xff\xd8\xff" and data[-2:] == b"\xff\xd9"
+            dec = decode_jpeg(data)
+            assert dec.shape == img.shape and dec.dtype == np.uint8
+            p = self._psnr(img, dec)
+            assert p > 28.0, f"q={q}: psnr {p:.1f}"
+            if last is not None:
+                assert p < last  # lower quality -> strictly worse
+            last = p
+        assert encode_jpeg(img, 90) == encode_jpeg(img, 90)  # deterministic
+
+    def test_chroma_subsampling_and_restarts(self):
+        from kgfarm_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        img = self._img()
+        d420 = decode_jpeg(encode_jpeg(img, 90, subsampling="4:2:0"))
+        assert d420.shape == img.shape and self._psnr(img, d420) > 28.0
+        # restart markers: RSTn segments + DC predictor resets must not
+        # change the decode (up to nothing -- the coefficients are equal)
+        plain = decode_jpeg(encode_jpeg(img, 90, subsampling="4:2:0"))
+        rst = decode_jpeg(
+            encode_jpeg(img, 90, subsampling="4:2:0", restart_interval=2)
+        )
+        assert (plain == rst).all()
+
+    def test_grayscale_and_flat(self):
+        from kgfarm_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        yy, xx = np.mgrid[0:17, 0:23]
+        g = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+        d = decode_jpeg(encode_jpeg(g, quality=90))
+        assert d.shape == (17, 23, 3)
+        assert self._psnr(np.repeat(g[:, :, None], 3, 2), d) > 40.0
+        flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+        d = decode_jpeg(encode_jpeg(flat, quality=95))
+        assert int(np.abs(d.astype(int) - 77).max()) <= 1
+
+    def test_errors_and_profile_gates(self):
+        from kgfarm_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        img = self._img(16, 16)
+        data = bytearray(encode_jpeg(img, 90))
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"NOPE" + bytes(data))
+        # flip SOF0 -> SOF2 (progressive): NotImplementedError so
+        # decode_image can fall through to Pillow
+        i = bytes(data).find(b"\xff\xc0")
+        prog = bytes(data[:i]) + b"\xff\xc2" + bytes(data[i + 2:])
+        with pytest.raises(NotImplementedError, match="SOF"):
+            decode_jpeg(prog)
+        with pytest.raises(ValueError, match="truncated"):
+            decode_jpeg(bytes(data[: len(data) // 2]))
+        with pytest.raises(ValueError):
+            encode_jpeg(np.zeros((4, 4, 3), dtype=np.float64))
+        with pytest.raises(ValueError):
+            encode_jpeg(img, subsampling="4:1:1")
+
+    def test_decode_image_numpy_routes_jpeg(self):
+        from kgfarm_spark.operators.jpeg import encode_jpeg
+        from kgfarm_spark.operators.multimodal import (
+            decode_image,
+            decode_image_numpy,
+        )
+
+        img = self._img(24, 24)
+        data = encode_jpeg(img, 95)
+        a = decode_image_numpy(data)
+        assert a.shape == (24, 24, 3) and self._psnr(img, a) > 28.0
+        # decode_image treats baseline JPEG as a native format now
+        b = decode_image(data)
+        assert (np.asarray(b) == a).all()
