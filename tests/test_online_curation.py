@@ -224,6 +224,44 @@ def test_bpe_apply_broadcast_streams_unchanged(spark, tmp_path):
     assert got == want and len(got) == 200
 
 
+
+
+def test_unigram_apply_streams_unchanged(spark, tmp_path):
+    """The unigram tokenizer's Viterbi apply is the same stateless
+    broadcast shape as bpe_apply: identical call on a readStream frame,
+    identical tokens (tokenize-at-ingest for the SentencePiece-style
+    model)."""
+    from kgfarm_spark.operators.unigram import unigram_apply, unigram_train
+
+    docs = _docs(spark).limit(200).localCheckpoint()
+    pieces = unigram_train(docs, "text", vocab_size=300, max_piece_len=4,
+                           seed_size=1000, em_iters=1,
+                           strategy="local").localCheckpoint()
+
+    src = str(tmp_path / "uni_src")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        unigram_apply(stream, pieces, "text", "doc_id", max_piece_len=4)
+        .writeStream.format("memory")
+        .queryName("uni_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in spark.sql("select * from uni_stream_out").collect()
+    }
+    want = {
+        r["doc_id"]: list(r["tokens"])
+        for r in unigram_apply(docs, pieces, "text", "doc_id",
+                               max_piece_len=4).collect()
+    }
+    assert got == want and len(got) == 200
+
+
 # --- property: fit→freeze→apply parity on adversarial corpora ---------------
 from hypothesis import HealthCheck, given, settings, strategies as st
 
