@@ -545,6 +545,35 @@ def _ann_section(spark, out: dict) -> None:
         "fit_sec": fit_sec, "search_sec": round(time.monotonic() - t0, 1),
         "recall_at_10": _recall(truth, _topk_sets(ivf_rows)),
     }
+    # r06: product quantization — the memory path (m uint8 codes + one
+    # float norm per vector vs full float vectors); ADC scan + exact
+    # rerank of the shortlist
+    from kgfarm_spark.operators.similarity import (
+        fit_pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    t0 = time.monotonic()
+    books = fit_pq_codebooks(emb, m=16, ksub=256)
+    pq_fit_sec = round(time.monotonic() - t0, 1)
+    t0 = time.monotonic()
+    codes = pq_encode(emb, books).localCheckpoint(eager=True)
+    enc_sec = round(time.monotonic() - t0, 1)
+    t0 = time.monotonic()
+    adc_rows = pq_topk(codes, q200, books, k=10).collect()
+    adc_sec = round(time.monotonic() - t0, 1)
+    t0 = time.monotonic()
+    rr_rows = pq_topk(codes, q200, books, k=10, rerank=50, corpus=emb).collect()
+    out["pq_topk"] = {
+        "vecs": n_vecs, "queries": 200, "m": 16, "ksub": 256,
+        "fit_sec": pq_fit_sec, "encode_sec": enc_sec,
+        "adc_sec": adc_sec,
+        "adc_recall_at_10": _recall(truth, _topk_sets(adc_rows)),
+        "rerank50_sec": round(time.monotonic() - t0, 1),
+        "rerank50_recall_at_10": _recall(truth, _topk_sets(rr_rows)),
+        "bytes_per_vec": "16 codes + 8B norm = 24B vs 256B float32 raw",
+    }
 
 
 def run_ann_scale() -> dict:

@@ -247,9 +247,25 @@ class FeatureFarm:
             return _sim.cosine_topk(corpus, queries, k=k, **kw)
         if method == "lsh":
             return _sim.lsh_topk(corpus, queries, k=k, **kw)
+        if method == "pq":
+            # memory path: fit codebooks, encode once, ADC scan + exact
+            # rerank — pass rerank=<R> to trade recall for the shortlist
+            # join; pre-encoded corpora should call pq_topk directly
+            vec_col = kw.pop("vec_col", "embedding")
+            id_col = kw.pop("id_col", "vec_id")
+            books = _sim.fit_pq_codebooks(
+                corpus, vec_col,
+                m=kw.pop("m", 16), ksub=kw.pop("ksub", 256), id_col=id_col,
+            )
+            codes = _sim.pq_encode(corpus, books, vec_col)
+            rerank = kw.pop("rerank", max(4 * k, 50))
+            return _sim.pq_topk(
+                codes, queries, books, id_col=id_col, vec_col=vec_col,
+                k=k, rerank=rerank, corpus=corpus, **kw
+            )
         raise ValueError(
             f"unknown similarity method {method!r}; use 'ivf' (default), "
-            "'twophase', 'exact', or 'lsh'"
+            "'twophase', 'exact', 'lsh', or 'pq'"
         )
 
     # ---- corpus curation (task-brief pretraining family) ------------------

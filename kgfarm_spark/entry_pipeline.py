@@ -828,6 +828,33 @@ def q_semantic_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("pq_topk_ann", None)  # rows-only: per-subspace k-means codebooks
+# (product quantization) are not ANSI-SQL-expressible; exactness is
+# pytest-pinned instead — TestProductQuantization proves codebooks covering
+# the corpus reproduce brute force bit-for-bit, pins flat-ADC and reranked
+# recall vs cosine_topk_twophase, and partition invariance.
+def q_pq_topk_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ-ADC approximate top-k with exact rerank (similarity.pq_topk):
+    codes = m uint8 subspace codewords + the exact norm (~32× smaller
+    than raw float64 vectors — the ANN family's memory lever), ADC
+    lookup-table scan, shortlist joined back to raw vectors for the
+    final exact ranking."""
+    from kgfarm_spark.operators.similarity import (
+        fit_pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    books = fit_pq_codebooks(emb, m=16, ksub=256)
+    codes = pq_encode(emb, books)
+    out = pq_topk(codes, queries, books, k=5, rerank=25, corpus=emb)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
 @register(
     "decontaminate_vs_eval",
     r"""

@@ -85,5 +85,8 @@ def test_queries_have_oracles():
         "unigram_pieces",    # iterative EM fit (non-SQL) — independent pure-Python
                              # EM twin parity in TestUnigramTokenizer; seed stage
                              # oracle-checked via unigram_seed_counts
+        "pq_topk_ann",       # per-subspace k-means codebooks (non-SQL) — exact-
+                             # covering == brute force + recall pins + partition
+                             # invariance in TestProductQuantization
     }
     assert missing <= allowed_rows_only

@@ -3028,3 +3028,108 @@ class TestJpegCodec:
         # decode_image treats baseline JPEG as a native format now
         b = decode_image(data)
         assert (np.asarray(b) == a).all()
+
+
+class TestProductQuantization:
+    """operators/similarity.py PQ family — codebook fit determinism,
+    exact-reconstruction equivalence, recall pins vs brute force, and
+    the ADC→exact rerank knob."""
+
+    def _fixture(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        queries = emb.limit(15).selectExpr("vec_id as query_id", "embedding")
+        return emb, queries
+
+    def test_exact_when_codebooks_cover_corpus(self, spark):
+        """With every distinct subvector present as a codeword (tiny
+        corpus, ksub >= corpus size), encoding is lossless and pq_topk
+        must equal the exact brute-force ranking bit-for-bit (same
+        tie-break)."""
+        import numpy as np
+
+        from kgfarm_spark.operators.similarity import (
+            cosine_topk,
+            fit_pq_codebooks,
+            pq_encode,
+            pq_topk,
+        )
+
+        rng = np.random.default_rng(5)
+        vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(8)]
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        queries = emb.limit(3).selectExpr("vec_id as query_id", "embedding")
+        books = fit_pq_codebooks(emb, m=4, ksub=8, iters=20)
+        codes = pq_encode(emb, books)
+        got = pq_topk(codes, queries, books, k=3).collect()
+        want = cosine_topk(emb, queries, id_col="vec_id", k=3).collect()
+        gm = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+              for r in got}
+        wm = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+              for r in want}
+        assert gm == wm
+
+    def test_recall_and_rerank(self, spark):
+        from kgfarm_spark.operators.similarity import (
+            cosine_topk_twophase,
+            fit_pq_codebooks,
+            pq_encode,
+            pq_topk,
+        )
+
+        emb, queries = self._fixture(spark)
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in cosine_topk_twophase(
+                     emb, queries, id_col="vec_id", k=10).collect()}
+        books = fit_pq_codebooks(emb, m=16, ksub=256)
+        codes = pq_encode(emb, books).localCheckpoint()
+        adc = {(r["query_id"], r["neighbor_id"])
+               for r in pq_topk(codes, queries, books, k=10).collect()}
+        assert len(adc & exact) / len(exact) >= 0.7  # flat ADC floor
+        rr = {(r["query_id"], r["neighbor_id"])
+              for r in pq_topk(codes, queries, books, k=10,
+                               rerank=50, corpus=emb).collect()}
+        assert len(rr & exact) / len(exact) >= 0.95  # shortlist+exact
+
+    def test_encode_shape_and_partition_invariance(self, spark):
+        from kgfarm_spark.operators.similarity import (
+            fit_pq_codebooks,
+            pq_encode,
+            pq_topk,
+        )
+
+        emb, queries = self._fixture(spark)
+        books = fit_pq_codebooks(emb, m=8, ksub=16)
+        codes = pq_encode(emb, books).localCheckpoint()
+        row = codes.limit(1).collect()[0]
+        assert len(row["pq_code"]) == 8
+        assert all(0 <= c < 16 for c in row["pq_code"])
+        assert row["pq_norm"] > 0
+        a = sorted(map(tuple, pq_topk(codes, queries, books, k=5).collect()))
+        b = sorted(map(tuple, pq_topk(
+            codes.repartition(13), queries, books, k=5).collect()))
+        assert a == b
+
+    def test_validation(self, spark):
+        from kgfarm_spark.operators.similarity import (
+            fit_pq_codebooks,
+            pq_encode,
+            pq_topk,
+        )
+
+        emb, queries = self._fixture(spark)
+        with pytest.raises(ValueError, match="divisible"):
+            fit_pq_codebooks(emb, m=7)
+        with pytest.raises(ValueError, match="ksub"):
+            fit_pq_codebooks(emb, ksub=1)
+        books = fit_pq_codebooks(emb, m=8, ksub=16)
+        with pytest.raises(ValueError, match="already exists"):
+            pq_encode(emb.withColumn("pq_code", F.lit(1)), books)
+        codes = pq_encode(emb, books)
+        with pytest.raises(ValueError, match="corpus"):
+            pq_topk(codes, queries, books, k=5, rerank=20)
+        with pytest.raises(ValueError, match="rerank"):
+            pq_topk(codes, queries, books, k=5, rerank=2, corpus=emb)
+        # empty query set -> empty frame with the contract schema
+        out = pq_topk(codes, queries.limit(0), books, k=5)
+        assert out.count() == 0
+        assert set(out.columns) >= {"query_id", "neighbor_id", "cosine"}
