@@ -384,8 +384,14 @@ class _BitWriter:
         self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
+        # byte-align with 1-bits (T.81 B.1.1.5); a padding byte that
+        # lands on 0xFF still gets stuffed
         if self.nbits:
-            self.write(0x7F, 7 - ((self.nbits - 1) % 8) + 1)  # pad with 1s
+            pad = 8 - self.nbits
+            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
         self.acc, self.nbits = 0, 0
 
 

@@ -780,9 +780,14 @@ def pq_topk(
         cv = corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
         )
+        # broadcast the Q×rerank shortlist (with its query vectors) so the
+        # corpus side stays map-side — joining the other way would shuffle
+        # the whole corpus by id just to fetch |shortlist| rows
         exact = (
-            shortlist.join(F.broadcast(qv), query_id_col)
-            .join(cv, "neighbor_id")
+            cv.join(
+                F.broadcast(shortlist.join(F.broadcast(qv), query_id_col)),
+                "neighbor_id",
+            )
             .withColumn("cosine", cosine_expr("__qv", "__cv"))
             .select(query_id_col, "neighbor_id", "cosine")
         )

@@ -419,7 +419,6 @@ def unigram_apply(
     pre = df.withColumn(
         "__pretoks", _pretok_expr(F.coalesce(F.col(text_col), F.lit("")), pretokenize)
     )
-    out_fields = pre.schema.fieldNames()
 
     def gen(batches):
         lp, ml, ov = bc.value
