@@ -492,6 +492,11 @@ def _ann_section(spark, out: dict) -> None:
         lsh_topk,
     )
 
+    only = {x for x in (os.environ.get("SPARK_GRAFT_ANN_ONLY") or "").split(",") if x}
+
+    def _want(name: str) -> bool:
+        return not only or name in only
+
     emb = spark.read.parquet(VECS_DIR)
     n_vecs = emb.count()
     q1000 = emb.filter(F.col("vec_id") < 1000).select(
@@ -500,11 +505,12 @@ def _ann_section(spark, out: dict) -> None:
     q200 = emb.filter(F.col("vec_id") < 200).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    t0 = time.monotonic()
-    cosine_topk_twophase(emb, q1000, k=10).write.format("noop").mode("overwrite").save()
-    out["cosine_topk_twophase"] = {
-        "vecs": n_vecs, "queries": 1000, "sec": round(time.monotonic() - t0, 1)
-    }
+    if _want("twophase"):
+        t0 = time.monotonic()
+        cosine_topk_twophase(emb, q1000, k=10).write.format("noop").mode("overwrite").save()
+        out["cosine_topk_twophase"] = {
+            "vecs": n_vecs, "queries": 1000, "sec": round(time.monotonic() - t0, 1)
+        }
 
     def _topk_sets(rows):
         s: dict = {}
@@ -519,35 +525,42 @@ def _ann_section(spark, out: dict) -> None:
 
     truth = _topk_sets(cosine_topk_twophase(emb, q200, k=10).collect())
 
-    t0 = time.monotonic()
-    lsh_rows = lsh_topk(emb, q200, k=10, n_planes=10).collect()
-    out["lsh_topk"] = {
-        "vecs": n_vecs, "queries": 200, "n_planes": 10,
-        "sec": round(time.monotonic() - t0, 1),
-        "recall_at_10": _recall(truth, _topk_sets(lsh_rows)),
-    }
-    # multi-table recall amplification (L independent tables, union of
-    # candidates): the honest answer to single-table recall at 1M
-    t0 = time.monotonic()
-    lsh4_rows = lsh_topk(emb, q200, k=10, n_planes=10, n_tables=4).collect()
-    out["lsh_topk_4tables"] = {
-        "vecs": n_vecs, "queries": 200, "n_planes": 10, "n_tables": 4,
-        "sec": round(time.monotonic() - t0, 1),
-        "recall_at_10": _recall(truth, _topk_sets(lsh4_rows)),
-    }
+    if _want("lsh"):
+        t0 = time.monotonic()
+        lsh_rows = lsh_topk(emb, q200, k=10, n_planes=10).collect()
+        out["lsh_topk"] = {
+            "vecs": n_vecs, "queries": 200, "n_planes": 10,
+            "sec": round(time.monotonic() - t0, 1),
+            "recall_at_10": _recall(truth, _topk_sets(lsh_rows)),
+        }
+        # multi-table recall amplification (L independent tables, union of
+        # candidates): the honest answer to single-table recall at 1M
+        t0 = time.monotonic()
+        lsh4_rows = lsh_topk(emb, q200, k=10, n_planes=10, n_tables=4).collect()
+        out["lsh_topk_4tables"] = {
+            "vecs": n_vecs, "queries": 200, "n_planes": 10, "n_tables": 4,
+            "sec": round(time.monotonic() - t0, 1),
+            "recall_at_10": _recall(truth, _topk_sets(lsh4_rows)),
+        }
     t0 = time.monotonic()
     cents = fit_ivf_centroids(emb, n_cells=256, id_col="vec_id")
     fit_sec = round(time.monotonic() - t0, 1)
-    t0 = time.monotonic()
-    ivf_rows = ivf_topk(emb, q200, centroids=cents, k=10, nprobe=4).collect()
-    out["ivf_topk"] = {
-        "vecs": n_vecs, "queries": 200, "n_cells": 256, "nprobe": 4,
-        "fit_sec": fit_sec, "search_sec": round(time.monotonic() - t0, 1),
-        "recall_at_10": _recall(truth, _topk_sets(ivf_rows)),
-    }
+    if _want("ivf"):
+        t0 = time.monotonic()
+        ivf_rows = ivf_topk(emb, q200, centroids=cents, k=10, nprobe=4).collect()
+        out["ivf_topk"] = {
+            "vecs": n_vecs, "queries": 200, "n_cells": 256, "nprobe": 4,
+            "fit_sec": fit_sec, "search_sec": round(time.monotonic() - t0, 1),
+            "recall_at_10": _recall(truth, _topk_sets(ivf_rows)),
+        }
+    if not _want("pq"):
+        return
     # r06: product quantization — the memory path (m uint8 codes + one
-    # float norm per vector vs full float vectors); ADC scan + exact
-    # rerank of the shortlist
+    # float norm + one cell id per vector vs full float vectors).
+    # RESIDUAL (IVF-PQ) form, reusing the 256-cell coarse quantizer:
+    # flat codebooks on this clustered corpus collapse to recall ~0.006
+    # (whole cells encode identically), residuals recover it — the exact
+    # failure mode Jégou et al. §III motivates.
     from kgfarm_spark.operators.similarity import (
         fit_pq_codebooks,
         pq_encode,
@@ -555,24 +568,35 @@ def _ann_section(spark, out: dict) -> None:
     )
 
     t0 = time.monotonic()
-    books = fit_pq_codebooks(emb, m=16, ksub=256)
+    books = fit_pq_codebooks(emb, m=16, ksub=256, centroids=cents)
     pq_fit_sec = round(time.monotonic() - t0, 1)
     t0 = time.monotonic()
-    codes = pq_encode(emb, books).localCheckpoint(eager=True)
+    codes = pq_encode(emb, books, centroids=cents).localCheckpoint(eager=True)
     enc_sec = round(time.monotonic() - t0, 1)
     t0 = time.monotonic()
-    adc_rows = pq_topk(codes, q200, books, k=10).collect()
+    adc_rows = pq_topk(codes, q200, books, k=10, centroids=cents).collect()
     adc_sec = round(time.monotonic() - t0, 1)
     t0 = time.monotonic()
-    rr_rows = pq_topk(codes, q200, books, k=10, rerank=50, corpus=emb).collect()
+    np_rows = pq_topk(
+        codes, q200, books, k=10, centroids=cents, nprobe=4
+    ).collect()
+    nprobe_sec = round(time.monotonic() - t0, 1)
+    t0 = time.monotonic()
+    rr_rows = pq_topk(
+        codes, q200, books, k=10, centroids=cents, nprobe=4,
+        rerank=50, corpus=emb,
+    ).collect()
     out["pq_topk"] = {
         "vecs": n_vecs, "queries": 200, "m": 16, "ksub": 256,
+        "ivf_cells": len(cents), "residual": True,
         "fit_sec": pq_fit_sec, "encode_sec": enc_sec,
         "adc_sec": adc_sec,
         "adc_recall_at_10": _recall(truth, _topk_sets(adc_rows)),
-        "rerank50_sec": round(time.monotonic() - t0, 1),
-        "rerank50_recall_at_10": _recall(truth, _topk_sets(rr_rows)),
-        "bytes_per_vec": "16 codes + 8B norm = 24B vs 256B float32 raw",
+        "nprobe4_sec": nprobe_sec,
+        "nprobe4_recall_at_10": _recall(truth, _topk_sets(np_rows)),
+        "nprobe4_rerank50_sec": round(time.monotonic() - t0, 1),
+        "nprobe4_rerank50_recall_at_10": _recall(truth, _topk_sets(rr_rows)),
+        "bytes_per_vec": "16 codes + 8B norm + 4B cell = 28B vs 256B float32 raw",
     }
 
 

@@ -248,20 +248,25 @@ class FeatureFarm:
         if method == "lsh":
             return _sim.lsh_topk(corpus, queries, k=k, **kw)
         if method == "pq":
-            # memory path: fit codebooks, encode once, ADC scan + exact
-            # rerank — pass rerank=<R> to trade recall for the shortlist
-            # join; pre-encoded corpora should call pq_topk directly
+            # memory path (IVF-PQ): coarse quantizer + RESIDUAL codebooks
+            # — flat codebooks collapse on clustered corpora (whole cells
+            # encode identically; measured recall 0.006 at 1M) — then ADC
+            # scan + exact rerank. Pass rerank=<R>/nprobe=<p> to trade
+            # recall for work; pre-encoded corpora call pq_topk directly.
             vec_col = kw.pop("vec_col", "embedding")
             id_col = kw.pop("id_col", "vec_id")
-            books = _sim.fit_pq_codebooks(
-                corpus, vec_col,
-                m=kw.pop("m", 16), ksub=kw.pop("ksub", 256), id_col=id_col,
+            cents = _sim.fit_ivf_centroids(
+                corpus, vec_col, n_cells=kw.pop("n_cells", 64), id_col=id_col
             )
-            codes = _sim.pq_encode(corpus, books, vec_col)
+            books = _sim.fit_pq_codebooks(
+                corpus, vec_col, m=kw.pop("m", 16), ksub=kw.pop("ksub", 256),
+                id_col=id_col, centroids=cents,
+            )
+            codes = _sim.pq_encode(corpus, books, vec_col, centroids=cents)
             rerank = kw.pop("rerank", max(4 * k, 50))
             return _sim.pq_topk(
                 codes, queries, books, id_col=id_col, vec_col=vec_col,
-                k=k, rerank=rerank, corpus=corpus, **kw
+                k=k, rerank=rerank, corpus=corpus, centroids=cents, **kw
             )
         raise ValueError(
             f"unknown similarity method {method!r}; use 'ivf' (default), "
