@@ -568,14 +568,11 @@ def _ann_section(spark, out: dict) -> None:
     )
 
     t0 = time.monotonic()
-    books = fit_pq_codebooks(emb, m=16, ksub=256, centroids=cents)
+    books = fit_pq_codebooks(emb, m=32, ksub=256, centroids=cents)
     pq_fit_sec = round(time.monotonic() - t0, 1)
     t0 = time.monotonic()
     codes = pq_encode(emb, books, centroids=cents).localCheckpoint(eager=True)
     enc_sec = round(time.monotonic() - t0, 1)
-    t0 = time.monotonic()
-    adc_rows = pq_topk(codes, q200, books, k=10, centroids=cents).collect()
-    adc_sec = round(time.monotonic() - t0, 1)
     t0 = time.monotonic()
     np_rows = pq_topk(
         codes, q200, books, k=10, centroids=cents, nprobe=4
@@ -584,19 +581,34 @@ def _ann_section(spark, out: dict) -> None:
     t0 = time.monotonic()
     rr_rows = pq_topk(
         codes, q200, books, k=10, centroids=cents, nprobe=4,
-        rerank=50, corpus=emb,
+        rerank=200, corpus=emb,
+    ).collect()
+    rr200_sec = round(time.monotonic() - t0, 1)
+    t0 = time.monotonic()
+    rr1k_rows = pq_topk(
+        codes, q200, books, k=10, centroids=cents, nprobe=4,
+        rerank=1000, corpus=emb,
     ).collect()
     out["pq_topk"] = {
-        "vecs": n_vecs, "queries": 200, "m": 16, "ksub": 256,
+        "vecs": n_vecs, "queries": 200, "m": 32, "ksub": 256,
         "ivf_cells": len(cents), "residual": True,
         "fit_sec": pq_fit_sec, "encode_sec": enc_sec,
-        "adc_sec": adc_sec,
-        "adc_recall_at_10": _recall(truth, _topk_sets(adc_rows)),
         "nprobe4_sec": nprobe_sec,
         "nprobe4_recall_at_10": _recall(truth, _topk_sets(np_rows)),
-        "nprobe4_rerank50_sec": round(time.monotonic() - t0, 1),
-        "nprobe4_rerank50_recall_at_10": _recall(truth, _topk_sets(rr_rows)),
-        "bytes_per_vec": "16 codes + 8B norm + 4B cell = 28B vs 256B float32 raw",
+        "nprobe4_rerank200_sec": rr200_sec,
+        "nprobe4_rerank200_recall_at_10": _recall(truth, _topk_sets(rr_rows)),
+        "nprobe4_rerank1000_sec": round(time.monotonic() - t0, 1),
+        "nprobe4_rerank1000_recall_at_10": _recall(truth, _topk_sets(rr1k_rows)),
+        "bytes_per_vec": "32 codes + 8B norm + 4B cell = 44B vs 256B float32 raw",
+        "note": (
+            "this corpus is PQ's adversarial case: cluster center + iid "
+            "per-dim jitter, so in-cell ranking is pure noise alignment "
+            "and quantization error competes with the entire signal; "
+            "flat (non-residual) codebooks measured 0.006 recall, m=16 "
+            "residual 0.073 — the m=32 residual + rerank ladder is the "
+            "honest operating point (real text/image embeddings have "
+            "manifold structure PQ exploits far better)"
+        ),
     }
 
 
