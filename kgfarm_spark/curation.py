@@ -71,6 +71,7 @@ def curate(
     dsir_target: Column | None = None,
     dsir_k: int | None = None,
     pack_budget: int = 2048,
+    tokenizer: tuple | None = None,
     manifest_path: str | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
@@ -135,13 +136,23 @@ def curate(
     # overwritten by the dedup stage's content hash then dropped —
     # breaking the module's "no stage rewrites ids" contract (review
     # finding); same for text_col
-    reserved = {"fingerprint", "__len", "n_tokens"} & (
+    reserved = {"fingerprint", "__len", "n_tokens", "__tokens"} & (
         set(docs.columns) | {id_col, text_col}
     )
     if reserved:
         raise ValueError(
             f"column names {sorted(reserved)} collide with curate()'s "
             f"working columns; rename them first"
+        )
+    if tokenizer is not None and (
+        not isinstance(tokenizer, tuple) or len(tokenizer) != 2
+        or tokenizer[0] not in ("bpe", "unigram")
+    ):
+        # fail fast — stage 6 is the LAST stage; a bad tokenizer arg
+        # must not cost five stages of work first
+        raise ValueError(
+            "tokenizer must be ('bpe', segmented_census) or "
+            f"('unigram', pieces_df), got {tokenizer!r}"
         )
     if neardup not in ("lsh", "jaccard", "semantic", None):
         raise ValueError(
@@ -362,10 +373,33 @@ def curate(
     # the tokenized corpus, the per-bucket offsets collect) — timing
     # only the final agg under-attributed this stage (review finding)
     t0 = time.monotonic()
-    toks = cur.select(
-        id_col,
-        F.size(_words(F.coalesce(F.col(text_col), F.lit("")))).alias("n_tokens"),
-    )
+    if tokenizer is not None:
+        # pack by REAL model tokens (a budget of 2048 means 2048
+        # tokenizer tokens, not whitespace words): both apply paths are
+        # broadcast-model Arrow kernels, zero shuffle, so this swap
+        # changes the counting column, not the plan shape
+        kind, model = tokenizer
+        if kind == "bpe":
+            from kgfarm_spark.operators.bpe import bpe_apply
+
+            tok_df = bpe_apply(cur, model, text_col, id_col, out_col="__tokens")
+        else:
+            from kgfarm_spark.operators.unigram import unigram_apply
+
+            # Viterbi window derived from the model — a fixed default
+            # smaller than the longest trained piece would silently
+            # never emit it
+            ml = model.agg(F.max(F.length("piece"))).first()[0] or 1
+            tok_df = unigram_apply(
+                cur, model, text_col, id_col, out_col="__tokens",
+                max_piece_len=int(ml),
+            )
+        toks = tok_df.select(id_col, F.size("__tokens").alias("n_tokens"))
+    else:
+        toks = cur.select(
+            id_col,
+            F.size(_words(F.coalesce(F.col(text_col), F.lit("")))).alias("n_tokens"),
+        )
     packed = pack_sequences(toks, id_col, "n_tokens", budget=pack_budget)
     total_tokens = packed.agg(
         F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("n")
@@ -378,6 +412,7 @@ def curate(
             "dropped": 0,
             "sec": round(time.monotonic() - t0, 3),
             "budget": pack_budget,
+            "tokenizer": tokenizer[0] if tokenizer else "whitespace",
             "total_tokens": n_tok,
             # ceil(total/budget): seq ids are 0..(t-1)//budget, so an
             # exactly-divisible total must NOT add a phantom sequence

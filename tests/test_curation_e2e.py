@@ -317,3 +317,51 @@ def test_resume_skips_completed_stages(spark, tmp_path):
 
     with pytest.raises(ValueError, match="checkpoint_dir"):
         curate(docs, resume=True)
+
+
+def test_tokenizer_aware_packing(spark):
+    """curate(tokenizer=('bpe'|'unigram', model)) packs by REAL model
+    tokens: the pack stage's total_tokens must equal the sum of the
+    apply kernel's token counts over the surviving docs, and a bad
+    tokenizer arg must fail fast (before any stage runs)."""
+    from kgfarm_spark.curation import curate
+    from kgfarm_spark.operators.bpe import bpe_apply, bpe_train
+    from kgfarm_spark.operators.unigram import unigram_apply, unigram_train
+
+    docs = _corpus(spark)
+    _, seg = bpe_train(docs, "text", n_merges=8, strategy="local")
+    kw = dict(
+        gopher=False, exact=True, neardup=None, scorer=None, pack_budget=64
+    )
+    packed, manifest = curate(docs, tokenizer=("bpe", seg), **kw)
+    pack_stage = manifest["stages"][-1]
+    assert pack_stage["tokenizer"] == "bpe"
+    # surviving docs = exact-dedup output; recount independently
+    survivors = packed.select("doc_id")
+    want = (
+        bpe_apply(docs.join(survivors, "doc_id"), seg, "text", "doc_id")
+        .select(F.sum(F.size("tokens")).alias("t"))
+        .first()["t"]
+    )
+    assert pack_stage["total_tokens"] == want
+
+    pieces = unigram_train(docs, "text", vocab_size=80, max_piece_len=4,
+                           seed_size=500, em_iters=1, strategy="local")
+    packed_u, man_u = curate(docs, tokenizer=("unigram", pieces), **kw)
+    up = man_u["stages"][-1]
+    assert up["tokenizer"] == "unigram"
+    want_u = (
+        unigram_apply(docs.join(packed_u.select("doc_id"), "doc_id"),
+                      pieces, "text", "doc_id", max_piece_len=4)
+        .select(F.sum(F.size("tokens")).alias("t"))
+        .first()["t"]
+    )
+    # unigram_apply default max_piece_len must match training's pieces:
+    # trained with max_piece_len=4, and no trained piece exceeds 4 chars,
+    # so decoding with the default window (8) finds the same segments
+    assert up["total_tokens"] == want_u
+
+    with pytest.raises(ValueError, match="tokenizer"):
+        curate(docs, tokenizer=("sentencepiece", seg), **kw)
+    with pytest.raises(ValueError, match="tokenizer"):
+        curate(docs, tokenizer="bpe", **kw)
