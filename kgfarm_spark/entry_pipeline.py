@@ -733,6 +733,70 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "materialize_sequences",
+    rf"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CAST(COALESCE(sum(len(toks)) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS before
+  FROM docs
+),
+pieces AS (
+  SELECT s.seq_id,
+         greatest(s.seq_id * {_PACK_BUDGET}, before) AS gstart,
+         list_slice(toks,
+                    CAST(greatest(s.seq_id * {_PACK_BUDGET} - before, 0) + 1 AS BIGINT),
+                    CAST(least((s.seq_id + 1) * {_PACK_BUDGET}, before + n) - before AS BIGINT)
+                   ) AS piece
+  FROM sized, LATERAL (
+    SELECT unnest(generate_series(before // {_PACK_BUDGET},
+                                  (before + n - 1) // {_PACK_BUDGET})) AS seq_id
+  ) s
+  WHERE n > 0
+),
+seqs AS (
+  SELECT seq_id, flatten(list(piece ORDER BY gstart)) AS toks,
+         count(*) AS n_docs
+  FROM pieces GROUP BY seq_id
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       toks[1] AS first_token,
+       toks[len(toks)] AS last_token
+FROM seqs
+""",
+)
+def q_materialize_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """The packing MATERIALIZER (packing.materialize_sequences): per-doc
+    token arrays → actual budget-sized training sequences (crossing docs
+    split across sequences, nothing truncated). The oracle replays the
+    slice/regroup arithmetic in SQL; token arrays stay out of the hash
+    (first/last token + counts pin the alignment scalar-wise — the full
+    concat-roundtrip invariant is pytest-pinned)."""
+    from kgfarm_spark.operators.packing import materialize_sequences
+    from kgfarm_spark.operators.textstats import _words
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        _words(F.coalesce(F.col("text"), F.lit(""))).alias("tokens"),
+    )
+    out = materialize_sequences(docs, "doc_id", "tokens", budget=_PACK_BUDGET)
+    return out.select(
+        "seq_id", "n_tokens", "n_docs",
+        F.element_at("tokens", 1).alias("first_token"),
+        F.element_at("tokens", -1).alias("last_token"),
+    )
+
+
+@register(
     "unigram_logprob",
     r"""
 WITH occ AS (

@@ -765,6 +765,12 @@ _DEFERRED_PAST_DRIVER_CAP = [
     # bpe_pair_counts_bytes (new this round, never driver-checked) and
     # unigram_seed_counts itself:
     "bpe_pair_counts",
+    # late-r06: materialize_sequences (the packing materializer) enters;
+    # pack_sequences defers — r05 driver-green, and the materializer
+    # CALLS pack_sequences inside its plan, so the planner's layout
+    # arithmetic stays driver-covered transitively (its own oracle
+    # remains hash-verified via tools/check_oracle.py):
+    "pack_sequences",
 ]
 
 

@@ -216,3 +216,99 @@ def stratified_mix_sample(
             F.round("__rate", 6).alias("rate"),
         )
     )
+
+
+def materialize_sequences(
+    tokens_df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "tokens",
+    budget: int = 2048,
+    pad_token=None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """The packing MATERIALIZER: per-doc token arrays → actual
+    fixed-length training sequences under the ``pack_sequences`` layout
+    (which plans offsets only; its docstring delegates the split
+    decision here). Returns one row per sequence:
+
+      (seq_id, tokens, n_tokens, n_docs[, n_pad])
+
+    Every sequence holds exactly ``budget`` tokens except the last
+    (padded to budget with ``pad_token`` when given, recording
+    ``n_pad``); a document crossing a boundary contributes its prefix to
+    one sequence and the remainder to the next (long documents span as
+    many sequences as they need — nothing is truncated). The exact
+    invariant, pytest-pinned: concatenating all sequences in seq order
+    reproduces concatenating all documents' tokens in id order.
+
+    Scale shape: everything is codegen'd array expressions — each doc
+    explodes into only the sequences it touches (⌈n_tokens/budget⌉ + 1
+    worst case, 1 for the typical doc), the ONE shuffle keys on seq_id,
+    and each group's state is bounded by ``budget`` tokens. No Python in
+    the row path, no global window (pack_sequences' range-bucket prefix
+    provides the offsets)."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    elem_type = None
+    for f in tokens_df.schema.fields:
+        if f.name == token_col:
+            elem_type = f.dataType.elementType.simpleString()
+    if elem_type is None:
+        raise ValueError(f"token_col {token_col!r} not found in tokens_df")
+    counts = tokens_df.select(
+        id_col, F.size(F.coalesce(F.col(token_col), F.array())).alias("n_tokens")
+    )
+    packed = pack_sequences(counts, id_col, "n_tokens", budget, n_buckets)
+    j = tokens_df.join(packed.select(id_col, "tokens_before", "seq_id"), id_col)
+    pieces = (
+        j.filter(F.size(F.coalesce(F.col(token_col), F.array())) > 0)
+        .select(
+            F.explode(
+                F.expr(
+                    f"""
+        transform(
+          sequence(seq_id,
+                   (tokens_before + size(`{token_col}`) - 1) DIV {budget}),
+          s -> struct(
+            s AS seq_id,
+            greatest(s * {budget}, tokens_before) AS gstart,
+            slice(`{token_col}`,
+                  CAST(greatest(s * {budget} - tokens_before, 0) + 1 AS INT),
+                  CAST(least((s + 1) * {budget},
+                             tokens_before + size(`{token_col}`))
+                       - greatest(s * {budget}, tokens_before) AS INT)
+                  ) AS piece))"""
+                )
+            ).alias("p")
+        )
+        .select("p.seq_id", "p.gstart", "p.piece")
+    )
+    out = (
+        pieces.groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(gstart, piece))),"
+                    " x -> x.piece)"
+                )
+            ).alias(token_col),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn("n_tokens", F.size(token_col))
+    )
+    if pad_token is not None:
+        pad = F.lit(budget) - F.col("n_tokens")
+        out = out.withColumn("n_pad", pad).withColumn(
+            token_col,
+            F.when(
+                pad > 0,
+                F.concat(
+                    F.col(token_col),
+                    F.array_repeat(F.lit(pad_token).cast(elem_type), pad.cast("int")),
+                ),
+            ).otherwise(F.col(token_col)),
+        )
+    return out.select(
+        "seq_id", token_col, "n_tokens", "n_docs",
+        *(["n_pad"] if pad_token is not None else []),
+    )

@@ -3169,3 +3169,70 @@ class TestProductQuantization:
         out = pq_topk(codes, queries.limit(0), books, k=5)
         assert out.count() == 0
         assert set(out.columns) >= {"query_id", "neighbor_id", "cosine"}
+
+
+class TestMaterializeSequences:
+    """packing.materialize_sequences — the layout materializer. The
+    binding invariant: concatenating all sequences in seq order equals
+    concatenating all docs' tokens in id order (nothing lost, nothing
+    reordered, nothing truncated)."""
+
+    def test_hand_fixture_with_padding(self, spark):
+        from kgfarm_spark.operators.packing import materialize_sequences
+
+        rows = [(1, ["a", "b", "c"]), (2, []), (3, ["d", "e", "f", "g", "h"]),
+                (4, ["i"]), (5, None)]
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+        out = {r["seq_id"]: r for r in materialize_sequences(
+            df, budget=4, pad_token="<pad>").collect()}
+        assert list(out[0]["tokens"]) == ["a", "b", "c", "d"]
+        assert out[0]["n_docs"] == 2 and out[0]["n_pad"] == 0
+        assert list(out[1]["tokens"]) == ["e", "f", "g", "h"]
+        assert list(out[2]["tokens"]) == ["i", "<pad>", "<pad>", "<pad>"]
+        assert out[2]["n_tokens"] == 1 and out[2]["n_pad"] == 3
+
+    def test_long_doc_spans_many_sequences(self, spark):
+        from kgfarm_spark.operators.packing import materialize_sequences
+
+        toks = [f"t{i}" for i in range(23)]
+        df = spark.createDataFrame(
+            [(1, ["x"]), (2, toks), (3, ["y", "z"])],
+            "doc_id long, tokens array<string>",
+        )
+        rows = materialize_sequences(df, budget=5).orderBy("seq_id").collect()
+        flat = [t for r in rows for t in r["tokens"]]
+        assert flat == ["x"] + toks + ["y", "z"]
+        assert [r["n_tokens"] for r in rows[:-1]] == [5] * (len(rows) - 1)
+        # the 23-token doc alone spans ceil(24/5)=5 sequences
+        assert sum(1 for r in rows if r["n_docs"] == 1) >= 3
+
+    def test_roundtrip_real_tokens_and_partition_invariance(self, spark):
+        from kgfarm_spark.operators.bpe import bpe_apply, bpe_train
+        from kgfarm_spark.operators.packing import materialize_sequences
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+        _, seg = bpe_train(docs, "text", n_merges=12, strategy="local")
+        toks = bpe_apply(docs, seg, "text", "doc_id").select("doc_id", "tokens")
+        toks = toks.localCheckpoint()
+        out = materialize_sequences(toks, budget=128).orderBy("seq_id")
+        rows = out.collect()
+        flat = [t for r in rows for t in r["tokens"]]
+        want = [t for r in toks.orderBy("doc_id").collect()
+                for t in r["tokens"]]
+        assert flat == want
+        assert all(r["n_tokens"] == 128 for r in rows[:-1])
+        assert {r["seq_id"] for r in rows} == set(range(len(rows)))
+        rows2 = materialize_sequences(
+            toks.repartition(7), budget=128).orderBy("seq_id").collect()
+        assert [list(r["tokens"]) for r in rows2] == \
+               [list(r["tokens"]) for r in rows]
+
+    def test_validation(self, spark):
+        from kgfarm_spark.operators.packing import materialize_sequences
+
+        df = spark.createDataFrame([(1, ["a"])], "doc_id long, tokens array<string>")
+        with pytest.raises(ValueError, match="budget"):
+            materialize_sequences(df, budget=0)
+        with pytest.raises(ValueError, match="token_col"):
+            materialize_sequences(df, token_col="nope")
