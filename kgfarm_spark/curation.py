@@ -72,6 +72,8 @@ def curate(
     dsir_k: int | None = None,
     pack_budget: int = 2048,
     tokenizer: tuple | None = None,
+    materialize: bool = False,
+    pad_token=None,
     manifest_path: str | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
@@ -81,6 +83,11 @@ def curate(
     ``pack_sequences`` layout of the surviving corpus (one row per doc:
     seq_id / offset / crosses_boundary) and ``manifest`` records every
     stage. Pass ``eval_df`` to decontaminate against a benchmark set.
+    ``materialize=True`` returns ACTUAL budget-sized token sequences
+    instead of the layout (``materialize_sequences``; one row per
+    sequence, optional ``pad_token`` on the final short one) — with
+    ``tokenizer=('bpe'|'unigram', model)`` those are real model tokens,
+    i.e. training-ready shards.
 
     Stage toggles: ``gopher=False`` skips quality filtering;
     ``neardup`` is ``'lsh'`` (MinHash-LSH candidates, exact-Jaccard
@@ -188,7 +195,7 @@ def curate(
     def _meta_path(stage: str) -> str:
         return f"{checkpoint_dir.rstrip('/')}/{stage}._meta.json"
 
-    def materialize(df2: DataFrame, stage: str) -> tuple[DataFrame, dict]:
+    def _materialize_stage(df2: DataFrame, stage: str) -> tuple[DataFrame, dict]:
         if checkpoint_dir is None:
             return _checkpointed(df2), {}
         path = f"{checkpoint_dir.rstrip('/')}/{stage}"
@@ -244,7 +251,7 @@ def curate(
 
     n_cur: int | None = None
     if not stage_done("input", {}):
-        cur, extra0 = materialize(docs, "input")
+        cur, extra0 = _materialize_stage(docs, "input")
         n_cur = cur.count()
         _write_meta("input", n_cur)
         stages.append(
@@ -259,7 +266,7 @@ def curate(
         # under-attributed those stages by minutes at 5M docs
         nonlocal cur, n_cur
         t0 = time.monotonic() if t_start is None else t_start
-        nxt, extra = materialize(nxt, name)
+        nxt, extra = _materialize_stage(nxt, name)
         n = nxt.count()
         _write_meta(name, n)
         stages.append(
@@ -396,11 +403,22 @@ def curate(
             )
         toks = tok_df.select(id_col, F.size("__tokens").alias("n_tokens"))
     else:
-        toks = cur.select(
-            id_col,
-            F.size(_words(F.coalesce(F.col(text_col), F.lit("")))).alias("n_tokens"),
+        tok_df = cur.select(
+            id_col, text_col,
+            _words(F.coalesce(F.col(text_col), F.lit(""))).alias("__tokens"),
         )
-    packed = pack_sequences(toks, id_col, "n_tokens", budget=pack_budget)
+        toks = tok_df.select(id_col, F.size("__tokens").alias("n_tokens"))
+    if materialize:
+        # skip the separate layout pass: materialize_sequences runs
+        # pack_sequences internally over the same counts
+        from kgfarm_spark.operators.packing import materialize_sequences
+
+        packed = materialize_sequences(
+            tok_df.select(id_col, F.col("__tokens").alias("tokens")),
+            id_col, "tokens", budget=pack_budget, pad_token=pad_token,
+        )
+    else:
+        packed = pack_sequences(toks, id_col, "n_tokens", budget=pack_budget)
     total_tokens = packed.agg(
         F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("n")
     ).first()
@@ -413,6 +431,9 @@ def curate(
             "sec": round(time.monotonic() - t0, 3),
             "budget": pack_budget,
             "tokenizer": tokenizer[0] if tokenizer else "whitespace",
+            # materialized: "rows" counts SEQUENCES (one row each);
+            # layout mode counts documents
+            "materialized": materialize,
             "total_tokens": n_tok,
             # ceil(total/budget): seq ids are 0..(t-1)//budget, so an
             # exactly-divisible total must NOT add a phantom sequence

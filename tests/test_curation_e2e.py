@@ -365,3 +365,38 @@ def test_tokenizer_aware_packing(spark):
         curate(docs, tokenizer=("sentencepiece", seg), **kw)
     with pytest.raises(ValueError, match="tokenizer"):
         curate(docs, tokenizer="bpe", **kw)
+
+
+def test_materialize_returns_training_sequences(spark):
+    """curate(materialize=True, tokenizer=...) must return actual
+    budget-sized sequences of real model tokens whose concatenation
+    reproduces the surviving corpus's tokens in id order."""
+    from kgfarm_spark.curation import curate
+    from kgfarm_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = _corpus(spark)
+    _, seg = bpe_train(docs, "text", n_merges=8, strategy="local")
+    seqs, manifest = curate(
+        docs, tokenizer=("bpe", seg), materialize=True, pad_token="<pad>",
+        gopher=False, exact=True, neardup=None, scorer=None, pack_budget=64,
+    )
+    rows = seqs.orderBy("seq_id").collect()
+    assert manifest["stages"][-1]["materialized"] is True
+    assert all(len(r["tokens"]) == 64 for r in rows)  # padded to budget
+    assert all(r["n_tokens"] == 64 for r in rows[:-1])
+    flat = [t for r in rows for t in r["tokens"] if t != "<pad>"]
+    survivors = seqs.sparkSession.createDataFrame(
+        [(r["seq_id"],) for r in rows], "seq_id long")  # noqa: F841
+    # recompute the surviving corpus's tokens independently: exact dedup
+    # is the only dropping stage here, so re-derive it from the manifest
+    # row count via the layout-mode twin
+    layout, man2 = curate(
+        docs, tokenizer=("bpe", seg),
+        gopher=False, exact=True, neardup=None, scorer=None, pack_budget=64,
+    )
+    kept = layout.select("doc_id")
+    want = [t for r in bpe_apply(docs.join(kept, "doc_id"), seg,
+                                 "text", "doc_id")
+            .orderBy("doc_id").collect() for t in r["tokens"]]
+    assert flat == want
+    assert manifest["stages"][-1]["total_tokens"] == len(want)
