@@ -838,7 +838,7 @@ def run_corpus_scale() -> dict:
         rec["local_5000_merges"] = st["merges"]
         return rec
 
-    def _unigram() -> dict:
+    def _unigram_tok() -> dict:
         """r06: SentencePiece-style unigram trainer + Viterbi apply at
         the 5M-doc corpus. Train is census-bound (distinct words only);
         apply is the bpe_apply broadcast shape (zero shuffle)."""
@@ -859,6 +859,21 @@ def run_corpus_scale() -> dict:
             "vocab": st["vocab"], "apply_sec": apply_sec,
             "apply_docs_per_sec": round(n_docs / apply_sec),
         }
+
+    def _materialize() -> dict:
+        """r06: the packing materializer at 5M docs / 150M tokens —
+        every token crosses the seq_id shuffle once (the unavoidable
+        cost of physically assembling sequences; the layout-only
+        pack_sequences row shuffles counts, not tokens)."""
+        from kgfarm_spark.operators.packing import materialize_sequences
+        from kgfarm_spark.operators.textstats import _words
+
+        toks = docs.select(
+            "doc_id", _words(F.coalesce(F.col("text"), F.lit(""))).alias("tokens")
+        )
+        out = materialize_sequences(toks, "doc_id", "tokens", budget=2048)
+        _noop(out)
+        return {"budget": 2048}
 
     def _bpe_apply() -> dict:
         from kgfarm_spark.operators.bpe import bpe_apply
@@ -919,7 +934,8 @@ def run_corpus_scale() -> dict:
         "bpe_train_batched": _bpe_batched,
         "bpe_train_bytes": _bpe_bytes,
         "bpe_train_local": _bpe_local,
-        "unigram_tokenizer": _unigram,
+        "unigram_tokenizer": _unigram_tok,
+        "materialize_sequences": _materialize,
         "bpe_apply": _bpe_apply,
         "online_score_frozen": _online,
     }
