@@ -3236,3 +3236,56 @@ class TestMaterializeSequences:
             materialize_sequences(df, budget=0)
         with pytest.raises(ValueError, match="token_col"):
             materialize_sequences(df, token_col="nope")
+
+
+# --- hypothesis properties for the r06 kernels -------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+
+@given(
+    h=hst.integers(1, 24), w=hst.integers(1, 24),
+    quality=hst.sampled_from([30, 75, 95]),
+    sub=hst.sampled_from(["4:4:4", "4:2:0"]),
+    ri=hst.sampled_from([0, 2]),
+    seed=hst.integers(0, 2**16),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_round_trip_property(h, w, quality, sub, ri, seed):
+    """Any geometry (incl. 1-pixel edges, non-multiple-of-8/16 dims),
+    any supported quality/subsampling/restart combination: encode →
+    decode must preserve shape/dtype and stay within lossy-codec error
+    (flat-ish content, so a generous PSNR floor holds)."""
+    from kgfarm_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(60, 196, (1, 1, 3), dtype=np.uint8)
+    img = np.clip(
+        base.astype(int) + rng.integers(-20, 21, (h, w, 3)), 0, 255
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality, restart_interval=ri,
+                                  subsampling=sub))
+    assert dec.shape == (h, w, 3) and dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - img.astype(int)).mean()
+    assert err < 40.0  # lossy, but never unmoored from the input
+
+
+@given(
+    docs=hst.lists(hst.lists(hst.integers(0, 9), max_size=12), min_size=1,
+                   max_size=20),
+    budget=hst.integers(1, 7),
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_materialize_roundtrip_property(spark, docs, budget):
+    """Random corpora × random budgets: concat of sequences == concat of
+    docs (id order); all but the last sequence exactly full."""
+    from kgfarm_spark.operators.packing import materialize_sequences
+
+    rows = [(i, [str(t) for t in d]) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    out = materialize_sequences(df, budget=budget).orderBy("seq_id").collect()
+    flat = [t for r in out for t in r["tokens"]]
+    want = [t for _, d in rows for t in d]
+    assert flat == want
+    assert all(r["n_tokens"] == budget for r in out[:-1])
