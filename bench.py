@@ -1066,6 +1066,66 @@ def run_llm_scale_bench() -> dict:
     return out
 
 
+def run_tok_scale_one(cpus: int) -> dict:
+    """One tokenize→materialize run at a given parallelism over the
+    5M-doc corpus (fresh subprocess per level, like --scale-one): the
+    r06 sequence-assembly path — whitespace tokens, budget 2048, every
+    token through the ONE seq_id shuffle."""
+    from pyspark.sql import functions as F
+
+    from kgfarm_spark.operators.packing import materialize_sequences
+    from kgfarm_spark.operators.textstats import _words
+    from kgfarm_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"kgfarm_tok_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+    docs = spark.read.parquet(DOCS_DIR)
+    n = docs.count()
+    toks = docs.select(
+        "doc_id", _words(F.coalesce(F.col("text"), F.lit(""))).alias("tokens")
+    )
+    job = materialize_sequences(toks, "doc_id", "tokens", budget=2048)
+    job.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.monotonic()
+    job.write.format("noop").mode("overwrite").save()
+    dt = time.monotonic() - t0
+    spark.stop()
+    return {"cpus": cpus, "docs": n, "sec": round(dt, 3)}
+
+
+def run_tok_scale() -> dict:
+    """North-rule pair for the materializer: 1 vs 4 cores, fresh
+    subprocess per level, merged into BENCH_LLM.json."""
+    ensure_llm_data()
+    path = os.path.join(REPO, "BENCH_LLM.json")
+    out: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    pair = {}
+    for level in (1, 4):
+        r = subprocess.run(
+            [sys.executable, __file__, "--tok-scale-one", str(level)],
+            capture_output=True, text=True, env=dict(os.environ),
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        pair[level] = json.loads(line)
+    thr1 = pair[1]["docs"] / pair[1]["sec"]
+    thr4 = pair[4]["docs"] / pair[4]["sec"]
+    out["materialize_scaling_1v4"] = {
+        "docs": pair[1]["docs"],
+        "sec_1": pair[1]["sec"], "sec_4": pair[4]["sec"],
+        "docs_per_sec_1": round(thr1), "docs_per_sec_4": round(thr4),
+        "scaling_efficiency": round((thr4 / thr1) / 4.0, 3),
+    }
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    return out["materialize_scaling_1v4"]
+
+
 def ensure_stream_data() -> None:
     """8M-turn transcripts written as FOUR time-range chunks with distinct
     mod times (the file source orders batches by modification time), so
@@ -1319,6 +1379,15 @@ def main() -> None:
     if "--llm-scale-one" in sys.argv:
         level = int(sys.argv[sys.argv.index("--llm-scale-one") + 1])
         print(json.dumps(run_llm_dedup_one(level)))
+        return
+
+    if "--tok-scale-one" in sys.argv:
+        level = int(sys.argv[sys.argv.index("--tok-scale-one") + 1])
+        print(json.dumps(run_tok_scale_one(level)))
+        return
+
+    if "--tok-scale" in sys.argv:
+        print(json.dumps(run_tok_scale()))
         return
 
     if "--corpus-scale" in sys.argv:
