@@ -3289,3 +3289,51 @@ def test_materialize_roundtrip_property(spark, docs, budget):
     want = [t for _, d in rows for t in d]
     assert flat == want
     assert all(r["n_tokens"] == budget for r in out[:-1])
+
+
+class TestResize:
+    """multimodal.resize_image / resize_media — the brief's resize leg."""
+
+    def test_kernel_nearest_and_bilinear(self):
+        from kgfarm_spark.operators.multimodal import resize_image
+
+        a = np.arange(4, dtype=np.uint8).reshape(2, 2)[:, :, None].repeat(3, 2)
+        up = resize_image(a, 4, 4, "nearest")
+        assert (up[:, :, 0] == np.array(
+            [[0, 0, 1, 1], [0, 0, 1, 1], [2, 2, 3, 3], [2, 2, 3, 3]])).all()
+        flat = np.full((5, 7, 3), 123, np.uint8)
+        assert (resize_image(flat, 3, 9) == 123).all()  # constant preserved
+        ramp = np.tile(np.linspace(0, 255, 16, dtype=np.uint8),
+                       (4, 1))[:, :, None].repeat(3, 2)
+        down = resize_image(ramp, 4, 8)
+        assert all(np.diff(down[0, :, 0].astype(int)) > 0)  # monotone ramp
+        g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        assert resize_image(g, 6, 8).shape == (6, 8)  # 2-D stays 2-D
+        with pytest.raises(ValueError, match="target"):
+            resize_image(flat, 0, 4)
+        with pytest.raises(ValueError, match="method"):
+            resize_image(flat, 2, 2, "lanczos")
+
+    def test_resize_media_distributed(self, spark):
+        from kgfarm_spark.operators.multimodal import (
+            decode_image_numpy,
+            resize_media,
+            synth_bmp_media_table,
+        )
+
+        media = synth_bmp_media_table(spark, n=12, seed=3, fmt="mixed")
+        out = resize_media(media, 16, 24, codec="png")
+        rows = out.collect()
+        assert len(rows) == 12
+        for r in rows:
+            img = decode_image_numpy(bytes(r["payload"]))
+            assert img.shape == (16, 24, 3)
+            assert r["meta"]["width"] == 24 and r["meta"]["height"] == 16
+            assert r["meta"]["codec"] == "png"
+        # partition invariance: decode is deterministic, payloads equal
+        again = {r["media_id"]: bytes(r["payload"])
+                 for r in resize_media(media.repartition(5), 16, 24,
+                                       codec="png").collect()}
+        assert again == {r["media_id"]: bytes(r["payload"]) for r in rows}
+        with pytest.raises(ValueError, match="codec"):
+            resize_media(media, 16, 24, codec="jpeg")
