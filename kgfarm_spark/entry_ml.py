@@ -219,24 +219,32 @@ def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     decode_image_numpy); since round 6 the image table is fmt='mixed' —
     BMP / zlib-COMPRESSED PNG (stdlib-inflate decoder,
     multimodal.decode_png) / lossy baseline JPEG (Huffman+IDCT decoder,
-    jpeg.decode_jpeg) cycling by id. The audio/video half keeps the
-    deterministic hash extractor (those codecs genuinely need external
+    jpeg.decode_jpeg) cycling by id; late-r06 the AUDIO leg is real too
+    (RIFF/PCM WAV decode + spectral/amplitude feature kernel,
+    multimodal.decode_wav/audio_stat_features — magic-byte dispatched in
+    the same real-kernel scan). The remaining hash extractor covers
+    video + non-WAV audio (those codecs genuinely need external
     libraries). Deterministic synth tables, independent of sf."""
     from kgfarm_spark.operators.multimodal import (
         extract_features,
         sample_frames,
         synth_bmp_media_table,
         synth_media_table,
+        synth_wav_media_table,
     )
 
     media = synth_media_table(spark, n=150, seed=42)
     bmp = synth_bmp_media_table(spark, n=50, seed=42, fmt="mixed")
+    wav = synth_wav_media_table(spark, n=30, seed=42)
     feats = (
         extract_features(media)
         .unionByName(
-            extract_features(bmp, fake_features=False).withColumn(
-                "media_id", F.col("media_id") + 1000
-            )
+            extract_features(
+                bmp.unionByName(
+                    wav.withColumn("media_id", F.col("media_id") + 500)
+                ),
+                fake_features=False,
+            ).withColumn("media_id", F.col("media_id") + 1000)
         )
         .select(
             "media_id",

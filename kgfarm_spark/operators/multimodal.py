@@ -499,17 +499,18 @@ def extract_features(
     features array<double>, n_bytes) out. The UDF is a generator over
     record batches — bounded memory regardless of partition size.
 
-    ``fake_features=False`` runs the REAL kernel: decode each payload
-    with the pure-numpy BMP/PPM decoder and emit ``image_stat_features``.
-    Compressed payloads raise NotImplementedError inside the UDF (the
-    honest boundary: this container has no codec library) — filter to
-    decodable rows first, or synthesize with ``synth_bmp_media_table``."""
+    ``fake_features=False`` runs the REAL kernel, dispatched by magic
+    bytes: RIFF/WAVE → ``decode_wav`` + ``audio_stat_features``;
+    everything else → the pure-numpy image decoders (BMP/PPM/PNG/
+    baseline JPEG) + ``image_stat_features``. Compressed payloads
+    outside those raise NotImplementedError inside the UDF (the honest
+    boundary: this container has no codec library) — filter to
+    decodable rows first, or synthesize with ``synth_bmp_media_table``
+    / ``synth_wav_media_table``."""
     import pandas as pd
 
     out_schema = "media_id long, kind string, n_bytes int, features array<double>"
-    kernel = _fake_feature_vector if fake_features else (
-        lambda payload: image_stat_features(decode_image_numpy(payload))
-    )
+    kernel = _fake_feature_vector if fake_features else real_feature_kernel
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -636,3 +637,170 @@ def resize_media(
             yield pdf
 
     return df.mapInPandas(gen, fields)
+
+
+# ---------------------------------------------------------------------------
+# Pure-python WAV (RIFF PCM) codec + audio feature kernel — the audio
+# analog of the image decoders above: the classic uncompressed container
+# decodes with stdlib struct + numpy, making the audio half of
+# ``extract_features(fake_features=False)`` a REAL kernel too.
+# Compressed audio (MP3/AAC/OGG — and non-PCM WAV format tags) stays
+# honestly gated: this container has no audio codec library.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """int16 samples (n,) or (n, channels) → RIFF/WAVE PCM bytes."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    if sample_rate < 1:
+        raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
+    data = a.astype("<i2").tobytes()
+    block = ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE PCM bytes → (int16 array (n, channels), sample_rate).
+    Supports format tag 1 (integer PCM, 8/16-bit) and tag 3 (float32,
+    scaled to int16); other tags (compressed WAV flavors) raise
+    NotImplementedError so callers can gate on a codec library."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV stream missing fmt/data chunk")
+    tag_id, ch, rate, _, _, bits = fmt
+    if tag_id == 1 and bits == 16:
+        a = np.frombuffer(data, dtype="<i2")
+    elif tag_id == 1 and bits == 8:
+        # 8-bit PCM is unsigned, center at 128, scale to int16
+        a = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8)
+    elif tag_id == 3 and bits == 32:
+        f = np.frombuffer(data, dtype="<f4")
+        a = np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int16)
+    else:
+        raise NotImplementedError(
+            f"only PCM 8/16-bit and float32 WAV decode natively "
+            f"(got format tag {tag_id}, {bits}-bit)"
+        )
+    n = (len(a) // ch) * ch
+    return a[:n].reshape(-1, ch), rate
+
+
+def audio_stat_features(samples, sample_rate: int) -> list[float]:
+    """Deterministic FEATURE_DIM-float audio descriptor: duration,
+    channel count, amplitude stats (normalized to [-1, 1]), zero-crossing
+    rate, spectral centroid (fraction of Nyquist), and 8 log-energy
+    bands of the mono mix's rFFT — the audio twin of
+    ``image_stat_features`` (numpy only, no windowing library)."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    if n == 0:
+        return [0.0] * FEATURE_DIM
+    mono = a.mean(axis=1) / 32768.0
+    rms = float(np.sqrt((mono**2).mean()))
+    zcr = float((np.diff(np.signbit(mono)) != 0).mean()) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(mono[:65536]))
+    power = spec**2
+    freqs = np.fft.rfftfreq(min(n, 65536), d=1.0 / sample_rate)
+    total = power.sum()
+    centroid = float((freqs * power).sum() / total / (sample_rate / 2)) if total else 0.0
+    bands = np.array_split(power, 8)
+    out = [
+        round(n / sample_rate, 6),
+        float(ch),
+        round(rms, 6),
+        round(float(np.abs(mono).max()), 6),
+        round(float(mono.mean()), 6),
+        round(float(mono.std()), 6),
+        round(zcr, 6),
+        round(centroid, 6),
+    ] + [round(float(np.log10(1.0 + b.sum())), 6) for b in bands]
+    return out[:FEATURE_DIM]
+
+
+def synth_wav_media_table(
+    spark: SparkSession, n: int = 50, seed: int = 42, sample_rate: int = 8000
+) -> DataFrame:
+    """Media table of REAL decodable audio — seeded two-tone sines +
+    noise per row, generated distributed (row content derives only from
+    (media_id, seed): partition-invariant like synth_bmp_media_table)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                rng = np.random.default_rng(seed * 2_000_003 + int(mid))
+                dur = float(rng.uniform(0.05, 0.2))
+                t = np.arange(int(dur * sample_rate)) / sample_rate
+                f1, f2 = rng.uniform(100, 2000, 2)
+                sig = (
+                    0.5 * np.sin(2 * np.pi * f1 * t)
+                    + 0.25 * np.sin(2 * np.pi * f2 * t)
+                    + 0.05 * rng.standard_normal(len(t))
+                )
+                pcm = np.clip(np.round(sig * 20000), -32768, 32767).astype(np.int16)
+                rows.append(
+                    (int(mid), "audio", encode_wav(pcm, sample_rate), len(pcm))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "n_samples"]
+            )
+
+    out = spark.range(0, n, 1, 4).mapInPandas(
+        gen, "media_id long, kind string, payload binary, n_samples int"
+    )
+    return out.select(
+        "media_id", "kind", "payload",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(sample_rate).alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+            F.lit("wav").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def real_feature_kernel(payload: bytes) -> list[float]:
+    """The fake_features=False dispatcher: RIFF/WAVE → audio kernel,
+    anything else → image decode + stat features."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, rate = decode_wav(bytes(payload))
+        return audio_stat_features(samples, rate)
+    return image_stat_features(decode_image_numpy(payload))
