@@ -2,15 +2,24 @@
 
 Media payloads are opaque ``binary`` columns + a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages. The container has no image/audio libraries, so
-COMPRESSED codecs are stubbed — but the two classic UNCOMPRESSED raster
-formats, BMP (24-bit BI_RGB) and PPM (binary P6), are decoded in pure
-numpy (``decode_image_numpy``), so ``extract_features(fake_features=
-False)`` runs a REAL decode → stat-feature kernel end-to-end in this
-sandbox (VERDICT r04 #5). ``decode_image`` still routes other formats
-to Pillow when present and raises NotImplementedError otherwise; the
+``mapInPandas`` stages. All THREE media families decode for REAL in
+this container with no codec library:
+
+- images: BMP-24/PPM-P6 (pure numpy), PNG (stdlib zlib + unfilter),
+  baseline JPEG (operators/jpeg.py — full Huffman + IDCT);
+- audio: RIFF/PCM WAV, 8/16-bit + float32 (``decode_wav``) with a
+  spectral/amplitude feature kernel (``audio_stat_features``);
+- video: Motion-JPEG AVI (``decode_avi_mjpeg``) — frame sampling
+  decodes ONLY the sampled frames (``decode_sampled_frames``).
+
+``extract_features(fake_features=False)`` dispatches by magic bytes and
+runs the real kernels end-to-end. What stays honestly gated is what
+genuinely needs an external decoder: inter-frame video codecs (H.264…),
+compressed audio (MP3/AAC), progressive/arithmetic JPEG and exotic
+raster subformats — ``decode_image`` falls through to Pillow when
+installed, everything else raises NotImplementedError. The
 deterministic fake extractor (``fake_features=True``) remains for
-payloads that are not images at all.
+payloads outside the native set.
 
 Scale notes: media rows are large — ``load_media`` repartitions the scan
 to a byte budget computed from the file listing, and the UDF streams
@@ -804,3 +813,177 @@ def real_feature_kernel(payload: bytes) -> list[float]:
         samples, rate = decode_wav(bytes(payload))
         return audio_stat_features(samples, rate)
     return image_stat_features(decode_image_numpy(payload))
+
+
+# ---------------------------------------------------------------------------
+# Pure-python Motion-JPEG AVI codec — the video analog: an AVI (RIFF)
+# container whose frames are baseline JPEGs, decodable end-to-end with
+# the operators/jpeg.py codec. This makes the THIRD media family real:
+# frame sampling can decode exactly the sampled frames (the access
+# pattern sample_frames' plan promises). Inter-frame codecs (H.264 etc.)
+# stay honestly gated — they need a real decoder library.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 85) -> bytes:
+    """List of (H, W, 3) uint8 frames (equal sizes) → Motion-JPEG AVI
+    bytes ('00dc' chunks of baseline JPEG, minimal hdrl/movi layout)."""
+    import struct
+
+    from kgfarm_spark.operators.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    if fps < 1:
+        raise ValueError(f"fps must be >= 1, got {fps}")
+    blobs = []
+    for fr in frames:
+        if fr.shape[:2] != (h, w):
+            raise ValueError("all frames must share one geometry")
+        b = encode_jpeg(fr, quality=quality, subsampling="4:2:0")
+        blobs.append(b + (b"\x00" if len(b) % 2 else b""))  # word-align
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10, len(blobs), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0,
+                                        len(blobs), 0, 10000, -1)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return tag + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) % 2 else b""
+        )
+
+    strl = b"LIST" + struct.pack(
+        "<I", 4 + len(chunk(b"strh", strh)) + len(chunk(b"strf", strf))
+    ) + b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl_body = chunk(b"avih", avih) + strl
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl_body)) + b"hdrl" + hdrl_body
+    movi_body = b"".join(chunk(b"00dc", b) for b in blobs)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes, frame_indices=None):
+    """Motion-JPEG AVI bytes → list of (H, W, 3) uint8 frames.
+    ``frame_indices`` (sorted iterable) decodes ONLY those frames — the
+    container walk skips the others' bytes entirely, which is the whole
+    point of frame sampling: cost scales with frames KEPT, not frames
+    stored. Non-MJPEG AVI raises NotImplementedError."""
+    import struct
+
+    from kgfarm_spark.operators.jpeg import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    want = None if frame_indices is None else sorted(set(frame_indices))
+    out = []
+    idx = 0
+
+    def walk(pos: int, end: int):
+        nonlocal idx
+        while pos + 8 <= end:
+            tag = payload[pos : pos + 4]
+            size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            if tag == b"LIST":
+                walk(pos + 12, pos + 8 + size)
+            elif tag[2:4] in (b"dc", b"db"):
+                if tag == b"00dc" and payload[pos + 8 : pos + 11] != b"\xff\xd8\xff":
+                    raise NotImplementedError(
+                        "only Motion-JPEG AVI decodes natively (frame is "
+                        "not a JPEG — an inter-frame codec needs a real "
+                        "decoder library)"
+                    )
+                if want is None or idx in want:
+                    data = payload[pos + 8 : pos + 8 + size]
+                    out.append(decode_jpeg(data.rstrip(b"\x00") or data))
+                idx += 1
+            pos += 8 + size + (size & 1)
+
+    walk(12, 12 + struct.unpack("<I", payload[4:8])[0] - 4)
+    return out
+
+
+def synth_mjpeg_media_table(
+    spark: SparkSession, n: int = 20, seed: int = 42,
+    n_frames: int = 12, side: int = 16, fps: int = 10,
+) -> DataFrame:
+    """Media table of REAL decodable video — seeded moving-gradient
+    MJPEG-AVI clips, generated distributed and partition-invariant
+    (each clip derives only from (media_id, seed))."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                rng = np.random.default_rng(seed * 3_000_017 + int(mid))
+                phase = int(rng.integers(0, 256))
+                frames = []
+                yy, xx = np.mgrid[0:side, 0:side]
+                for f in range(n_frames):
+                    img = np.stack(
+                        [(xx * 8 + f * 16 + phase) % 256,
+                         (yy * 8 + f * 8) % 256,
+                         np.full((side, side), (f * 32) % 256)],
+                        axis=2,
+                    ).astype(np.uint8)
+                    frames.append(img)
+                rows.append(
+                    (int(mid), "video", encode_avi_mjpeg(frames, fps=fps))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    out = spark.range(0, n, 1, 4).mapInPandas(
+        gen, "media_id long, kind string, payload binary"
+    )
+    return out.select(
+        "media_id", "kind", "payload",
+        F.struct(
+            F.lit(side).alias("width"), F.lit(side).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(n_frames).alias("n_frames"),
+            F.lit("mjpeg-avi").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def decode_sampled_frames(
+    df: DataFrame, every_nth: int = 10, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL frame sampling over MJPEG-AVI video rows: take
+    ``sample_frames``' plan (the JVM-side frame-index explode) and
+    actually decode exactly those frames, Arrow-batched — one output row
+    per sampled frame with the decoded frame's stat features. The
+    container walk skips non-sampled frames' bytes, so decode cost
+    scales with frames kept."""
+    import pandas as pd
+
+    idx = sample_frames(df, every_nth).groupBy("media_id").agg(
+        F.collect_list("frame_idx").alias("__idx")
+    )
+    j = df.filter(F.col("kind") == "video").join(idx, "media_id")
+    out_schema = "media_id long, frame_idx int, features array<double>"
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                want = sorted(int(i) for i in r["__idx"])
+                frames = decode_avi_mjpeg(bytes(r[payload_col]), want)
+                for i, fr in zip(want, frames):
+                    rows.append((int(r["media_id"]), i, image_stat_features(fr)))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "frame_idx", "features"]
+                )
+
+    return j.mapInPandas(gen, out_schema)

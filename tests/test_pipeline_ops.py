@@ -3430,3 +3430,88 @@ class TestAudioWav:
         }
         assert got == want
         assert len({k for k in got if k >= 1000}) == 9  # audio rows present
+
+
+class TestVideoMjpegAvi:
+    """multimodal MJPEG-AVI codec + real sampled-frame decode — the
+    video family joins images and audio as a REAL kernel (the jpeg.py
+    codec decodes the frames; inter-frame codecs stay gated)."""
+
+    @staticmethod
+    def _frames(n=6, side=16, seed=0):
+        yy, xx = np.mgrid[0:side, 0:side]
+        return [
+            np.stack([(xx * 8 + f * 16 + seed) % 256, (yy * 8 + f * 8) % 256,
+                      np.full((side, side), (f * 32) % 256)], axis=2
+                     ).astype(np.uint8)
+            for f in range(n)
+        ]
+
+    def test_container_round_trip_and_selection(self):
+        from kgfarm_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        frames = self._frames(6)
+        avi = encode_avi_mjpeg(frames, fps=10, quality=90)
+        assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+        dec = decode_avi_mjpeg(avi)
+        assert len(dec) == 6 and all(f.shape == (16, 16, 3) for f in dec)
+        # selection decodes EXACTLY the requested frames, bit-equal to
+        # the full decode's corresponding entries
+        sel = decode_avi_mjpeg(avi, [1, 4])
+        assert len(sel) == 2
+        assert (sel[0] == dec[1]).all() and (sel[1] == dec[4]).all()
+        # lossy fidelity on gradient frames
+        err = np.abs(dec[0].astype(int) - frames[0].astype(int)).mean()
+        assert err < 12.0
+        assert encode_avi_mjpeg(frames, 10, 90) == avi  # deterministic
+
+    def test_gates_and_validation(self):
+        import struct
+
+        from kgfarm_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        with pytest.raises(ValueError, match="frame"):
+            encode_avi_mjpeg([])
+        with pytest.raises(ValueError, match="geometry"):
+            encode_avi_mjpeg([np.zeros((8, 8, 3), np.uint8),
+                              np.zeros((8, 9, 3), np.uint8)])
+        with pytest.raises(ValueError, match="AVI"):
+            decode_avi_mjpeg(b"RIFFxxxxWAVE")
+        # a '00dc' frame that is not JPEG -> honest inter-frame gate
+        raw = b"notjpeg!"
+        movi = b"LIST" + struct.pack("<I", 4 + 8 + len(raw)) + b"movi" + \
+            b"00dc" + struct.pack("<I", len(raw)) + raw
+        body = b"AVI " + movi
+        fake = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(NotImplementedError, match="Motion-JPEG"):
+            decode_avi_mjpeg(fake)
+
+    def test_decode_sampled_frames_distributed(self, spark):
+        from kgfarm_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+            decode_sampled_frames,
+            image_stat_features,
+            synth_mjpeg_media_table,
+        )
+
+        media = synth_mjpeg_media_table(spark, n=6, seed=9, n_frames=12)
+        out = decode_sampled_frames(media, every_nth=5)
+        got = {(r["media_id"], r["frame_idx"]): list(r["features"])
+               for r in out.collect()}
+        # 12 frames sampled every 5th -> indices 0, 5, 10 per clip
+        assert {i for _, i in got} == {0, 5, 10} and len(got) == 18
+        # driver twin equality
+        for r in media.collect():
+            frames = decode_avi_mjpeg(bytes(r["payload"]), [0, 5, 10])
+            for i, fr in zip([0, 5, 10], frames):
+                assert got[(r["media_id"], i)] == image_stat_features(fr)
+        again = {(r["media_id"], r["frame_idx"]): list(r["features"])
+                 for r in decode_sampled_frames(
+                     media.repartition(5), every_nth=5).collect()}
+        assert again == got
