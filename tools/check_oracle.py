@@ -3,6 +3,12 @@ query on Spark and its oracle SQL on DuckDB at sf0.01, compare row count,
 schema (column names), and an order-insensitive value hash.
 
 Usage: python tools/check_oracle.py [query ...]
+       python tools/check_oracle.py --shard K/N   # oracle names split into
+                                                  # N deterministic shards,
+                                                  # run shard K (1-based) —
+                                                  # the full 84-oracle gate
+                                                  # no longer fits a single
+                                                  # 10-minute sitting
 """
 
 from __future__ import annotations
@@ -48,7 +54,16 @@ def main():
     import __spark_entry__ as entry_mod
     from kgfarm_spark.session import get_spark
 
-    wanted = sys.argv[1:] or None
+    args = sys.argv[1:]
+    shard = None
+    if "--shard" in args:
+        i = args.index("--shard")
+        k, n = (int(x) for x in args[i + 1].split("/"))
+        if not 1 <= k <= n:
+            raise SystemExit(f"--shard K/N needs 1 <= K <= N, got {k}/{n}")
+        shard = (k, n)
+        args = args[:i] + args[i + 2 :]
+    wanted = args or None
     spark = get_spark(master="local[8]", shuffle_partitions=8)
 
     con = duckdb.connect()
@@ -57,6 +72,11 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if shard is not None:
+        k, n = shard
+        names = list(oracles)  # registration order — stable across runs
+        mine = set(names[k - 1 :: n])
+        qs = {name: fn for name, fn in qs.items() if name in mine}
     failures = 0
     for name, fn in qs.items():
         if wanted and name not in wanted:
