@@ -797,6 +797,96 @@ def q_materialize_sequences(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "gopher_repetition_full",
+    r"""
+WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+lns AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+             x -> regexp_replace(x, '^[\t\r ]+|[\t\r ]+$', '', 'g')),
+             x -> len(x) > 0) AS u
+  FROM docs),
+prs AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10) || chr(10)),
+             x -> regexp_replace(x, '^[\t\r\n ]+|[\t\r\n ]+$', '', 'g')),
+             x -> len(x) > 0) AS u
+  FROM docs),
+luc AS (SELECT doc_id, unit, count(*) AS c, len(unit) AS ln
+        FROM (SELECT doc_id, unnest(u) AS unit FROM lns) GROUP BY 1, 2),
+lagg AS (SELECT doc_id,
+           round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_line_frac,
+           round(coalesce(sum(CASE WHEN c >= 2 THEN c * ln END), 0) * 1.0
+                 / sum(c * ln), 6) AS dup_line_char_frac
+         FROM luc GROUP BY 1),
+puc AS (SELECT doc_id, unit, count(*) AS c, len(unit) AS ln
+        FROM (SELECT doc_id, unnest(u) AS unit FROM prs) GROUP BY 1, 2),
+pagg AS (SELECT doc_id,
+           round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_para_frac,
+           round(coalesce(sum(CASE WHEN c >= 2 THEN c * ln END), 0) * 1.0
+                 / sum(c * ln), 6) AS dup_para_char_frac
+         FROM puc GROUP BY 1),
+toks AS (SELECT doc_id, greatest(len(text), 1) AS nc,
+                list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> len(x) > 0) AS w
+         FROM docs),
+g AS (SELECT doc_id, nc, n,
+             unnest(CASE WHEN len(w) >= n THEN
+                 list_transform(generate_series(1, len(w) - n + 1),
+                     i -> array_to_string(list_slice(w, i, i + n - 1), ' '))
+               ELSE [] END) AS gram
+      FROM toks, (SELECT unnest(range(2, 11)) AS n) ns),
+gc AS (SELECT doc_id, nc, n, gram, count(*) AS c FROM g GROUP BY ALL),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+             ORDER BY c DESC, len(gram) DESC, gram DESC) AS rk FROM gc),
+gn AS (SELECT doc_id, nc, n,
+         max(CASE WHEN rk = 1 THEN c * len(gram) END) AS top_mass,
+         sum(CASE WHEN c >= 2 THEN c * len(gram) ELSE 0 END) AS dup_mass
+       FROM ranked GROUP BY 1, 2, 3),
+piv AS (SELECT doc_id,
+  round(least(1.0, coalesce(max(CASE WHEN n = 2 THEN top_mass * 1.0 / nc END), 0.0)), 6) AS top_2gram_char_frac,
+  round(least(1.0, coalesce(max(CASE WHEN n = 3 THEN top_mass * 1.0 / nc END), 0.0)), 6) AS top_3gram_char_frac,
+  round(least(1.0, coalesce(max(CASE WHEN n = 4 THEN top_mass * 1.0 / nc END), 0.0)), 6) AS top_4gram_char_frac,
+  round(least(1.0, coalesce(max(CASE WHEN n = 5 THEN dup_mass * 1.0 / nc END), 0.0)), 6) AS dup_5gram_char_frac,
+  round(least(1.0, coalesce(max(CASE WHEN n = 6 THEN dup_mass * 1.0 / nc END), 0.0)), 6) AS dup_6gram_char_frac,
+  round(least(1.0, coalesce(max(CASE WHEN n = 7 THEN dup_mass * 1.0 / nc END), 0.0)), 6) AS dup_7gram_char_frac,
+  round(least(1.0, coalesce(max(CASE WHEN n = 8 THEN dup_mass * 1.0 / nc END), 0.0)), 6) AS dup_8gram_char_frac,
+  round(least(1.0, coalesce(max(CASE WHEN n = 9 THEN dup_mass * 1.0 / nc END), 0.0)), 6) AS dup_9gram_char_frac,
+  round(least(1.0, coalesce(max(CASE WHEN n = 10 THEN dup_mass * 1.0 / nc END), 0.0)), 6) AS dup_10gram_char_frac
+  FROM gn GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(la.dup_line_frac, 0.0) AS dup_line_frac,
+       coalesce(la.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       coalesce(pa.dup_para_frac, 0.0) AS dup_para_frac,
+       coalesce(pa.dup_para_char_frac, 0.0) AS dup_para_char_frac,
+       coalesce(p.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+       coalesce(p.top_3gram_char_frac, 0.0) AS top_3gram_char_frac,
+       coalesce(p.top_4gram_char_frac, 0.0) AS top_4gram_char_frac,
+       coalesce(p.dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac,
+       coalesce(p.dup_6gram_char_frac, 0.0) AS dup_6gram_char_frac,
+       coalesce(p.dup_7gram_char_frac, 0.0) AS dup_7gram_char_frac,
+       coalesce(p.dup_8gram_char_frac, 0.0) AS dup_8gram_char_frac,
+       coalesce(p.dup_9gram_char_frac, 0.0) AS dup_9gram_char_frac,
+       coalesce(p.dup_10gram_char_frac, 0.0) AS dup_10gram_char_frac
+FROM docs d
+LEFT JOIN lagg la USING (doc_id)
+LEFT JOIN pagg pa USING (doc_id)
+LEFT JOIN piv p USING (doc_id)
+""",
+)
+def q_gopher_repetition_full(spark: SparkSession, sf: str) -> DataFrame:
+    """The complete Gopher Table A1 repetition family
+    (textstats.gopher_repetition_full): line/paragraph dup + char
+    fractions, top-{2,3,4}-gram char fractions, dup-{5..10}-gram char
+    fractions — conventions in the operator docstring, replayed exactly
+    by the oracle."""
+    from kgfarm_spark.operators.textstats import gopher_repetition_full
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return gopher_repetition_full(docs)
+
+
+@register(
     "unigram_logprob",
     r"""
 WITH occ AS (

@@ -771,6 +771,12 @@ _DEFERRED_PAST_DRIVER_CAP = [
     # arithmetic stays driver-covered transitively (its own oracle
     # remains hash-verified via tools/check_oracle.py):
     "pack_sequences",
+    # late-r06: gopher_repetition_full (the complete Table A1 repetition
+    # family) enters; gopher_line_rules defers — r05 driver-green, and
+    # the Gopher family stays in-window TWICE via quality_gate and the
+    # new full-repetition oracle (which subsumes repetition_signals'
+    # dup-line statistic):
+    "gopher_line_rules",
 ]
 
 

@@ -995,3 +995,145 @@ def kn3_logprob(
             6,
         ).alias("mean_logprob"),
     )
+
+
+def gopher_repetition_full(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The COMPLETE Gopher Table A1 repetition family (Rae et al. 2021)
+    — `repetition_signals` ships the two headline stats; this adds the
+    rest of the table:
+
+      dup_line_frac, dup_line_char_frac,
+      dup_para_frac, dup_para_char_frac          (paragraphs = '\\n\\n')
+      top_{2,3,4}gram_char_frac                  (most frequent n-gram)
+      dup_{5..10}gram_char_frac                  (n-grams occurring ≥ 2)
+
+    Conventions (documented because the paper doesn't pin them; the
+    DuckDB oracle replays these EXACTLY): line/paragraph units are
+    trimmed of ASCII line whitespace with blanks dropped (`_clean_lines`
+    semantics); their char fractions use the units' total characters as
+    the denominator. N-gram char fractions use ``length(text)`` as the
+    denominator and an occurrence-weighted numerator count×len(gram)
+    WITHOUT overlap dedup, capped at 1.0 (the standard approximation —
+    exact overlap accounting needs per-position bookkeeping the paper
+    leaves unspecified; self-overlapping repeats like 'spam spam spam'
+    would otherwise push the weighted mass past the document length). Top-gram ties break deterministically by (count,
+    gram length, gram) descending.
+
+    Scale shape: line/paragraph stats are per-row array expressions
+    (O(units²) inside one row — bounded by document size, no shuffle);
+    the n-gram half tags every order 2..10 into ONE flattened explode
+    (≤ 9 × words rows), one (doc, n, gram) groupBy with map-side
+    combine, one per-(doc, n) aggregate, and a conditional-agg pivot —
+    three linear shuffles total for all nine orders."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+
+    def unit_stats(units):
+        distinct = F.array_distinct(units)
+        per = F.transform(
+            distinct,
+            lambda u: F.struct(
+                F.size(F.filter(units, lambda x: x == u)).alias("c"),
+                F.length(u).alias("ln"),
+            ),
+        )
+        n_units = F.size(units)
+        dup_frac = F.when(
+            n_units > 0, 1.0 - F.size(distinct) / n_units
+        ).otherwise(0.0)
+        chars_dup = F.aggregate(
+            per,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.when(s["c"] >= 2, s["c"].cast("long") * s["ln"]).otherwise(0),
+        )
+        chars_tot = F.aggregate(
+            units, F.lit(0).cast("long"), lambda acc, u: acc + F.length(u)
+        )
+        dup_char_frac = F.when(
+            chars_tot > 0, chars_dup / chars_tot
+        ).otherwise(0.0)
+        return F.round(dup_frac, 6), F.round(dup_char_frac, 6)
+
+    lines = _clean_lines(txt)
+    paras = F.filter(
+        F.transform(
+            F.split(txt, r"\n\n"),
+            lambda x: F.regexp_replace(x, r"^[\t\r\n ]+|[\t\r\n ]+$", ""),
+        ),
+        lambda x: F.length(x) > 0,
+    )
+    dlf, dlcf = unit_stats(lines)
+    dpf, dpcf = unit_stats(paras)
+    base = df.select(
+        F.col(id_col),
+        dlf.alias("dup_line_frac"),
+        dlcf.alias("dup_line_char_frac"),
+        dpf.alias("dup_para_frac"),
+        dpcf.alias("dup_para_char_frac"),
+        F.greatest(F.length(txt), F.lit(1)).alias("__nc"),
+        _words(txt).alias("__toks"),
+    )
+    gram_arrays = [
+        F.when(
+            F.size("__toks") >= n,
+            F.expr(
+                f"transform(sequence(0, size(__toks) - {n}), "
+                f"i -> struct({n} AS n, "
+                f"concat_ws(' ', slice(__toks, i + 1, {n})) AS g))"
+            ),
+        ).otherwise(F.expr("array()").cast("array<struct<n:int,g:string>>"))
+        for n in range(2, 11)
+    ]
+    grams = (
+        base.select(id_col, "__nc", F.explode(F.flatten(F.array(*gram_arrays))).alias("p"))
+        .select(id_col, "__nc", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
+        .groupBy(id_col, "__nc", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_n = grams.groupBy(id_col, "__nc", "n").agg(
+        F.max(F.struct(F.col("c"), F.length("g").alias("ln"), F.col("g"))).alias("top"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(0)
+        ).alias("dup_chars"),
+    )
+    top_cols = [
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("n") == n,
+                            F.col("top.c").cast("double") * F.col("top.ln")
+                            / F.col("__nc"),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+            ),
+            6,
+        ).alias(f"top_{n}gram_char_frac")
+        for n in (2, 3, 4)
+    ]
+    dup_cols = [
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(
+                    F.max(
+                        F.when(F.col("n") == n, F.col("dup_chars") / F.col("__nc"))
+                    ),
+                    F.lit(0.0),
+                ),
+            ),
+            6,
+        ).alias(f"dup_{n}gram_char_frac")
+        for n in range(5, 11)
+    ]
+    pivoted = per_n.groupBy(id_col).agg(*top_cols, *dup_cols)
+    out = base.drop("__nc", "__toks").join(pivoted, id_col, "left")
+    fills = {f"top_{n}gram_char_frac": 0.0 for n in (2, 3, 4)}
+    fills.update({f"dup_{n}gram_char_frac": 0.0 for n in range(5, 11)})
+    return out.fillna(fills)

@@ -3515,3 +3515,51 @@ class TestVideoMjpegAvi:
                  for r in decode_sampled_frames(
                      media.repartition(5), every_nth=5).collect()}
         assert again == got
+
+
+class TestGopherRepetitionFull:
+    """textstats.gopher_repetition_full — the complete Table A1
+    repetition family, hand-computed fixture + the overlap cap."""
+
+    def test_hand_computed(self, spark):
+        from kgfarm_spark.operators.textstats import gopher_repetition_full
+
+        docs = [
+            (1, "spam spam spam spam spam spam"),
+            (2, "a b c d e f g h i j"),
+            (3, "line one\nline one\nline two\n\npara\n\npara"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict()
+               for r in gopher_repetition_full(df).collect()}
+        # doc 1: 'spam spam' bigram count 5 x 9 chars = 45 > 29 chars ->
+        # capped at 1.0; 5-gram 'spam x5' occurs twice -> dup mass 2x24=48
+        # -> capped
+        assert got[1]["top_2gram_char_frac"] == 1.0
+        assert got[1]["dup_5gram_char_frac"] == 1.0
+        assert got[1]["dup_6gram_char_frac"] == 0.0
+        # doc 2: all distinct -> top bigram 'a b' (tie -> lexicographic
+        # max 'i j'), count 1 x 3 chars / 19 chars
+        assert got[2]["top_2gram_char_frac"] == round(3 / 19, 6)
+        assert got[2]["dup_5gram_char_frac"] == 0.0
+        # doc 3 lines (blank lines dropped): [line one, line one,
+        # line two, para, para] -> 3 distinct of 5; duplicated chars
+        # 'line one'x2 (16) + 'para'x2 (8) of 32 total
+        assert got[3]["dup_line_frac"] == round(1 - 3 / 5, 6)
+        assert got[3]["dup_line_char_frac"] == round(24 / 32, 6)
+        # paragraphs: ['line one\nline one\nline two', 'para', 'para']
+        assert got[3]["dup_para_frac"] == round(1 - 2 / 3, 6)
+        assert got[3]["dup_para_char_frac"] == round(8 / 34, 6)
+        # null text -> all zeros
+        assert all(v == 0.0 for k, v in got[4].items() if k != "doc_id")
+
+    def test_partition_invariance(self, spark):
+        from kgfarm_spark.operators.textstats import gopher_repetition_full
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+        a = sorted(map(tuple, gopher_repetition_full(docs).collect()))
+        b = sorted(map(tuple, gopher_repetition_full(
+            docs.repartition(7)).collect()))
+        assert a == b
