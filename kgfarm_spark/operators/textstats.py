@@ -646,6 +646,8 @@ def gopher_filter(
     max_top_bigram_frac: float = 0.20,
     gate_kw: dict | None = None,
     line_kw: dict | None = None,
+    full_repetition: bool = False,
+    repetition_caps: dict | None = None,
 ) -> DataFrame:
     """The complete published Gopher document filter (Rae et al. 2021
     Table A1) as one call: ``quality_gate`` (word count / mean word
@@ -670,13 +672,21 @@ def gopher_filter(
     stateless = gopher_line_rules(
         gate, id_col, text_col, append=True, **(line_kw or {})
     ).select(id_col, "gate_ok", F.col("keep").alias("lines_ok"))
-    rep = repetition_signals(df, id_col, text_col).select(
-        id_col,
-        (
-            (F.col("dup_line_frac") <= max_dup_line_frac)
-            & (F.col("top_bigram_frac") <= max_top_bigram_frac)
-        ).alias("repetition_ok"),
-    )
+    if full_repetition:
+        # the COMPLETE Table A1 repetition thresholds (all 13 published
+        # caps over gopher_repetition_full) instead of the two headline
+        # stats; override any cap via repetition_caps
+        rep = gopher_repetition_verdict(
+            df, id_col, text_col, caps=repetition_caps
+        ).select(id_col, F.col("keep").alias("repetition_ok"))
+    else:
+        rep = repetition_signals(df, id_col, text_col).select(
+            id_col,
+            (
+                (F.col("dup_line_frac") <= max_dup_line_frac)
+                & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+            ).alias("repetition_ok"),
+        )
     return stateless.join(rep, id_col).select(
         id_col,
         "gate_ok",
@@ -1137,3 +1147,52 @@ def gopher_repetition_full(
     fills = {f"top_{n}gram_char_frac": 0.0 for n in (2, 3, 4)}
     fills.update({f"dup_{n}gram_char_frac": 0.0 for n in range(5, 11)})
     return out.fillna(fills)
+
+
+#: Gopher Table A1 repetition caps (Rae et al. 2021): keep a document
+#: only when every repetition statistic is at or under its threshold.
+GOPHER_REPETITION_CAPS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition_verdict(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    caps: dict | None = None,
+) -> DataFrame:
+    """Table A1's PUBLISHED repetition thresholds over
+    ``gopher_repetition_full``: per-stat boolean flags (``<stat>_ok``)
+    plus their conjunction ``keep``. ``caps`` overrides any subset of
+    ``GOPHER_REPETITION_CAPS`` (unknown keys raise — a typo'd cap would
+    otherwise silently not tighten anything)."""
+    eff = dict(GOPHER_REPETITION_CAPS)
+    for k, v in (caps or {}).items():
+        if k not in eff:
+            raise ValueError(
+                f"unknown repetition cap {k!r}; valid: {sorted(eff)}"
+            )
+        eff[k] = v
+    stats = gopher_repetition_full(df, id_col, text_col)
+    flags = [
+        (F.col(c) <= F.lit(float(thr))).alias(f"{c}_ok") for c, thr in eff.items()
+    ]
+    out = stats.select(id_col, *flags)
+    keep = None
+    for c in eff:
+        k = F.col(f"{c}_ok")
+        keep = k if keep is None else (keep & k)
+    return out.withColumn("keep", keep)

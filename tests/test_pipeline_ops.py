@@ -3563,3 +3563,36 @@ class TestGopherRepetitionFull:
         b = sorted(map(tuple, gopher_repetition_full(
             docs.repartition(7)).collect()))
         assert a == b
+
+
+def test_gopher_repetition_verdict_and_filter(spark):
+    """The published Table A1 repetition caps over the full stat family:
+    per-rule flags + conjunction; gopher_filter(full_repetition=True)
+    routes its repetition leg through them; unknown cap keys raise."""
+    from kgfarm_spark.operators.textstats import (
+        GOPHER_REPETITION_CAPS,
+        gopher_filter,
+        gopher_repetition_full,
+        gopher_repetition_verdict,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    v = {r["doc_id"]: r for r in gopher_repetition_verdict(docs).collect()}
+    stats = {r["doc_id"]: r for r in gopher_repetition_full(docs).collect()}
+    for did, r in v.items():
+        for c, thr in GOPHER_REPETITION_CAPS.items():
+            assert r[f"{c}_ok"] == (stats[did][c] <= thr), (did, c)
+        assert r["keep"] == all(
+            r[f"{c}_ok"] for c in GOPHER_REPETITION_CAPS)
+    # realistic corpus: the caps bind but don't zero the corpus
+    kept = sum(1 for r in v.values() if r["keep"])
+    assert 0 < kept < len(v)
+    f = gopher_filter(
+        docs, gate_kw={"max_digit_ratio": 1.0, "min_stopword_hits": 0},
+        full_repetition=True,
+    )
+    got = {r["doc_id"]: r["repetition_ok"] for r in f.collect()}
+    assert got == {did: r["keep"] for did, r in v.items()}
+    with pytest.raises(ValueError, match="unknown repetition cap"):
+        gopher_repetition_verdict(docs, caps={"typo_frac": 0.5})
