@@ -860,6 +860,16 @@ def run_corpus_scale() -> dict:
             "apply_docs_per_sec": round(n_docs / apply_sec),
         }
 
+    def _gopher_rep_full() -> dict:
+        """r06: the complete Table A1 repetition family — the 9-order
+        n-gram explode is ~9x the corpus word count through one
+        (doc, n, gram) groupBy; the per-row line/paragraph stats ride
+        free."""
+        from kgfarm_spark.operators.textstats import gopher_repetition_full
+
+        _noop(gopher_repetition_full(docs, "doc_id", "text"))
+        return {"orders": "2-10"}
+
     def _materialize() -> dict:
         """r06: the packing materializer at 5M docs / 150M tokens —
         every token crosses the seq_id shuffle once (the unavoidable
@@ -936,6 +946,7 @@ def run_corpus_scale() -> dict:
         "bpe_train_local": _bpe_local,
         "unigram_tokenizer": _unigram_tok,
         "materialize_sequences": _materialize,
+        "gopher_repetition_full": _gopher_rep_full,
         "bpe_apply": _bpe_apply,
         "online_score_frozen": _online,
     }
