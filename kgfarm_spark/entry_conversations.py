@@ -1,0 +1,154 @@
+"""Oracle-checked queries: conversation-level curation family
+(operators/conversations.py) over the derived transcript table.
+
+Chat/agent training data curates at CONVERSATION granularity — these
+queries check the conversation-native layer (integrity validation,
+deterministic chat rendering, conversation-level dedup) against DuckDB
+running the identical logic on the same derived table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgfarm_spark.entry_queries import register, _cte
+from kgfarm_spark.operators.conversations import (
+    conv_integrity,
+    curate_conversations,
+    dedup_conversations,
+    render_chat,
+)
+from kgfarm_spark.sources.transcripts import transcripts
+
+
+@register(
+    "conv_integrity",
+    _cte(
+        """
+, pairs AS (
+  SELECT conv_id, turn_idx, role, ts, tool,
+         coalesce(text, '') AS txt,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         lag(ts)   OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
+  FROM transcripts
+)
+SELECT conv_id,
+       CAST(count(*) AS INT) AS n_turns,
+       (min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
+        AND count(DISTINCT turn_idx) = count(*))                 AS is_contiguous,
+       coalesce(bool_and(ts >= prev_ts), TRUE)                   AS ts_monotone,
+       min_by(role, turn_idx)                                    AS first_role,
+       CAST(count(DISTINCT role) AS INT)                         AS n_roles,
+       round(coalesce(sum(CASE WHEN prev_role IS NULL THEN NULL
+                                WHEN role <> prev_role THEN 1.0
+                                ELSE 0.0 END)
+                      / nullif(count(*) - 1, 0), 0.0), 4)        AS role_alternation_frac,
+       round(avg(CASE WHEN txt = '' THEN 1.0 ELSE 0.0 END), 4)   AS empty_text_frac,
+       max(tool IS NOT NULL)                                     AS has_tool,
+       CAST(floor(date_diff('microsecond', min(ts), max(ts))
+                  / 1000000) AS BIGINT)                           AS duration_sec,
+       ((min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
+         AND count(DISTINCT turn_idx) = count(*))
+        AND coalesce(bool_and(ts >= prev_ts), TRUE)
+        AND avg(CASE WHEN txt = '' THEN 1.0 ELSE 0.0 END) < 1.0) AS integrity_ok
+FROM pairs
+GROUP BY conv_id
+"""
+    ),
+)
+def q_conv_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-conversation structural validation
+    (conversations.conv_integrity): contiguity, ts monotonicity, role
+    alternation, empty-text fraction — one conv-keyed shuffle."""
+    return conv_integrity(transcripts(spark, sf))
+
+
+_RENDER_SQL = """
+, rendered AS (
+  SELECT conv_id,
+         CAST(count(*) AS INT) AS n_turns,
+         string_agg('<|' || role || '|>' || coalesce(text, ''),
+                    chr(10) ORDER BY turn_idx) AS chat_text
+  FROM transcripts
+  GROUP BY conv_id
+)
+"""
+
+
+@register(
+    "render_chat",
+    _cte(
+        _RENDER_SQL
+        + """
+SELECT conv_id, n_turns, chat_text,
+       CAST(length(chat_text) AS INT) AS n_chars
+FROM rendered
+"""
+    ),
+)
+def q_render_chat(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic chat-template rendering (conversations.render_chat):
+    one training string per conversation, '<|role|>text' lines in turn
+    order — collect_list+array_sort, no global window, no Python."""
+    return render_chat(transcripts(spark, sf))
+
+
+@register(
+    "dedup_conversations",
+    _cte(
+        _RENDER_SQL
+        + """
+, fp AS (
+  SELECT conv_id, n_turns, chat_text,
+         CAST(length(chat_text) AS INT) AS n_chars,
+         md5(chat_text) AS fingerprint
+  FROM rendered
+),
+win AS (
+  SELECT fingerprint, min(conv_id) AS conv_id,
+         CAST(count(*) AS INT) AS dup_count
+  FROM fp GROUP BY fingerprint
+)
+SELECT f.conv_id, f.n_turns, f.chat_text, f.n_chars, f.fingerprint,
+       w.dup_count
+FROM fp f JOIN win w ON f.fingerprint = w.fingerprint
+                    AND f.conv_id = w.conv_id
+"""
+    ),
+)
+def q_dedup_conversations(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversation-level exact dedup (conversations.dedup_conversations):
+    md5 fingerprint of the rendered chat, min-conv_id winner election —
+    fingerprint-keyed aggregates, skew-free by construction."""
+    return dedup_conversations(render_chat(transcripts(spark, sf)))
+
+
+@register("conversation_curation_e2e")  # rows-only BY CONTRACT: the chain
+# includes MinHash-LSH near-dup (iterative components) — not one-shot-SQL.
+# Every stage is individually oracle-checked (conv_integrity, render_chat,
+# dedup_conversations above; LSH/keep-best/packing via dedup_minhash_lsh,
+# dedup_keep_best, pack_sequences); the composition's per-stage counts are
+# pinned in tests/test_conversations.py on a handcrafted corpus.
+def q_conversation_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversation-native curation end-to-end
+    (conversations.curate_conversations): integrity filter → render →
+    exact dedup → LSH near-dup keep-longest → pack; the corpus is
+    augmented with exact-duplicate conversations (every 5th, '_dup'
+    suffix, shifted ids keep winner election deterministic) so dedup has
+    guaranteed positives at every scale factor. Returns the per-stage
+    manifest (stage, convs) — deterministic at any partitioning."""
+    t = transcripts(spark, sf)
+    dup = t.filter(
+        F.abs(F.xxhash64("conv_id")) % 5 == 0
+    ).withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_dup")))
+    corpus = t.unionByName(dup)
+    packed, manifest = curate_conversations(
+        corpus,
+        min_turns=2,
+        neardup=True,
+        neardup_kw={"threshold": 0.7},
+        pack_budget=512,
+    )
+    rows = [(s["stage"], int(s["convs"])) for s in manifest["stages"]]
+    return spark.createDataFrame(rows, "stage string, convs long")

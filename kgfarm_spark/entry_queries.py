@@ -479,6 +479,7 @@ def q_flagship_probe_pushdown(spark: SparkSession, sf: str) -> DataFrame:
 import kgfarm_spark.entry_profiling  # noqa: E402,F401
 import kgfarm_spark.entry_pipeline  # noqa: E402,F401
 import kgfarm_spark.entry_cleaning  # noqa: E402,F401
+import kgfarm_spark.entry_conversations  # noqa: E402,F401
 import kgfarm_spark.entry_ml  # noqa: E402,F401
 
 
@@ -777,6 +778,17 @@ _DEFERRED_PAST_DRIVER_CAP = [
     # new full-repetition oracle (which subsumes repetition_signals'
     # dup-line statistic):
     "gopher_line_rules",
+    # late-r06: the conversation-curation family enters (conv_integrity,
+    # render_chat, dedup_conversations — the payload-native layer). Three
+    # scaler/transform names defer; the family keeps FOUR in-window
+    # representatives (log_transform, standard_scale, minmax_scale,
+    # quantile_transform_apply) and each deferred kernel stays
+    # pytest-pinned (sklearn-parity tests in test_transforms):
+    "sqrt_square_transform",    # r05 driver-green; shape family kept via log_transform
+    "quantile_rank",            # r05 driver-green; quantile machinery kept via
+                                # quantile_transform_apply (same distributed fit)
+    "power_transform_yj_apply", # r05 driver-green; apply-side hash-check pattern
+                                # kept via quantile_transform_apply
 ]
 
 

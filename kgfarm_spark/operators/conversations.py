@@ -1,0 +1,284 @@
+"""Conversation-level curation over the transcript table.
+
+The corpus-curation family (``operators/dedup.py``, ``textstats.py``,
+``packing.py``) treats a *document* as its unit. Chat / agent training
+data is different: the unit is a multi-turn **conversation** spread over
+rows of the input_hint table ``(conv_id, turn_idx, role, text, tool,
+ts)``. This module supplies the conversation-native layer a lab curating
+transcript data needs before the document machinery applies:
+
+- ``conv_integrity``   — per-conversation validation flags (contiguous
+  turn indices, monotone timestamps, role alternation, empty-text
+  fraction) so malformed conversations are dropped *before* they are
+  rendered into training text;
+- ``render_chat``      — deterministic chat-template rendering: one
+  training string per conversation, ``<|role|>text`` lines joined in
+  turn order (the KGFarm reference flattens entity histories the same
+  way before featurization, feature_discovery/src: profile text concat);
+- ``dedup_conversations`` — conversation-level exact dedup on the
+  rendered string's md5 fingerprint (min-conv_id winner election, the
+  same rule as ``exact_dedup``);
+- ``curate_conversations`` — the end-to-end adapter: integrity filter →
+  render → exact dedup → (optional) MinHash-LSH near-dup with
+  keep-longest resolution → sequence packing, each stage counted in a
+  manifest.
+
+Scale shape (10^12-turn table, 10^9 conversations): every op here is a
+single shuffle keyed on ``conv_id`` — the SAME partitioning the as-of /
+window family uses, so Catalyst reuses the exchange when stages chain.
+``render_chat`` uses collect_list per conversation, bounded by
+conversation length (the reference's per-entity assumption; a
+pathological multi-million-turn conversation should be length-capped
+with ``max_turns`` — enforced, not assumed). Dedup shuffles on a 32-hex
+md5 fingerprint — uniformly distributed by construction, no skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def conv_integrity(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation structural validation flags.
+
+    Returns one row per conversation:
+      (conv_id, n_turns, is_contiguous, ts_monotone, first_role,
+       n_roles, role_alternation_frac, empty_text_frac, has_tool,
+       duration_sec, integrity_ok)
+
+    - ``is_contiguous``: turn_idx runs 0..n-1 with no gaps/dupes
+      (min=0, max=n-1, n distinct = n);
+    - ``ts_monotone``: ts is non-decreasing in turn order;
+    - ``role_alternation_frac``: fraction of adjacent turn pairs whose
+      roles differ (1.0 = strictly alternating; low values flag
+      degenerate single-speaker logs);
+    - ``empty_text_frac``: fraction of turns with NULL/empty text;
+    - ``integrity_ok``: contiguous AND monotone AND some non-empty text.
+
+    One lag window + one groupBy, both keyed on ``conv_col`` — a single
+    shuffle; the aggregate is map-side combinable.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    has_tool_col = "tool" in df.columns
+    turns = df.select(
+        conv_col,
+        idx_col,
+        role_col,
+        ts_col,
+        *(["tool"] if has_tool_col else []),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__txt"),
+        F.lag(role_col).over(w).alias("__prev_role"),
+        F.lag(ts_col).over(w).alias("__prev_ts"),
+    )
+    n = F.count(F.lit(1))
+    out = turns.groupBy(conv_col).agg(
+        n.cast("int").alias("n_turns"),
+        (
+            (F.min(idx_col) == F.lit(0))
+            & (F.max(idx_col) == (n - F.lit(1)))
+            & (F.count_distinct(F.col(idx_col)) == n)
+        ).alias("is_contiguous"),
+        F.coalesce(
+            F.bool_and(F.col(ts_col) >= F.col("__prev_ts")), F.lit(True)
+        ).alias("ts_monotone"),
+        F.min_by(F.col(role_col), F.col(idx_col)).alias("first_role"),
+        F.count_distinct(F.col(role_col)).cast("int").alias("n_roles"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__prev_role").isNull(), None)
+                    .when(F.col(role_col) != F.col("__prev_role"), 1.0)
+                    .otherwise(0.0)
+                )
+                / F.nullif(n - F.lit(1), F.lit(0)).cast("double"),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("role_alternation_frac"),
+        F.round(
+            F.avg(F.when(F.col("__txt") == "", 1.0).otherwise(0.0)), 4
+        ).alias("empty_text_frac"),
+        F.max(
+            F.col("tool").isNotNull() if has_tool_col else F.lit(False)
+        ).alias("has_tool"),
+        # whole-second duration: exact MICROSECOND difference then floor —
+        # per-endpoint second-truncation (unix_timestamp) diverges from the
+        # oracle on fractional seconds, and works on TIMESTAMP_NTZ inputs
+        F.floor(
+            F.timestamp_diff("MICROSECOND", F.min(ts_col), F.max(ts_col))
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("duration_sec"),
+    )
+    return out.withColumn(
+        "integrity_ok",
+        F.col("is_contiguous")
+        & F.col("ts_monotone")
+        & (F.col("empty_text_frac") < F.lit(1.0)),
+    )
+
+
+def render_chat(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    max_turns: int | None = None,
+) -> DataFrame:
+    """Render each conversation to ONE deterministic training string:
+    ``<|role|>text`` per turn, joined by newline in ``idx_col`` order.
+
+    Returns (conv_id, n_turns, chat_text, n_chars).
+
+    ``max_turns`` caps rendered turns per conversation (the first
+    ``max_turns`` in turn order) — the guard against a pathological
+    conversation whose rendered string would not fit an executor task.
+    With the cap, per-group state is bounded by ``max_turns`` rows.
+
+    Plan: collect_list of (turn_idx, line) structs per conversation +
+    array_sort + array_join — one shuffle on ``conv_col``, no Python in
+    the row path, no global window. NULL text renders as '' (parity
+    with DuckDB ``string_agg`` which skips NULLs only when the whole
+    line is NULL — we coalesce so neither side ever drops a line).
+    """
+    line = F.concat(
+        F.lit("<|"),
+        F.col(role_col),
+        F.lit("|>"),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
+    base = df.select(conv_col, F.col(idx_col).alias("__idx"), line.alias("__line"))
+    if max_turns is not None:
+        if max_turns < 1:
+            raise ValueError(f"max_turns must be >= 1, got {max_turns}")
+        base = base.filter(F.col("__idx") < max_turns)
+    sorted_lines = F.array_sort(
+        F.collect_list(F.struct(F.col("__idx"), F.col("__line")))
+    )
+    return (
+        base.groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_turns"),
+            F.array_join(
+                F.transform(sorted_lines, lambda s: s["__line"]), "\n"
+            ).alias("chat_text"),
+        )
+        .withColumn("n_chars", F.length("chat_text").cast("int"))
+    )
+
+
+def dedup_conversations(
+    rendered: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "chat_text",
+) -> DataFrame:
+    """Conversation-level exact dedup over the rendered chat string.
+
+    Returns the surviving rows of ``rendered`` plus
+    (fingerprint, dup_count): per distinct md5(chat_text) the
+    min-``conv_col`` conversation wins (the ``exact_dedup`` rule);
+    ``dup_count`` is the cluster size, kept for curation audits.
+
+    Two aggregates keyed on the 32-hex fingerprint (uniform, skew-free),
+    then one equi-join back on (fingerprint, conv_id) to recover the
+    winner's full row — never a window over the corpus.
+    """
+    if "fingerprint" in rendered.columns or "dup_count" in rendered.columns:
+        raise ValueError(
+            "input already has a 'fingerprint'/'dup_count' column; rename it"
+        )
+    fp = rendered.withColumn("fingerprint", F.md5(F.col(text_col)))
+    winners = fp.groupBy("fingerprint").agg(
+        F.min(conv_col).alias(conv_col),
+        F.count(F.lit(1)).cast("int").alias("dup_count"),
+    )
+    return fp.join(winners, ["fingerprint", conv_col])
+
+
+def curate_conversations(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    min_turns: int = 1,
+    max_turns: int | None = None,
+    neardup: bool = False,
+    neardup_kw: dict | None = None,
+    pack_budget: int | None = 2048,
+) -> tuple[DataFrame, dict]:
+    """Conversation-native curation: integrity filter → render →
+    exact dedup → optional MinHash-LSH near-dup (keep the LONGEST
+    conversation per cluster — chat data's quality proxy) → optional
+    sequence packing of the surviving rendered corpus.
+
+    Returns ``(result_df, manifest)``. With ``pack_budget`` set the
+    result is the ``pack_sequences`` layout over whitespace token
+    counts of the rendered strings (feed ``tokenizer=...`` paths via
+    ``curation.curate`` on the rendered frame for model tokens);
+    otherwise the surviving rendered conversations.
+
+    Every stage is one conv-keyed or fingerprint-keyed shuffle; the
+    manifest records per-stage survivor counts (computed lazily — each
+    ``count()`` is a job, acceptable at fit time and how ``curate()``
+    itself audits stages).
+    """
+    from kgfarm_spark.operators.dedup import (
+        dedup_keep_component_best,
+        minhash_lsh_dedup_pairs,
+    )
+
+    manifest: dict = {"stages": []}
+
+    flags = conv_integrity(df, conv_col, idx_col, role_col, text_col, ts_col)
+    ok = flags.filter(
+        F.col("integrity_ok") & (F.col("n_turns") >= F.lit(min_turns))
+    ).select(conv_col)
+    kept_turns = df.join(ok, conv_col)  # broadcast-able only if small; conv-keyed shuffle otherwise
+    manifest["stages"].append({"stage": "integrity", "convs": ok.count()})
+
+    rendered = render_chat(
+        kept_turns, conv_col, idx_col, role_col, text_col, max_turns=max_turns
+    )
+    deduped = dedup_conversations(rendered, conv_col)
+    manifest["stages"].append({"stage": "exact_dedup", "convs": deduped.count()})
+
+    if neardup:
+        kw = {"n": 3, "num_hashes": 32, "bands": 8, "threshold": 0.7,
+              "portable": False, **(neardup_kw or {})}
+        pairs = minhash_lsh_dedup_pairs(deduped, conv_col, "chat_text", **kw)
+        deduped = dedup_keep_component_best(deduped, pairs, conv_col, "n_turns")
+        manifest["stages"].append({"stage": "neardup_lsh", "convs": deduped.count()})
+
+    if pack_budget is None:
+        return deduped, manifest
+
+    from kgfarm_spark.operators.packing import pack_sequences
+
+    tokens = deduped.select(
+        F.xxhash64(F.col(conv_col)).alias("__cid"),
+        F.size(
+            F.filter(
+                F.split(F.col("chat_text"), r"\s+"), lambda t: F.length(t) > 0
+            )
+        ).alias("n_tokens"),
+    )
+    packed = pack_sequences(tokens, id_col="__cid", budget=pack_budget)
+    manifest["stages"].append(
+        {"stage": "pack", "convs": packed.count(), "budget": pack_budget}
+    )
+    return packed, manifest

@@ -1,0 +1,139 @@
+"""Conversation-level curation ops (operators/conversations.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgfarm_spark.operators.conversations import (
+    conv_integrity,
+    curate_conversations,
+    dedup_conversations,
+    render_chat,
+)
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 12, m)
+
+
+@pytest.fixture(scope="module")
+def convs(spark):
+    rows = [
+        # c1: well-formed 3-turn alternating conversation
+        ("c1", 0, "user", "hi", None, _ts(0)),
+        ("c1", 1, "assistant", "hello", None, _ts(1)),
+        ("c1", 2, "user", "bye", "search", _ts(2)),
+        # c2: gap in turn_idx (0, 2) -> not contiguous
+        ("c2", 0, "user", "a", None, _ts(0)),
+        ("c2", 2, "assistant", "b", None, _ts(1)),
+        # c3: non-monotone ts
+        ("c3", 0, "user", "x", None, _ts(5)),
+        ("c3", 1, "assistant", "y", None, _ts(3)),
+        # c4: all-empty text
+        ("c4", 0, "user", "", None, _ts(0)),
+        ("c4", 1, "user", None, None, _ts(1)),
+        # c5: exact duplicate of c1's content
+        ("c5", 0, "user", "hi", None, _ts(7)),
+        ("c5", 1, "assistant", "hello", None, _ts(8)),
+        ("c5", 2, "user", "bye", None, _ts(9)),
+        # c6: single turn
+        ("c6", 0, "system", "boot", None, _ts(0)),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+def test_conv_integrity_flags(convs):
+    out = {r["conv_id"]: r.asDict() for r in conv_integrity(convs).collect()}
+    assert out["c1"]["is_contiguous"] and out["c1"]["ts_monotone"]
+    assert out["c1"]["integrity_ok"]
+    assert out["c1"]["n_turns"] == 3
+    assert out["c1"]["first_role"] == "user"
+    assert out["c1"]["role_alternation_frac"] == 1.0
+    assert out["c1"]["has_tool"] is True
+    assert out["c1"]["duration_sec"] == 120
+    assert not out["c2"]["is_contiguous"]
+    assert not out["c2"]["integrity_ok"]
+    assert not out["c3"]["ts_monotone"]
+    assert not out["c3"]["integrity_ok"]
+    assert out["c4"]["empty_text_frac"] == 1.0
+    assert not out["c4"]["integrity_ok"]  # no non-empty text
+    assert out["c6"]["integrity_ok"]
+    assert out["c6"]["role_alternation_frac"] == 0.0  # no adjacent pairs
+    assert out["c6"]["duration_sec"] == 0
+
+
+def test_render_chat_exact_string(convs):
+    out = {r["conv_id"]: r for r in render_chat(convs).collect()}
+    assert out["c1"]["chat_text"] == "<|user|>hi\n<|assistant|>hello\n<|user|>bye"
+    assert out["c1"]["n_turns"] == 3
+    assert out["c1"]["n_chars"] == len(out["c1"]["chat_text"])
+    # NULL text renders as '' (line kept, not dropped)
+    assert out["c4"]["chat_text"] == "<|user|>\n<|user|>"
+    # out-of-order input still renders in turn order
+    shuffled = convs.orderBy(F.rand(7))
+    out2 = {r["conv_id"]: r["chat_text"] for r in render_chat(shuffled).collect()}
+    assert out2 == {k: v["chat_text"] for k, v in out.items()}
+
+
+def test_render_chat_max_turns(convs):
+    out = {r["conv_id"]: r for r in render_chat(convs, max_turns=2).collect()}
+    assert out["c1"]["chat_text"] == "<|user|>hi\n<|assistant|>hello"
+    assert out["c1"]["n_turns"] == 2
+    with pytest.raises(ValueError, match="max_turns"):
+        render_chat(convs, max_turns=0)
+
+
+def test_dedup_conversations(convs):
+    rendered = render_chat(convs)
+    kept = dedup_conversations(rendered)
+    ids = {r["conv_id"]: r["dup_count"] for r in kept.collect()}
+    # c5 renders identically to c1 -> min-id winner c1 with dup_count 2
+    assert "c1" in ids and ids["c1"] == 2
+    assert "c5" not in ids
+    assert ids["c2"] == 1
+    # survivors keep the rendered columns
+    assert {"conv_id", "n_turns", "chat_text", "n_chars", "fingerprint", "dup_count"} == set(
+        kept.columns
+    )
+    with pytest.raises(ValueError, match="fingerprint"):
+        dedup_conversations(kept)
+
+
+def test_curate_conversations_e2e(convs):
+    packed, manifest = curate_conversations(convs, min_turns=1, pack_budget=8)
+    stages = {s["stage"]: s["convs"] for s in manifest["stages"]}
+    # c2 (gap), c3 (non-monotone), c4 (all empty) dropped by integrity;
+    # c5 dropped as exact dup of c1 -> 2 survivors (c1, c6)
+    assert stages["integrity"] == 3
+    assert stages["exact_dedup"] == 2
+    assert stages["pack"] == 2
+    # packing layout covers every surviving conversation exactly once
+    assert packed.count() == 2
+    assert packed.agg(F.count_distinct("__cid")).collect()[0][0] == 2
+
+    survivors, m2 = curate_conversations(convs, pack_budget=None)
+    assert {r["conv_id"] for r in survivors.select("conv_id").collect()} == {"c1", "c6"}
+
+
+def test_curate_conversations_neardup(spark):
+    # two near-identical long conversations + one distinct; keep-longest
+    base = [("n%d" % i, i) for i in range(20)]
+    rows = []
+    for cid, extra in [("a", 0), ("b", 1), ("z", 0)]:
+        words = ["common text turn number %d" % i for i in range(12 + extra)]
+        if cid == "z":
+            words = ["totally different subject matter line %d xyzzy" % i for i in range(12)]
+        for i, wtext in enumerate(words):
+            rows.append((cid, i, "user" if i % 2 == 0 else "assistant", wtext, None, _ts(i)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    kept, manifest = curate_conversations(
+        df, neardup=True, neardup_kw={"threshold": 0.5}, pack_budget=None
+    )
+    ids = {r["conv_id"] for r in kept.select("conv_id").collect()}
+    # a (12 turns) and b (13 turns) are near-dups -> keep the longer b
+    assert ids == {"b", "z"}
