@@ -421,6 +421,31 @@ class FeatureFarm:
 
         return _curate(docs, id_col, text_col, eval_df, **kw)
 
+    def validate_conversations(self, turns: DataFrame, **kw) -> DataFrame:
+        """Per-conversation structural validation flags over the transcript
+        table (operators/conversations.py:conv_integrity) — contiguity,
+        ts monotonicity, role alternation, empty-text fraction."""
+        from kgfarm_spark.operators.conversations import conv_integrity
+
+        return conv_integrity(turns, **kw)
+
+    def render_chat(self, turns: DataFrame, **kw) -> DataFrame:
+        """One deterministic training string per conversation:
+        '<|role|>text' lines in turn order
+        (operators/conversations.py:render_chat)."""
+        from kgfarm_spark.operators.conversations import render_chat
+
+        return render_chat(turns, **kw)
+
+    def curate_conversations(self, turns: DataFrame, **kw) -> tuple[DataFrame, dict]:
+        """Conversation-native curation chain: integrity filter → chat
+        rendering → exact dedup → optional LSH near-dup keep-longest →
+        sequence packing (operators/conversations.py:curate_conversations).
+        Returns (result_df, manifest)."""
+        from kgfarm_spark.operators.conversations import curate_conversations
+
+        return curate_conversations(turns, **kw)
+
     def mix(
         self, docs: DataFrame, weights: dict, token_budget: int, **kw
     ) -> DataFrame:

@@ -226,3 +226,18 @@ def test_clean_interpolate_requires_order(farm):
     docs = farm.load_table("orders").select("o_orderkey", "o_totalprice").limit(10)
     with pytest.raises(ValueError, match="order column"):
         farm.clean(docs, recommendation="Interpolate")
+
+
+def test_facade_conversation_verbs(farm, spark):
+    from kgfarm_spark.sources.transcripts import transcripts
+
+    t = transcripts(spark, SF_SMOKE)
+    flags = farm.validate_conversations(t)
+    assert "integrity_ok" in flags.columns
+    rendered = farm.render_chat(t, max_turns=4)
+    row = rendered.filter(F.col("n_turns") >= 2).first()
+    assert row["chat_text"].startswith("<|")
+    packed, manifest = farm.curate_conversations(t, min_turns=1, pack_budget=64)
+    stages = [s["stage"] for s in manifest["stages"]]
+    assert stages == ["integrity", "exact_dedup", "pack"]
+    assert packed.count() > 0
