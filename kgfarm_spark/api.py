@@ -397,10 +397,20 @@ class FeatureFarm:
 
         return decontaminate(docs, eval_set, id_col, text_col, n=n, **kw)
 
-    def pack(self, docs: DataFrame, budget: int = 2048, **kw) -> DataFrame:
-        """Concat-and-chunk sequence packing (operators/packing.py)."""
-        from kgfarm_spark.operators.packing import pack_sequences
+    def pack(
+        self, docs: DataFrame, budget: int = 2048, no_split: bool = False, **kw
+    ) -> DataFrame:
+        """Sequence packing (operators/packing.py): concat-and-chunk by
+        default; ``no_split=True`` switches to boundary-respecting greedy
+        packing (no document crosses a sequence boundary — pass
+        ``oversize='drop'|'own'`` for over-budget documents)."""
+        from kgfarm_spark.operators.packing import (
+            pack_sequences,
+            pack_sequences_nosplit,
+        )
 
+        if no_split:
+            return pack_sequences_nosplit(docs, budget=budget, **kw)
         return pack_sequences(docs, budget=budget, **kw)
 
     def curate(

@@ -732,6 +732,31 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(docs, "doc_id", "n_tokens", budget=_PACK_BUDGET)
 
 
+@register("pack_nosplit")  # rows-only BY CONTRACT: the greedy
+# close-on-overflow recurrence (fill' = fill+n if it fits else n) is not
+# an associative scan and has no one-shot ANSI-SQL form; exact parity vs
+# a pure-Python sequential twin is pytest-pinned (tests/test_pack_nosplit)
+def q_pack_nosplit(spark: SparkSession, sf: str) -> DataFrame:
+    """Boundary-respecting packing (packing.pack_sequences_nosplit):
+    no document splits across sequences; per-bucket greedy first-fit,
+    oversize docs get dedicated sequences."""
+    from kgfarm_spark.operators.packing import pack_sequences_nosplit
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("n_tokens"),
+    )
+    return pack_sequences_nosplit(
+        docs, "doc_id", "n_tokens", budget=_PACK_BUDGET, n_buckets=8,
+        oversize="own",
+    )
+
+
 @register(
     "materialize_sequences",
     rf"""

@@ -312,3 +312,147 @@ def materialize_sequences(
         "seq_id", token_col, "n_tokens", "n_docs",
         *(["n_pad"] if pad_token is not None else []),
     )
+
+
+def pack_sequences_nosplit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    n_buckets: int | None = None,
+    oversize: str = "error",
+) -> DataFrame:
+    """Boundary-respecting sequence packing: NO document ever splits
+    across training sequences (greedy close-on-overflow first-fit in
+    ascending ``id_col`` order — the packing labs use when cross-document
+    attention contamination matters; ``pack_sequences`` is the
+    concat-and-chunk twin that splits).
+
+    Returns one row per document:
+      (id, n_tokens, seq_id, offset_in_seq)
+    with the invariants (pytest-pinned vs a pure-Python sequential twin):
+    per-sequence fill ≤ budget, offsets are gapless within a sequence,
+    and a document never crosses a sequence boundary.
+
+    ``oversize`` — policy for documents with n_tokens > budget, which
+    cannot fit ANY sequence un-split: ``'error'`` (default, fail fast),
+    ``'drop'`` (exclude them; they are absent from the output), or
+    ``'own'`` (each gets a dedicated over-budget sequence of its own —
+    the materializer may then truncate or shard it downstream).
+
+    Scale shape: the corpus is range-bucketed on ``id_col``
+    (percentile_approx, same primitive as ``pack_sequences``); each
+    bucket packs INDEPENDENTLY (a fresh sequence starts per bucket — the
+    standard distributed approximation: waste is < 1 sequence per
+    bucket, measurable via the materializer's n_pad). The in-bucket
+    greedy recurrence (fill' = fill+n if it fits else n) is not an
+    associative scan, so it runs as an Arrow ``applyInPandas`` kernel —
+    a tight numpy-backed loop over the bucket's (id-sorted) rows, O(rows)
+    per task with bounded state, never a global window or driver
+    materialization. Global seq ids come from an exclusive prefix over
+    the |buckets|-row per-bucket sequence counts (tiny collect +
+    broadcast join), exactly the ``pack_sequences`` offset recipe.
+    """
+    import pandas as pd
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if oversize not in ("error", "drop", "own"):
+        raise ValueError(
+            f"oversize must be 'error', 'drop', or 'own', got {oversize!r}"
+        )
+    if n_buckets is not None and n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    id_type = dict(df.dtypes).get(id_col, "")
+    if id_type in ("string", "binary"):
+        raise ValueError(
+            f"id_col {id_col!r} is {id_type}; hash string ids to a bigint "
+            f"first (e.g. xxhash64) — range-bucketing needs a numeric id"
+        )
+    spark = df.sparkSession
+    P = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    qs = [i / P for i in range(1, P)]
+    qlist = "array(" + ",".join(str(q) for q in qs) + ")"
+    bounds = df.agg(
+        F.expr(f"percentile_approx(`{id_col}`, {qlist}, 10000)").alias("b")
+    ).first()["b"]
+    uniq = sorted(set(b for b in (bounds or []) if b is not None))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(token_col).cast("bigint").alias("__tok"),
+    ).withColumn("__b", _range_bucket_expr(F.col("__id"), uniq))
+
+    n_bad = base.filter(
+        F.col("__tok").isNull() | (F.col("__tok") > budget)
+    ).limit(1 if oversize != "error" else 100)
+    bad = n_bad.collect()
+    if any(r["__tok"] is None for r in bad):
+        raise ValueError(
+            f"token_col {token_col!r} contains NULLs — packing needs a "
+            f"token count for every document (fill or drop first)"
+        )
+    if oversize == "error" and any(
+        r["__tok"] is not None and r["__tok"] > budget for r in bad
+    ):
+        raise ValueError(
+            f"documents exceed budget={budget} and cannot pack un-split "
+            f"(e.g. id={bad[0]['__id']}, n_tokens={bad[0]['__tok']}); pass "
+            f"oversize='drop' or oversize='own'"
+        )
+    if oversize == "drop":
+        base = base.filter(F.col("__tok") <= budget)
+
+    # materialized once: the per-bucket counts collect and the returned
+    # plan both read base (pack_sequences recipe — localCheckpoint so the
+    # context cleaner frees the blocks)
+    base = base.localCheckpoint(eager=True)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        toks = pdf["__tok"].to_numpy()
+        seq = [0] * len(toks)
+        off = [0] * len(toks)
+        s, fill = 0, 0
+        for i, n in enumerate(toks):
+            n = int(n)
+            if n > budget:           # oversize='own': dedicated sequence
+                if fill > 0:
+                    s += 1
+                seq[i], off[i] = s, 0
+                s, fill = s + 1, 0
+                continue
+            if fill + n > budget:
+                s, fill = s + 1, 0
+            seq[i], off[i] = s, fill
+            fill += n
+        pdf["__local_seq"] = seq
+        pdf["__off"] = off
+        return pdf
+
+    packed_local = base.groupBy("__b").applyInPandas(
+        _pack, "__id " + dict(df.dtypes)[id_col] + ", __tok long, __b int, "
+        "__local_seq long, __off long"
+    )
+    packed_local = packed_local.localCheckpoint(eager=True)
+    counts = {
+        r["__b"]: r["n"]
+        for r in packed_local.groupBy("__b")
+        .agg((F.max("__local_seq") + 1).alias("n"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(counts):
+        offsets.append((b, acc))
+        acc += counts[b]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__b int, __soff long")
+    return (
+        packed_local.join(F.broadcast(off_df), "__b", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__tok").alias("n_tokens"),
+            (F.col("__local_seq") + F.coalesce(F.col("__soff"), F.lit(0))).alias(
+                "seq_id"
+            ),
+            F.col("__off").alias("offset_in_seq"),
+        )
+    )

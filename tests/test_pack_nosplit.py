@@ -1,0 +1,116 @@
+"""pack_sequences_nosplit: exact parity vs a pure-Python sequential twin
+(per range-bucket), plus structural invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgfarm_spark.operators.packing import pack_sequences_nosplit
+
+
+def _twin(rows, budget, oversize="error"):
+    """Sequential greedy close-on-overflow packing twin (per pre-bucketed
+    group the operator packs independently — the twin packs ONE group)."""
+    out = {}
+    s, fill = 0, 0
+    for i, n in sorted(rows):
+        if n > budget:
+            if oversize == "error":
+                raise ValueError("oversize")
+            if oversize == "drop":
+                continue
+            if fill > 0:
+                s += 1
+            out[i] = (s, 0)
+            s, fill = s + 1, 0
+            continue
+        if fill + n > budget:
+            s, fill = s + 1, 0
+        out[i] = (s, fill)
+        fill += n
+    return out
+
+
+def test_nosplit_parity_single_bucket(spark):
+    rows = [(i, (i * 37) % 9 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["seq_id"], r["offset_in_seq"])
+        for r in pack_sequences_nosplit(df, budget=16, n_buckets=1).collect()
+    }
+    assert got == _twin(rows, 16)
+
+
+def test_nosplit_invariants_multi_bucket(spark):
+    rows = [(i, (i * 53) % 40 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences_nosplit(df, budget=64, n_buckets=8).collect()
+    assert len(out) == 500
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    for seq, docs in by_seq.items():
+        docs.sort(key=lambda r: r["offset_in_seq"])
+        # gapless offsets, fill <= budget, no doc crosses the boundary
+        fill = 0
+        for d in docs:
+            assert d["offset_in_seq"] == fill
+            fill += d["n_tokens"]
+        assert fill <= 64
+    # global seq ids are 0..max contiguous
+    assert sorted(by_seq) == list(range(len(by_seq)))
+
+
+def test_nosplit_oversize_policies(spark):
+    rows = [(1, 10), (2, 100), (3, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="exceed budget"):
+        pack_sequences_nosplit(df, budget=32, n_buckets=1)
+    dropped = pack_sequences_nosplit(df, budget=32, n_buckets=1, oversize="drop")
+    assert {r["doc_id"] for r in dropped.collect()} == {1, 3}
+    own = {
+        r["doc_id"]: (r["seq_id"], r["offset_in_seq"])
+        for r in pack_sequences_nosplit(
+            df, budget=32, n_buckets=1, oversize="own"
+        ).collect()
+    }
+    assert own == _twin(rows, 32, oversize="own")
+    # the oversize doc sits alone in its own sequence
+    assert own[2][1] == 0
+    assert len({v[0] for v in own.values()}) == 3  # 10+10 could share? no:
+    # order is 1 (seq0 fill10), 2 oversize (closes seq0 -> own seq1), 3 (seq2)
+
+
+def test_nosplit_null_and_validation(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="NULL"):
+        pack_sequences_nosplit(df, budget=8, n_buckets=1)
+    good = spark.createDataFrame([(1, 2)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences_nosplit(good, budget=0)
+    with pytest.raises(ValueError, match="oversize"):
+        pack_sequences_nosplit(good, budget=8, oversize="what")
+    sdf = spark.createDataFrame([("a", 2)], "doc_id string, n_tokens long")
+    with pytest.raises(ValueError, match="numeric id"):
+        pack_sequences_nosplit(sdf, budget=8)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_nosplit_random_parity_per_bucket(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(1, 30)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences_nosplit(df, budget=32, n_buckets=4)
+    # reconstruct each bucket's id range from the output grouping and
+    # check per-sequence fill never exceeds budget and waste is < 1
+    # sequence per bucket boundary
+    fills = (
+        out.groupBy("seq_id").agg(F.sum("n_tokens").alias("fill")).collect()
+    )
+    assert all(r["fill"] <= 32 for r in fills)
+    n_seqs = len(fills)
+    total = sum(n for _, n in rows)
+    # next-fit greedy is <= 2x optimal (any two consecutive sequences
+    # hold > budget tokens), plus <=1 partial sequence per bucket
+    assert n_seqs <= 2 * (total // 32 + 1) + 4
