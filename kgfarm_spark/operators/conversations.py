@@ -254,7 +254,11 @@ def curate_conversations(
     rendered = render_chat(
         kept_turns, conv_col, idx_col, role_col, text_col, max_turns=max_turns
     )
-    deduped = dedup_conversations(rendered, conv_col)
+    # localCheckpoint: the dedup result feeds the stage count plus (in the
+    # LSH path) shingling, candidate verify, and keep-best — without
+    # storage the render+dedup chain re-evaluates per consumer (the
+    # curate() stage-boundary recipe; context cleaner frees the blocks)
+    deduped = dedup_conversations(rendered, conv_col).localCheckpoint(eager=True)
     manifest["stages"].append({"stage": "exact_dedup", "convs": deduped.count()})
 
     if neardup:

@@ -456,3 +456,76 @@ def pack_sequences_nosplit(
             F.col("__off").alias("offset_in_seq"),
         )
     )
+
+
+def materialize_sequences_nosplit(
+    tokens_df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "tokens",
+    budget: int = 2048,
+    pad_token=None,
+    n_buckets: int | None = None,
+    oversize: str = "error",
+) -> DataFrame:
+    """Materializer for the no-split layout: per-doc token arrays →
+    training sequences where NO document crosses a sequence boundary
+    (``pack_sequences_nosplit`` plans; this flattens). Returns one row
+    per sequence: (seq_id, tokens, n_tokens, n_docs[, n_pad]).
+
+    Sequences are padded to ``budget`` with ``pad_token`` when given
+    (every non-full sequence pads — unlike the split materializer, ANY
+    sequence can end short here; ``n_pad`` records the waste, the price
+    of boundary integrity). ``oversize='own'`` sequences exceed budget
+    by construction and are never padded or truncated.
+
+    Scale shape: the ONE shuffle keys on seq_id; group state is bounded
+    by budget tokens (or the single oversize doc); ordered flatten via
+    array_sort on (offset, piece) structs — no Python in the row path.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    elem_type = None
+    for f in tokens_df.schema.fields:
+        if f.name == token_col:
+            elem_type = f.dataType.elementType.simpleString()
+    if elem_type is None:
+        raise ValueError(f"token_col {token_col!r} not found in tokens_df")
+    counts = tokens_df.select(
+        id_col, F.size(F.coalesce(F.col(token_col), F.array())).alias("n_tokens")
+    )
+    plan = pack_sequences_nosplit(
+        counts, id_col, "n_tokens", budget, n_buckets, oversize
+    )
+    out = (
+        tokens_df.join(plan.select(id_col, "seq_id", "offset_in_seq"), id_col)
+        .groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.expr(
+                    f"transform(array_sort(collect_list("
+                    f"struct(offset_in_seq, `{token_col}` AS piece))),"
+                    f" x -> x.piece)"
+                )
+            ).alias(token_col),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn("n_tokens", F.size(token_col))
+    )
+    if pad_token is not None:
+        pad = F.lit(budget) - F.col("n_tokens")
+        out = out.withColumn(
+            "n_pad", F.greatest(pad, F.lit(0))
+        ).withColumn(
+            token_col,
+            F.when(
+                pad > 0,
+                F.concat(
+                    F.col(token_col),
+                    F.array_repeat(F.lit(pad_token).cast(elem_type), pad.cast("int")),
+                ),
+            ).otherwise(F.col(token_col)),
+        )
+    return out.select(
+        "seq_id", token_col, "n_tokens", "n_docs",
+        *(["n_pad"] if pad_token is not None else []),
+    )

@@ -114,3 +114,44 @@ def test_nosplit_random_parity_per_bucket(spark, seed):
     # next-fit greedy is <= 2x optimal (any two consecutive sequences
     # hold > budget tokens), plus <=1 partial sequence per bucket
     assert n_seqs <= 2 * (total // 32 + 1) + 4
+
+
+def test_materialize_nosplit_roundtrip(spark):
+    from kgfarm_spark.operators.packing import materialize_sequences_nosplit
+
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [i * 100 + j for j in range(rng.randint(1, 12))]) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<long>")
+    seqs = materialize_sequences_nosplit(
+        df, budget=16, pad_token=-1, n_buckets=4
+    ).collect()
+    # every doc's token run appears INTACT inside exactly one sequence
+    alltoks = {}
+    for s in seqs:
+        assert s["n_tokens"] + s["n_pad"] == 16 or s["n_pad"] == 0
+        body = [t for t in s["tokens"] if t != -1]
+        assert len(body) <= 16
+        alltoks[s["seq_id"]] = body
+    flat_docs = {i: toks for i, toks in rows}
+    for i, toks in flat_docs.items():
+        hits = [
+            sid for sid, body in alltoks.items()
+            if any(body[k:k + len(toks)] == toks for k in range(len(body)))
+        ]
+        assert hits, f"doc {i} missing"
+    # total non-pad tokens conserved
+    assert sum(len(b) for b in alltoks.values()) == sum(len(t) for _, t in rows)
+
+
+def test_materialize_nosplit_oversize_own(spark):
+    from kgfarm_spark.operators.packing import materialize_sequences_nosplit
+
+    rows = [(1, list(range(4))), (2, list(range(40))), (3, list(range(4)))]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<long>")
+    seqs = {r["seq_id"]: r for r in materialize_sequences_nosplit(
+        df, budget=16, pad_token=-1, n_buckets=1, oversize="own"
+    ).collect()}
+    big = [s for s in seqs.values() if s["n_docs"] == 1 and s["n_tokens"] >= 40]
+    assert len(big) == 1 and big[0]["n_pad"] == 0  # oversize seq never padded
