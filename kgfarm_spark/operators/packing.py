@@ -382,23 +382,23 @@ def pack_sequences_nosplit(
         F.col(token_col).cast("bigint").alias("__tok"),
     ).withColumn("__b", _range_bucket_expr(F.col("__id"), uniq))
 
-    n_bad = base.filter(
-        F.col("__tok").isNull() | (F.col("__tok") > budget)
-    ).limit(1 if oversize != "error" else 100)
-    bad = n_bad.collect()
-    if any(r["__tok"] is None for r in bad):
+    # NULLs are an error under EVERY oversize policy, so probe for them
+    # with their own limit(1) — a combined (NULL OR oversize) filter with
+    # limit(1) could surface an oversize row first and let a NULL slip
+    # through to the kernel ('own') or a silent drop ('drop')
+    if base.filter(F.col("__tok").isNull()).limit(1).count() > 0:
         raise ValueError(
             f"token_col {token_col!r} contains NULLs — packing needs a "
             f"token count for every document (fill or drop first)"
         )
-    if oversize == "error" and any(
-        r["__tok"] is not None and r["__tok"] > budget for r in bad
-    ):
-        raise ValueError(
-            f"documents exceed budget={budget} and cannot pack un-split "
-            f"(e.g. id={bad[0]['__id']}, n_tokens={bad[0]['__tok']}); pass "
-            f"oversize='drop' or oversize='own'"
-        )
+    if oversize == "error":
+        bad = base.filter(F.col("__tok") > budget).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"documents exceed budget={budget} and cannot pack un-split "
+                f"(e.g. id={bad[0]['__id']}, n_tokens={bad[0]['__tok']}); "
+                f"pass oversize='drop' or oversize='own'"
+            )
     if oversize == "drop":
         base = base.filter(F.col("__tok") <= budget)
 

@@ -88,5 +88,10 @@ def test_queries_have_oracles():
         "pq_topk_ann",       # per-subspace k-means codebooks (non-SQL) — exact-
                              # covering == brute force + recall pins + partition
                              # invariance in TestProductQuantization
+        "pack_nosplit",      # greedy close-on-overflow recurrence (non-associative,
+                             # non-SQL) — pure-Python twin parity in test_pack_nosplit
+        "conversation_curation_e2e",  # LSH components chain (non-SQL e2e);
+                             # stages oracle-checked individually, per-stage
+                             # counts pinned in test_conversations
     }
     assert missing <= allowed_rows_only

@@ -92,6 +92,16 @@ def test_nosplit_null_and_validation(spark):
     sdf = spark.createDataFrame([("a", 2)], "doc_id string, n_tokens long")
     with pytest.raises(ValueError, match="numeric id"):
         pack_sequences_nosplit(sdf, budget=8)
+    # a NULL must raise under EVERY oversize policy, even when an
+    # oversize row also exists (regression: a combined NULL-or-oversize
+    # probe with limit(1) could surface the oversize row and let the
+    # NULL through to a silent drop / kernel crash)
+    mixed = spark.createDataFrame(
+        [(1, 99), (2, None)], "doc_id long, n_tokens long"
+    )
+    for policy in ("error", "drop", "own"):
+        with pytest.raises(ValueError, match="NULL|budget"):
+            pack_sequences_nosplit(mixed, budget=8, n_buckets=1, oversize=policy)
 
 
 @pytest.mark.parametrize("seed", [3, 11])
