@@ -456,6 +456,50 @@ class FeatureFarm:
 
         return curate_conversations(turns, **kw)
 
+    def fit_quality_classifier(self, docs: DataFrame, target, **kw) -> dict:
+        """Train the GPT-3-style discriminative quality head
+        (quality_model.quality_classifier_fit): logistic regression over
+        md5-hashed bag-of-words separating ``target`` (boolean Column,
+        e.g. ``F.col('source') == 'curated'``) from the rest. Returns a
+        JSON-serializable model dict."""
+        from kgfarm_spark.operators.quality_model import quality_classifier_fit
+
+        return quality_classifier_fit(docs, target, **kw)
+
+    def score_quality(self, docs: DataFrame, model: dict, **kw) -> DataFrame:
+        """Score documents with a fitted quality classifier — one
+        broadcast join + one doc aggregate (the streaming-safe apply
+        shape). Chain into ``pareto_filter`` for the GPT-3 keep rule."""
+        from kgfarm_spark.operators.quality_model import quality_classifier_score
+
+        return quality_classifier_score(docs, model, **kw)
+
+    def pareto_filter(self, scored: DataFrame, alpha: float = 9.0, **kw) -> DataFrame:
+        """GPT-3 Pareto acceptance rule: keep iff pareto(alpha) > 1 −
+        score, with deterministic md5-derived noise — diversity-
+        preserving classifier filtering (quality_model.pareto_select)."""
+        from kgfarm_spark.operators.quality_model import pareto_select
+
+        return pareto_select(scored, alpha=alpha, **kw)
+
+    def history_filter(self, history: DataFrame, **kw) -> dict:
+        """One corpus-linear pass over the historical corpus → a Bloom
+        filter model for incremental ingest dedup
+        (incremental.build_history_filter)."""
+        from kgfarm_spark.operators.incremental import build_history_filter
+
+        return build_history_filter(history, **kw)
+
+    def dedup_incremental(
+        self, new_docs: DataFrame, model: dict, history: DataFrame, **kw
+    ) -> DataFrame:
+        """EXACT cross-shard dedup of an ingest shard against the
+        historical corpus: map-side Bloom probe, verify join over
+        candidates only (incremental.dedup_against_history)."""
+        from kgfarm_spark.operators.incremental import dedup_against_history
+
+        return dedup_against_history(new_docs, model, history, **kw)
+
     def mix(
         self, docs: DataFrame, weights: dict, token_budget: int, **kw
     ) -> DataFrame:

@@ -1700,3 +1700,101 @@ def q_dedup_incremental_bloom(spark: SparkSession, sf: str) -> DataFrame:
     )
     model = build_history_filter(docs, n_bits=1 << 20, k=6)
     return dedup_against_history(new, model, docs).select("doc_id")
+
+
+# Shared oracle prefix for the quality-classifier family: the FULL fit
+# (2 unrolled full-batch GD iterations, dim=64, lr=2.0, target lang='en')
+# plus scoring, replayed in SQL. Exact because the fit is deterministic
+# full-batch GD and the md5-prefix bucketing collides identically in both
+# engines (the reason this module hashes with md5, not xxhash64).
+_QC_SQL = r"""
+WITH occ AS (
+  SELECT doc_id, CAST(lang = 'en' AS INT) AS y,
+         CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 64 AS b
+  FROM (SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                      x -> length(x) > 0)) AS w
+        FROM documents)
+),
+nd AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM occ GROUP BY 1),
+fx AS (
+  SELECT o.doc_id, o.y, o.b, count(*) / max(nd.n) AS x
+  FROM occ o JOIN nd USING (doc_id) GROUP BY o.doc_id, o.y, o.b
+),
+nds AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM fx),
+r0 AS (SELECT DISTINCT doc_id, y FROM fx),
+g0 AS (SELECT b, sum((0.5 - y) * x) AS g FROM fx GROUP BY b),
+w1 AS (SELECT b, -(2.0 * g / n_docs) AS w FROM g0, nds),
+b1 AS (SELECT -(2.0 * avg(0.5 - y)) AS bias FROM r0),
+m1 AS (SELECT fx.doc_id, fx.y, b1.bias + sum(w1.w * fx.x) AS m
+       FROM fx JOIN w1 USING (b), b1 GROUP BY fx.doc_id, fx.y, b1.bias),
+r1 AS (SELECT doc_id, 1 / (1 + exp(-m)) - y AS r FROM m1),
+g1 AS (SELECT fx.b, sum(r1.r * fx.x) AS g
+       FROM fx JOIN r1 USING (doc_id) GROUP BY fx.b),
+w2 AS (SELECT b, w1.w - 2.0 * g1.g / nds.n_docs AS w
+       FROM w1 JOIN g1 USING (b), nds),
+b2 AS (SELECT b1.bias - 2.0 * (SELECT avg(r) FROM r1) AS bias FROM b1),
+m2 AS (SELECT fx.doc_id, b2.bias + sum(w2.w * fx.x) AS m
+       FROM fx JOIN w2 USING (b), b2 GROUP BY fx.doc_id, b2.bias),
+sc AS (SELECT doc_id, 1 / (1 + exp(-m)) AS s FROM m2),
+scored AS (
+  SELECT d.doc_id,
+         CAST(coalesce(nd.n, 0) AS BIGINT) AS n_words,
+         round(coalesce(sc.s,
+               1 / (1 + exp(-(SELECT bias FROM b2)))), 6) AS quality_score
+  FROM documents d LEFT JOIN nd USING (doc_id) LEFT JOIN sc USING (doc_id)
+)
+"""
+
+
+def _qc_fit_score(spark: SparkSession, sf: str) -> DataFrame:
+    from kgfarm_spark.operators.quality_model import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    model = quality_classifier_fit(
+        docs, F.col("lang") == "en", "doc_id", "text", dim=64, iters=2, lr=2.0
+    )
+    return quality_classifier_score(docs, model, "doc_id", "text")
+
+
+@register(
+    "quality_classifier_score",
+    _QC_SQL + "SELECT doc_id, n_words, quality_score FROM scored",
+)
+def q_quality_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-3-style discriminative quality scoring
+    (quality_model.quality_classifier_fit/_score): logistic regression
+    over md5-hashed L1-normalized bag-of-words, fit by 2 deterministic
+    full-batch GD iterations (dim=64 to exercise hash collisions) with
+    lang='en' as the high-quality label, then scored over every document
+    — the oracle replays fit AND apply entirely in SQL."""
+    return _qc_fit_score(spark, sf)
+
+
+@register(
+    "quality_pareto_select",
+    _QC_SQL
+    + r"""
+SELECT doc_id, n_words, quality_score,
+       round(pow(u, -1.0 / 9.0) - 1.0, 6) AS pareto_key
+FROM (
+  SELECT s.*,
+         (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          + 0.5) / 4294967296.0 AS u
+  FROM scored s
+)
+WHERE round(pow(u, -1.0 / 9.0) - 1.0, 6) > 1.0 - quality_score
+""",
+)
+def q_quality_pareto_select(spark: SparkSession, sf: str) -> DataFrame:
+    """The GPT-3 Pareto acceptance rule (quality_model.pareto_select,
+    alpha=9): keep iff deterministic-pareto(9) > 1 - score, so
+    high-scoring docs always pass and low-scoring docs pass rarely —
+    diversity-preserving classifier filtering, reproducible across
+    engines via the md5-uniform noise recipe."""
+    from kgfarm_spark.operators.quality_model import pareto_select
+
+    return pareto_select(_qc_fit_score(spark, sf), alpha=9.0)

@@ -789,6 +789,20 @@ _DEFERRED_PAST_DRIVER_CAP = [
                                 # quantile_transform_apply (same distributed fit)
     "power_transform_yj_apply", # r05 driver-green; apply-side hash-check pattern
                                 # kept via quantile_transform_apply
+    # late-r06: the incremental-dedup + quality-classifier family enters
+    # (dedup_incremental_bloom, quality_classifier_score,
+    # quality_pareto_select — Bloom cross-shard dedup and the GPT-3
+    # classifier-filtering recipe). Three r05-driver-green names defer:
+    "asof_forward_latest",      # r05 driver-green; asof family keeps THREE
+                                # in-window reps (backward, interval, nearest
+                                # via flagship) + fused flagship twins
+    "embedding_neardup",        # r05 driver-green; brute-pair baseline behind
+                                # the scale defaults; similarity family kept
+                                # in-window via cosine_topk
+    "dsir_resample",            # r05 driver-green; dsir_importance stays
+                                # in-window, and the shared md5-uniform noise
+                                # recipe is now ALSO driver-covered by the new
+                                # quality_pareto_select (same transform family)
 ]
 
 

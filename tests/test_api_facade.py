@@ -241,3 +241,25 @@ def test_facade_conversation_verbs(farm, spark):
     stages = [s["stage"] for s in manifest["stages"]]
     assert stages == ["integrity", "exact_dedup", "pack"]
     assert packed.count() > 0
+
+
+def test_facade_quality_classifier_and_incremental(farm, spark):
+    docs = spark.createDataFrame(
+        [(0, 1, "good words here now"), (1, 0, "spam spam spam"),
+         (2, 1, "more fine words appear"), (3, 0, "buy buy buy")],
+        "doc_id long, y int, text string",
+    )
+    model = farm.fit_quality_classifier(docs, F.col("y") == 1, dim=16, iters=3)
+    scored = farm.score_quality(docs, model)
+    assert set(scored.columns) == {"doc_id", "n_words", "quality_score"}
+    kept = farm.pareto_filter(scored.withColumn("quality_score", F.lit(1.0)))
+    assert kept.count() == 4  # score 1.0 always passes
+
+    hist = docs.select("doc_id", "text")
+    bloom = farm.history_filter(hist, n_bits=1 << 12, k=4)
+    new = spark.createDataFrame(
+        [(10, "spam spam spam"), (11, "genuinely new text")],
+        "doc_id long, text string",
+    )
+    out = farm.dedup_incremental(new, bloom, hist)
+    assert {r["doc_id"] for r in out.collect()} == {11}
