@@ -927,6 +927,71 @@ def run_corpus_scale() -> dict:
             ),
         }
 
+    def _bloom_incremental() -> dict:
+        """r06: cross-shard Bloom dedup — the 5M-doc corpus plays the
+        history, a derived 2M-doc shard (half verbatim dups, half novel)
+        plays the ingest. build = one corpus-linear mapInPandas pass;
+        probe+verify = map-side broadcast probe, exact join over
+        candidates only (the structural win: join input ∝ dup rate)."""
+        from kgfarm_spark.operators.incremental import (
+            bloom_fpr,
+            build_history_filter,
+            dedup_against_history,
+        )
+
+        t0 = time.monotonic()
+        model = build_history_filter(docs, n_bits=1 << 26, k=6)
+        build_sec = round(time.monotonic() - t0, 1)
+        shard = docs.filter(F.col("doc_id") % 5 < 2).select(
+            (F.col("doc_id") + 100_000_000).alias("doc_id"),
+            F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" novel-"),
+                                F.col("doc_id").cast("string")))
+            .alias("text"),
+        )
+        n_shard = shard.count()
+        t1 = time.monotonic()
+        survivors = dedup_against_history(shard, model, docs)
+        n_out = survivors.count()
+        probe_sec = round(time.monotonic() - t1, 1)
+        return {
+            "history_docs": n_docs, "shard_docs": n_shard,
+            "survivors": n_out, "build_sec": build_sec,
+            "probe_verify_sec": probe_sec,
+            "shard_docs_per_sec": round(n_shard / probe_sec),
+            "fpr": round(bloom_fpr(model), 6),
+            "filter_mb": round((1 << 26) / 8 / 1e6, 1),
+        }
+
+    def _quality_classifier() -> dict:
+        """r06: the GPT-3 classifier-filtering recipe at 5M docs —
+        deterministic full-batch GD fit (two linear shuffles per
+        iteration over the checkpointed feature frame), broadcast-join
+        scoring, Pareto acceptance."""
+        from kgfarm_spark.operators.quality_model import (
+            pareto_select,
+            quality_classifier_fit,
+            quality_classifier_score,
+        )
+
+        t0 = time.monotonic()
+        model = quality_classifier_fit(
+            docs, (F.col("doc_id") % 10) == 0, "doc_id", "text",
+            dim=65536, iters=5,
+        )
+        fit_sec = round(time.monotonic() - t0, 1)
+        t1 = time.monotonic()
+        scored = quality_classifier_score(docs, model, "doc_id", "text")
+        kept = pareto_select(scored, alpha=9.0).count()
+        score_sec = round(time.monotonic() - t1, 1)
+        return {
+            "dim": 65536, "iters": 5, "fit_sec": fit_sec,
+            "score_select_sec": score_sec,
+            "score_docs_per_sec": round(n_docs / score_sec),
+            "kept": kept, "kept_frac": round(kept / n_docs, 4),
+            "model_buckets": len(model["weights"]),
+        }
+
     ops = {
         "quality_gate": _quality_gate,
         "duplicate_ngram_spans": _spans,
@@ -949,6 +1014,8 @@ def run_corpus_scale() -> dict:
         "gopher_repetition_full": _gopher_rep_full,
         "bpe_apply": _bpe_apply,
         "online_score_frozen": _online,
+        "dedup_incremental_bloom": _bloom_incremental,
+        "quality_classifier": _quality_classifier,
     }
     only = {x for x in (os.environ.get("SPARK_GRAFT_CORPUS_ONLY") or "").split(",") if x}
     for name, fn in ops.items():

@@ -447,6 +447,15 @@ class FeatureFarm:
 
         return render_chat(turns, **kw)
 
+    def chat_spans(self, turns: DataFrame, **kw) -> DataFrame:
+        """Per-turn [start_char, end_char) spans over the render_chat
+        string (operators/conversations.py:chat_turn_spans) — the
+        loss-mask primitive: filter to role='assistant' spans to train
+        on assistant turns only."""
+        from kgfarm_spark.operators.conversations import chat_turn_spans
+
+        return chat_turn_spans(turns, **kw)
+
     def curate_conversations(self, turns: DataFrame, **kw) -> tuple[DataFrame, dict]:
         """Conversation-native curation chain: integrity filter → chat
         rendering → exact dedup → optional LSH near-dup keep-longest →

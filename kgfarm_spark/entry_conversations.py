@@ -152,3 +152,35 @@ def q_conversation_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
     )
     rows = [(s["stage"], int(s["convs"])) for s in manifest["stages"]]
     return spark.createDataFrame(rows, "stage string, convs long")
+
+
+@register(
+    "chat_turn_spans",
+    _cte(
+        """
+, lines AS (
+  SELECT conv_id, turn_idx, role,
+         '<|' || role || '|>' || coalesce(text, '') AS line
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, role,
+       CAST(coalesce(sum(length(line) + 1) OVER (
+              PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_char,
+       CAST(coalesce(sum(length(line) + 1) OVER (
+              PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + length(line) AS BIGINT) AS end_char
+FROM lines WHERE line IS NOT NULL
+"""
+    ),
+)
+def q_chat_turn_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-turn character spans over the rendered chat string
+    (conversations.chat_turn_spans) — the loss-mask primitive for
+    assistant-only supervised fine-tuning; spans index exactly into
+    render_chat's chat_text (pytest-pinned slice equality)."""
+    from kgfarm_spark.operators.conversations import chat_turn_spans
+
+    return chat_turn_spans(transcripts(spark, sf))

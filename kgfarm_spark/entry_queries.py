@@ -803,6 +803,11 @@ _DEFERRED_PAST_DRIVER_CAP = [
                                 # in-window, and the shared md5-uniform noise
                                 # recipe is now ALSO driver-covered by the new
                                 # quality_pareto_select (same transform family)
+    # late-r06: chat_turn_spans (the loss-mask primitive over rendered
+    # chat) enters; discover_joins_small defers — r05 driver-green, and
+    # the join-discovery machinery stays in-window via pkfk_containment
+    # (same inclusion-dependency profile join):
+    "discover_joins_small",
 ]
 
 

@@ -286,3 +286,65 @@ def curate_conversations(
         {"stage": "pack", "convs": packed.count(), "budget": pack_budget}
     )
     return packed, manifest
+
+
+def chat_turn_spans(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    max_turns: int | None = None,
+) -> DataFrame:
+    """Per-turn character spans over the ``render_chat`` string — the
+    loss-mask primitive for chat training: supervised fine-tuning masks
+    the loss to assistant turns only, which needs the exact
+    [start_char, end_char) of every turn inside the rendered training
+    string. Returns one row per turn:
+
+      (conv_id, turn_idx, role, start_char, end_char)
+
+    with ``chat_text[start_char:end_char] == '<|role|>text'`` for the
+    string produced by ``render_chat`` on the same frame (pytest-pinned;
+    the ``max_turns`` cap matches too). Turns whose rendered line is
+    NULL (NULL role) are skipped by ``render_chat``'s array_join and are
+    likewise absent here, keeping offsets aligned.
+
+    One cumulative-sum window keyed on ``conv_col`` — the SAME
+    partitioning as render_chat/conv_integrity, so Catalyst reuses the
+    exchange when the ops chain. Offsets count characters (codepoints),
+    matching F.length/DuckDB length on both engines.
+    """
+    from pyspark.sql import Window
+
+    line = F.concat(
+        F.lit("<|"),
+        F.col(role_col),
+        F.lit("|>"),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
+    base = df.select(
+        conv_col,
+        F.col(idx_col).alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        line.alias("__line"),
+    ).filter(F.col("__line").isNotNull())
+    if max_turns is not None:
+        if max_turns < 1:
+            raise ValueError(f"max_turns must be >= 1, got {max_turns}")
+        base = base.filter(F.col("turn_idx") < max_turns)
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(
+        F.sum(F.length("__line") + F.lit(1)).over(w), F.lit(0)
+    ).cast("bigint")
+    return base.select(
+        conv_col,
+        "turn_idx",
+        "role",
+        start.alias("start_char"),
+        (start + F.length("__line")).cast("bigint").alias("end_char"),
+    )

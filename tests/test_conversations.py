@@ -137,3 +137,52 @@ def test_curate_conversations_neardup(spark):
     ids = {r["conv_id"] for r in kept.select("conv_id").collect()}
     # a (12 turns) and b (13 turns) are near-dups -> keep the longer b
     assert ids == {"b", "z"}
+
+
+def test_chat_turn_spans_index_into_rendered_string(spark):
+    from kgfarm_spark.operators.conversations import chat_turn_spans, render_chat
+
+    rows = [
+        ("c1", 0, "user", "hello there", "2024-01-01 00:00:00"),
+        ("c1", 1, "assistant", "hi! how can I help", "2024-01-01 00:00:05"),
+        ("c1", 2, "user", None, "2024-01-01 00:00:09"),          # NULL text -> ''
+        ("c1", 3, "assistant", "multi\nline reply", "2024-01-01 00:00:12"),
+        ("c2", 0, "system", "", "2024-01-01 01:00:00"),
+        ("c2", 1, None, "orphan line", "2024-01-01 01:00:01"),   # NULL role: skipped
+        ("c2", 2, "user", "after the gap", "2024-01-01 01:00:02"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts string"
+    )
+    rendered = {
+        r["conv_id"]: r["chat_text"] for r in render_chat(df).collect()
+    }
+    spans = chat_turn_spans(df).collect()
+    # NULL-role turn is absent from spans AND from the rendered string
+    assert ("c2", 1) not in {(r["conv_id"], r["turn_idx"]) for r in spans}
+    for r in spans:
+        chunk = rendered[r["conv_id"]][r["start_char"]:r["end_char"]]
+        assert chunk.startswith(f"<|{r['role']}|>")
+    # exact slice equality for a known turn
+    c1 = {r["turn_idx"]: r for r in spans if r["conv_id"] == "c1"}
+    s = c1[1]
+    assert rendered["c1"][s["start_char"]:s["end_char"]] == "<|assistant|>hi! how can I help"
+    # spans tile the string: each next start = previous end + 1 (the newline)
+    ordered = [c1[i] for i in sorted(c1)]
+    for a, b in zip(ordered, ordered[1:]):
+        assert b["start_char"] == a["end_char"] + 1
+    assert ordered[-1]["end_char"] == len(rendered["c1"])
+
+
+def test_chat_turn_spans_max_turns_matches_render(spark):
+    from kgfarm_spark.operators.conversations import chat_turn_spans, render_chat
+
+    rows = [("c", i, "user" if i % 2 == 0 else "assistant", f"turn {i}",
+             "2024-01-01 00:00:00") for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts string"
+    )
+    text = render_chat(df, max_turns=3).collect()[0]["chat_text"]
+    spans = chat_turn_spans(df, max_turns=3).collect()
+    assert len(spans) == 3
+    assert max(r["end_char"] for r in spans) == len(text)
