@@ -586,6 +586,28 @@ class FeatureFarm:
             return decode_sampled_frames(media, every_nth, **kw)
         return sample_frames(media, every_nth)
 
+    def train_wordpiece(
+        self, docs: DataFrame, text_col: str = "text", n_merges: int = 10, **kw
+    ):
+        """Learn a BERT-style WordPiece vocabulary — likelihood-ratio
+        merges count(ab)/(count(a)*count(b)) over '##'-marked symbols
+        (operators.wordpiece.wordpiece_train). Returns (merges, vocab);
+        tokenize with ``tokenize_wordpiece``."""
+        from kgfarm_spark.operators.wordpiece import wordpiece_train
+
+        return wordpiece_train(docs, text_col, n_merges, **kw)
+
+    def tokenize_wordpiece(
+        self, docs: DataFrame, vocab: DataFrame, text_col: str = "text",
+        id_col: str = "doc_id", **kw
+    ) -> DataFrame:
+        """Max-munch tokenize with a trained WordPiece vocabulary
+        (operators.wordpiece.wordpiece_apply) — broadcast vocab,
+        distinct-word memo, zero shuffle."""
+        from kgfarm_spark.operators.wordpiece import wordpiece_apply
+
+        return wordpiece_apply(docs, vocab, text_col, id_col, **kw)
+
     def train_unigram(
         self, docs: DataFrame, text_col: str = "text",
         vocab_size: int = 2000, **kw

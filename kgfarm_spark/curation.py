@@ -86,8 +86,8 @@ def curate(
     ``materialize=True`` returns ACTUAL budget-sized token sequences
     instead of the layout (``materialize_sequences``; one row per
     sequence, optional ``pad_token`` on the final short one) — with
-    ``tokenizer=('bpe'|'unigram', model)`` those are real model tokens,
-    i.e. training-ready shards.
+    ``tokenizer=('bpe'|'unigram'|'wordpiece', model)`` those are real
+    model tokens, i.e. training-ready shards.
 
     Stage toggles: ``gopher=False`` skips quality filtering;
     ``neardup`` is ``'lsh'`` (MinHash-LSH candidates, exact-Jaccard
@@ -153,13 +153,14 @@ def curate(
         )
     if tokenizer is not None and (
         not isinstance(tokenizer, tuple) or len(tokenizer) != 2
-        or tokenizer[0] not in ("bpe", "unigram")
+        or tokenizer[0] not in ("bpe", "unigram", "wordpiece")
     ):
         # fail fast — stage 6 is the LAST stage; a bad tokenizer arg
         # must not cost five stages of work first
         raise ValueError(
-            "tokenizer must be ('bpe', segmented_census) or "
-            f"('unigram', pieces_df), got {tokenizer!r}"
+            "tokenizer must be ('bpe', segmented_census), "
+            "('unigram', pieces_df), or ('wordpiece', vocab_df), "
+            f"got {tokenizer!r}"
         )
     if neardup not in ("lsh", "jaccard", "semantic", None):
         raise ValueError(
@@ -390,6 +391,12 @@ def curate(
             from kgfarm_spark.operators.bpe import bpe_apply
 
             tok_df = bpe_apply(cur, model, text_col, id_col, out_col="__tokens")
+        elif kind == "wordpiece":
+            from kgfarm_spark.operators.wordpiece import wordpiece_apply
+
+            tok_df = wordpiece_apply(
+                cur, model, text_col, id_col, out_col="__tokens"
+            )
         else:
             from kgfarm_spark.operators.unigram import unigram_apply
 

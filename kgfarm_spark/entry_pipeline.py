@@ -1798,3 +1798,64 @@ def q_quality_pareto_select(spark: SparkSession, sf: str) -> DataFrame:
     from kgfarm_spark.operators.quality_model import pareto_select
 
     return pareto_select(_qc_fit_score(spark, sf), alpha=9.0)
+
+
+@register(
+    "wordpiece_pair_scores",
+    r"""
+WITH census AS (
+  SELECT w AS word, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                              x -> length(x) > 0)) AS w
+    FROM documents)
+  GROUP BY 1
+),
+sym AS (
+  SELECT CASE WHEN i = 1 THEN substr(word, 1, 1)
+              ELSE '##' || substr(word, CAST(i AS INT), 1) END AS s,
+         cnt
+  FROM (SELECT word, cnt, unnest(range(1, length(word) + 1)) AS i FROM census)
+),
+symc AS (SELECT s, CAST(sum(cnt) AS BIGINT) AS sym_count FROM sym GROUP BY 1),
+pairs AS (
+  SELECT CASE WHEN i = 1 THEN substr(word, 1, 1)
+              ELSE '##' || substr(word, CAST(i AS INT), 1) END AS "left",
+         '##' || substr(word, CAST(i AS INT) + 1, 1) AS "right",
+         CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT word, cnt, unnest(range(1, length(word))) AS i
+        FROM census WHERE length(word) >= 2)
+  GROUP BY 1, 2
+)
+SELECT p."left", p."right", p.pair_count,
+       l.sym_count AS left_count, r.sym_count AS right_count,
+       round(p.pair_count / CAST(l.sym_count * r.sym_count AS DOUBLE), 9)
+         AS score
+FROM pairs p
+JOIN symc l ON p."left" = l.s
+JOIN symc r ON p."right" = r.s
+""",
+)
+def q_wordpiece_pair_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-0 WordPiece statistics (wordpiece.wordpiece_pair_scores):
+    the likelihood-ratio score count(ab)/(count(a)*count(b)) over
+    '##'-marked symbol pairs — the signal that picks the first BERT-style
+    merge (the trainer itself is census-local and rows-only, exact-parity
+    pytest vs the rescan twin)."""
+    from kgfarm_spark.operators.wordpiece import wordpiece_pair_scores
+
+    docs = load_table(spark, sf, "documents").select("text")
+    return wordpiece_pair_scores(docs, "text")
+
+
+@register("wordpiece_merges")  # rows-only BY CONTRACT: the merge loop is
+# iterative argmax-by-score over the evolving census (non-SQL); exact
+# parity vs the naive rescan twin is pytest-pinned in test_wordpiece, and
+# the round-0 score surface carries the wordpiece_pair_scores oracle.
+def q_wordpiece_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """First 8 learned WordPiece merges over the documents corpus
+    (wordpiece.wordpiece_train)."""
+    from kgfarm_spark.operators.wordpiece import wordpiece_train
+
+    docs = load_table(spark, sf, "documents").select("text")
+    merges, _ = wordpiece_train(docs, "text", n_merges=8)
+    return merges

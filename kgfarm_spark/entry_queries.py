@@ -808,6 +808,12 @@ _DEFERRED_PAST_DRIVER_CAP = [
     # the join-discovery machinery stays in-window via pkfk_containment
     # (same inclusion-dependency profile join):
     "discover_joins_small",
+    # late-r06: wordpiece_pair_scores (round-0 of the BERT tokenizer —
+    # completes the driver-checked tokenizer triad next to
+    # bpe_pair_counts_bytes and unigram_seed_counts) enters;
+    # detect_entities_tpch defers — r05 driver-green, profiling family
+    # in-window via profile_orders + elect_default_entities:
+    "detect_entities_tpch",
 ]
 
 

@@ -361,6 +361,20 @@ def test_tokenizer_aware_packing(spark):
     # so decoding with the default window (8) finds the same segments
     assert up["total_tokens"] == want_u
 
+    from kgfarm_spark.operators.wordpiece import wordpiece_apply, wordpiece_train
+
+    _, vocab = wordpiece_train(docs, "text", n_merges=8)
+    packed_w, man_w = curate(docs, tokenizer=("wordpiece", vocab), **kw)
+    wp = man_w["stages"][-1]
+    assert wp["tokenizer"] == "wordpiece"
+    want_w = (
+        wordpiece_apply(docs.join(packed_w.select("doc_id"), "doc_id"),
+                        vocab, "text", "doc_id")
+        .select(F.sum(F.size("tokens")).alias("t"))
+        .first()["t"]
+    )
+    assert wp["total_tokens"] == want_w
+
     with pytest.raises(ValueError, match="tokenizer"):
         curate(docs, tokenizer=("sentencepiece", seg), **kw)
     with pytest.raises(ValueError, match="tokenizer"):

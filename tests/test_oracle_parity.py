@@ -88,6 +88,9 @@ def test_queries_have_oracles():
         "pq_topk_ann",       # per-subspace k-means codebooks (non-SQL) — exact-
                              # covering == brute force + recall pins + partition
                              # invariance in TestProductQuantization
+        "wordpiece_merges",  # iterative argmax-by-score loop (non-SQL) — exact
+                             # parity vs the rescan twin in test_wordpiece;
+                             # round-0 scores oracle-checked via wordpiece_pair_scores
         "pack_nosplit",      # greedy close-on-overflow recurrence (non-associative,
                              # non-SQL) — pure-Python twin parity in test_pack_nosplit
         "conversation_curation_e2e",  # LSH components chain (non-SQL e2e);
