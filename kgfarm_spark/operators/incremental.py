@@ -183,5 +183,17 @@ def dedup_against_history(
         hits = hist_fp.join(F.broadcast(cand_fps), "__fp", "left_semi").distinct()
         survivors = cand.join(hits, "__fp", "left_anti").drop("__fp")
     else:
-        survivors = cand.join(hist_fp, "__fp", "left_anti").drop("__fp")
+        # anti-join via left-outer + null filter: identical semantics in
+        # batch, and (unlike left_anti) a supported stream-static shape —
+        # so THIS function is also the streaming twin: call it on a
+        # readStream frame with broadcast_candidates=False and the probe
+        # stays a stateless projection, the verify a per-batch
+        # stream-static join (no state store at all). Parity is
+        # pytest-pinned in test_incremental.
+        marked = hist_fp.distinct().withColumn("__hit", F.lit(1))
+        survivors = (
+            cand.join(marked, "__fp", "left_outer")
+            .filter(F.col("__hit").isNull())
+            .drop("__fp", "__hit")
+        )
     return novel.unionByName(survivors)

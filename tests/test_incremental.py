@@ -87,3 +87,35 @@ def test_bloom_validation(spark):
         build_history_filter(hist, n_bits=12)
     with pytest.raises(ValueError, match="k must be"):
         build_history_filter(hist, k=9)
+
+
+def test_bloom_dedup_streams_unchanged(spark, tmp_path):
+    """The batch operator IS the streaming twin: probe = stateless
+    broadcast projection, verify = per-batch stream-static left-outer
+    (broadcast_candidates=False) — no state store. Stream output must
+    equal the batch call on the same shard."""
+    hist, new = _corpus(spark)
+    new = new.filter(F.col("text").isNotNull())  # parquet schema simplicity
+    model = build_history_filter(hist, n_bits=1 << 14, k=4)
+
+    src = str(tmp_path / "ingest")
+    new.write.mode("overwrite").parquet(src)
+    batch_ids = {
+        r["doc_id"]
+        for r in dedup_against_history(
+            spark.read.parquet(src), model, hist, broadcast_candidates=False
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    q = (
+        dedup_against_history(stream, model, hist, broadcast_candidates=False)
+        .writeStream.format("memory")
+        .queryName("bloom_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["doc_id"] for r in spark.sql("select * from bloom_stream_out").collect()}
+    assert got == batch_ids and len(got) > 0
