@@ -91,15 +91,18 @@ def build_history_filter(
     n_bytes = n_bits // 8
 
     def _fold(batches):
-        import pandas as pd
-
         bm = np.zeros(n_bytes, dtype=np.uint8)
         seen = 0
         for pdf in batches:
-            for arr in pdf["__pos"]:
-                seen += 1
-                for p in arr:
-                    bm[p >> 3] |= 1 << (p & 7)
+            if not len(pdf):
+                continue
+            seen += len(pdf)
+            # all position arrays are length k — one flat vectorized set
+            # (bitwise_or.at accumulates duplicates correctly)
+            flat = np.concatenate(pdf["__pos"].to_numpy()).astype(np.int64)
+            np.bitwise_or.at(
+                bm, flat >> 3, (1 << (flat & 7)).astype(np.uint8)
+            )
         yield pd.DataFrame({"bm": [bm.tobytes()], "n": [seen]})
 
     parts = pos.mapInPandas(_fold, "bm binary, n long").collect()
@@ -154,15 +157,13 @@ def dedup_against_history(
     @F.pandas_udf("boolean")
     def _probe(pos: pd.Series) -> pd.Series:
         bm = bc.value
-        out = []
-        for arr in pos:
-            hit = True
-            for p in arr:
-                if not (bm[p >> 3] >> (p & 7)) & 1:
-                    hit = False
-                    break
-            out.append(hit)
-        return pd.Series(out)
+        if not len(pos):
+            return pd.Series([], dtype=bool)
+        # every row's position array is length k — stack to (n, k) and
+        # test all bits vectorized
+        mat = np.stack(pos.to_numpy()).astype(np.int64)
+        bits = (bm[mat >> 3] >> (mat & 7).astype(np.uint8)) & 1
+        return pd.Series(bits.all(axis=1))
 
     # NULL text is always novel (NULL never equi-matches in SQL — the
     # history filter skipped NULLs too); probe over a coalesced copy so

@@ -102,9 +102,13 @@ def quality_classifier_fit(
         grad   = Σ_d (p_d − y_d)·x_d / n_docs ;  update w −= lr·grad
 
     Documents with zero tokens are excluded from the fit (they carry no
-    features; scoring gives them sigmoid(bias)). Returns a
-    JSON-serializable model ``{dim, lr, iters, bias, weights}`` with
-    ``weights`` a sparse {bucket: w} dict — model-sized, broadcastable.
+    features; scoring gives them sigmoid(bias)). ``target`` should be
+    non-NULL per document: a NULL label NULLs that document's residual,
+    so it counts toward n_docs (diluting the step size) without
+    contributing gradient — coalesce the label upstream if the source
+    column can be NULL. Returns a JSON-serializable model
+    ``{dim, lr, iters, bias, weights}`` with ``weights`` a sparse
+    {bucket: w} dict — model-sized, broadcastable.
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
@@ -182,7 +186,6 @@ def quality_classifier_score(
         fx.join(F.broadcast(wdf), "__b", "left")
         .groupBy("__did")
         .agg(
-            F.count(F.lit(1)).alias("__nb"),
             (
                 F.lit(model["bias"])
                 + F.sum(F.coalesce(F.col("__w"), F.lit(0.0)) * F.col("__x"))
