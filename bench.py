@@ -992,6 +992,27 @@ def run_corpus_scale() -> dict:
             "model_buckets": len(model["weights"]),
         }
 
+    def _wordpiece() -> dict:
+        """r06: WordPiece completes the tokenizer triad at 5M docs —
+        train is census-local (likelihood-ratio incremental trainer over
+        the 100k-word census), apply the broadcast max-munch kernel."""
+        from kgfarm_spark.operators.wordpiece import (
+            wordpiece_apply,
+            wordpiece_train,
+        )
+
+        t0 = time.monotonic()
+        _, vocab = wordpiece_train(docs, "text", n_merges=500)
+        train_sec = round(time.monotonic() - t0, 1)
+        t1 = time.monotonic()
+        _noop(wordpiece_apply(docs, vocab, "text", "doc_id"))
+        apply_sec = round(time.monotonic() - t1, 1)
+        return {
+            "n_merges": 500, "vocab": vocab.count(),
+            "train_sec": train_sec, "apply_sec": apply_sec,
+            "apply_docs_per_sec": round(n_docs / apply_sec),
+        }
+
     ops = {
         "quality_gate": _quality_gate,
         "duplicate_ngram_spans": _spans,
@@ -1016,6 +1037,7 @@ def run_corpus_scale() -> dict:
         "online_score_frozen": _online,
         "dedup_incremental_bloom": _bloom_incremental,
         "quality_classifier": _quality_classifier,
+        "wordpiece_tokenizer": _wordpiece,
     }
     only = {x for x in (os.environ.get("SPARK_GRAFT_CORPUS_ONLY") or "").split(",") if x}
     for name, fn in ops.items():
@@ -1202,6 +1224,75 @@ def run_tok_scale() -> dict:
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     return out["materialize_scaling_1v4"]
+
+
+def run_bloom_scale_one(cpus: int) -> dict:
+    """One Bloom probe+verify run at a given parallelism over the 5M-doc
+    history (fresh subprocess per level): filter built once (untimed —
+    it is the fit), then the ingest-shard dedup timed."""
+    from pyspark.sql import functions as F
+
+    from kgfarm_spark.operators.incremental import (
+        build_history_filter,
+        dedup_against_history,
+    )
+    from kgfarm_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"kgfarm_bloom_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+    docs = spark.read.parquet(DOCS_DIR)
+    model = build_history_filter(docs, n_bits=1 << 26, k=6)
+    shard = docs.filter(F.col("doc_id") % 5 < 2).select(
+        (F.col("doc_id") + 100_000_000).alias("doc_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" novel-"),
+                            F.col("doc_id").cast("string")))
+        .alias("text"),
+    )
+    n = shard.count()
+    dedup_against_history(shard, model, docs).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm
+    t0 = time.monotonic()
+    dedup_against_history(shard, model, docs).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.monotonic() - t0
+    spark.stop()
+    return {"cpus": cpus, "docs": n, "sec": round(dt, 3)}
+
+
+def run_bloom_scale() -> dict:
+    """North-rule pair for incremental Bloom dedup: 1 vs 4 cores, fresh
+    subprocess per level, merged into BENCH_LLM.json."""
+    ensure_llm_data()
+    path = os.path.join(REPO, "BENCH_LLM.json")
+    out: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    pair = {}
+    for level in (1, 4):
+        r = subprocess.run(
+            [sys.executable, __file__, "--bloom-scale-one", str(level)],
+            capture_output=True, text=True, env=dict(os.environ),
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        pair[level] = json.loads(line)
+    thr1 = pair[1]["docs"] / pair[1]["sec"]
+    thr4 = pair[4]["docs"] / pair[4]["sec"]
+    out["bloom_scaling_1v4"] = {
+        "docs": pair[1]["docs"],
+        "sec_1": pair[1]["sec"], "sec_4": pair[4]["sec"],
+        "docs_per_sec_1": round(thr1), "docs_per_sec_4": round(thr4),
+        "scaling_efficiency": round((thr4 / thr1) / 4.0, 3),
+    }
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    return out["bloom_scaling_1v4"]
 
 
 def ensure_stream_data() -> None:
@@ -1466,6 +1557,15 @@ def main() -> None:
 
     if "--tok-scale" in sys.argv:
         print(json.dumps(run_tok_scale()))
+        return
+
+    if "--bloom-scale-one" in sys.argv:
+        level = int(sys.argv[sys.argv.index("--bloom-scale-one") + 1])
+        print(json.dumps(run_bloom_scale_one(level)))
+        return
+
+    if "--bloom-scale" in sys.argv:
+        print(json.dumps(run_bloom_scale()))
         return
 
     if "--corpus-scale" in sys.argv:

@@ -72,10 +72,13 @@ def build_history_filter(
     ``{"n_bits", "k", "bitmap": bytes, "n_docs"}``.
 
     Each task folds its partition's bit positions into a local
-    ``n_bits/8``-byte numpy bitmap (``mapInPandas``, Arrow-batched);
-    the driver ORs the per-partition bitmaps. Driver memory is
-    P × n_bits/8 transient (collected iteratively, not concatenated)
-    and n_bits/8 resident — model-sized, never corpus-sized.
+    ``n_bits/8``-byte numpy bitmap (``mapInPandas``, Arrow-batched); a
+    SECOND single-task fold ORs the per-partition bitmaps so the driver
+    collects exactly ONE bitmap — at 10k input partitions a flat
+    collect would land P × n_bits/8 bytes on the driver at once, while
+    the tree fold streams them through one executor task Arrow-batch by
+    Arrow-batch. Driver-resident memory is n_bits/8 — model-sized,
+    never corpus- or partition-count-sized.
     """
     if n_bits < 8 or n_bits % 8:
         raise ValueError(f"n_bits must be a positive multiple of 8, got {n_bits}")
@@ -105,13 +108,26 @@ def build_history_filter(
             )
         yield pd.DataFrame({"bm": [bm.tobytes()], "n": [seen]})
 
-    parts = pos.mapInPandas(_fold, "bm binary, n long").collect()
-    bitmap = np.zeros(n_bytes, dtype=np.uint8)
-    n_docs = 0
-    for r in parts:
-        bitmap |= np.frombuffer(r["bm"], dtype=np.uint8)
-        n_docs += r["n"]
-    return {"n_bits": n_bits, "k": k, "bitmap": bitmap.tobytes(), "n_docs": n_docs}
+    def _fold2(batches):
+        bm = np.zeros(n_bytes, dtype=np.uint8)
+        seen = 0
+        for pdf in batches:
+            for raw, n in zip(pdf["bm"], pdf["n"]):
+                bm |= np.frombuffer(raw, dtype=np.uint8)
+                seen += int(n)
+        yield pd.DataFrame({"bm": [bm.tobytes()], "n": [seen]})
+
+    parts = pos.mapInPandas(_fold, "bm binary, n long")
+    row = (
+        parts.coalesce(1).mapInPandas(_fold2, "bm binary, n long").collect()[0]
+    )
+    bitmap = np.frombuffer(row["bm"], dtype=np.uint8)
+    return {
+        "n_bits": n_bits,
+        "k": k,
+        "bitmap": bitmap.tobytes(),
+        "n_docs": int(row["n"]),
+    }
 
 
 def bloom_fpr(model: dict) -> float:
