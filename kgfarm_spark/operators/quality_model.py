@@ -115,16 +115,13 @@ def quality_classifier_fit(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     spark = df.sparkSession
-    # pre-partition the feature frame on the doc id: the per-iteration
-    # margin aggregate groups on (__did, __y) and the residual join keys
-    # on __did, so hash-partitioning on __did lets both reuse this ONE
-    # exchange every iteration — only the bucket-keyed gradient groupBy
-    # still shuffles (checkpoint AFTER the repartition to pin it)
-    fx = (
-        _features(df, id_col, text_col, dim, target)
-        .repartition("__did")
-        .localCheckpoint(eager=True)
-    )
+    # NOTE on a tempting non-optimization: pre-repartitioning fx on
+    # __did would let the per-iteration margin aggregate and residual
+    # join reuse one exchange — but shuffling THEN checkpointing the
+    # corpus-sized feature frame doubled peak heap and OOM'd the 5M-doc
+    # bench box; the checkpoint-as-produced shape below is the measured
+    # safe one (the gradient groupBy shuffles per iteration either way)
+    fx = _features(df, id_col, text_col, dim, target).localCheckpoint(eager=True)
     n_docs = fx.select("__did").distinct().count()
     if n_docs == 0:
         raise ValueError("no documents with tokens to fit on")
