@@ -348,3 +348,73 @@ def chat_turn_spans(
         start.alias("start_char"),
         (start + F.length("__line")).cast("bigint").alias("end_char"),
     )
+
+
+def sft_token_masks(
+    df: DataFrame,
+    vocab: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    train_role: str = "assistant",
+    max_turns: int | None = None,
+) -> DataFrame:
+    """Training-ready SFT token sequences with loss masks: render each
+    conversation (``render_chat``), tokenize it offset-preserving with a
+    WordPiece vocabulary, and mark exactly the tokens lying inside
+    ``train_role`` turns:
+
+      (conv_id, tokens, loss_mask, n_tokens, n_train_tokens)
+
+    ``loss_mask[i]`` is True iff token i's character span falls entirely
+    inside a '<|train_role|>text' line of the rendered string — the
+    standard supervised-fine-tuning recipe (train on assistant tokens,
+    mask user/system/tool context). The '<|role|>' header fuses with the
+    first word of the turn (no whitespace after the tag), so the
+    header token trains with its turn — the usual chat-template
+    convention. A whitespace token never crosses the newline between
+    turns, so spans either nest fully or not at all.
+
+    Plan: render + span windows are conv-keyed (one exchange each,
+    shared key), the tokenizer is the broadcast-vocab Arrow kernel
+    (zero shuffle), and the mask is a pure JVM array expression over
+    (starts, ends) vs the conversation's collected ``train_role`` spans
+    (bounded by turns-per-conversation, never corpus-sized).
+    """
+    from kgfarm_spark.operators.wordpiece import wordpiece_tokenize_with_offsets
+
+    rendered = render_chat(
+        df, conv_col, idx_col, role_col, text_col, max_turns=max_turns
+    )
+    spans = (
+        chat_turn_spans(df, conv_col, idx_col, role_col, text_col, max_turns)
+        .filter(F.col("role") == train_role)
+        .groupBy(conv_col)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("start_char"), F.col("end_char"))
+            ).alias("__spans")
+        )
+    )
+    tok = wordpiece_tokenize_with_offsets(
+        rendered, vocab, text_col="chat_text", id_col=conv_col
+    )
+    mask = F.expr(
+        "transform(sequence(0, size(tokens) - 1), i -> "
+        "exists(coalesce(__spans, array()), s -> "
+        "starts[i] >= s.start_char AND ends[i] <= s.end_char))"
+    )
+    return (
+        tok.join(spans, conv_col, "left")
+        .withColumn("loss_mask", mask)
+        .select(
+            conv_col,
+            "tokens",
+            "loss_mask",
+            F.col("n_tokens"),
+            F.size(F.filter("loss_mask", lambda m: m)).cast("int").alias(
+                "n_train_tokens"
+            ),
+        )
+    )

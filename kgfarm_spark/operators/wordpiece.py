@@ -393,3 +393,87 @@ def wordpiece_apply(
     return df.select(
         id_col, _tok(words_col).alias(out_col)
     ).withColumn("n_tokens", F.size(out_col).cast("int"))
+
+
+# Java \s (the _pretok_expr whitespace definition) is ASCII-only — the
+# offset kernel must split EXACTLY like the JVM path or tokens desync
+import re
+
+_JAVA_NONWS = re.compile(r"[^ \t\n\x0b\f\r]+")
+
+
+def py_wordpiece_offsets(
+    text: str, vocab: set, unk: str = "[UNK]", max_word_len: int = 200
+) -> tuple[list[str], list[int], list[int]]:
+    """Max-munch with character offsets: returns (tokens, starts, ends)
+    with ``text[starts[i]:ends[i]]`` the surface of token i (an UNK or
+    over-length word yields one token covering the whole word). The
+    token sequence equals ``py_wordpiece_apply`` over the same words."""
+    toks: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    for m in _JAVA_NONWS.finditer(text):
+        w = m.group()
+        base = m.start()
+        pieces = py_wordpiece_apply(w, vocab, unk, max_word_len)
+        if pieces == [unk]:
+            toks.append(unk)
+            starts.append(base)
+            ends.append(base + len(w))
+            continue
+        i = 0
+        for p in pieces:
+            ln = len(p) - 2 if p.startswith("##") else len(p)
+            toks.append(p)
+            starts.append(base + i)
+            ends.append(base + i + ln)
+            i += ln
+    return toks, starts, ends
+
+
+def wordpiece_tokenize_with_offsets(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk: str = "[UNK]",
+    max_word_len: int = 200,
+    max_vocab_broadcast: int = 5_000_000,
+) -> DataFrame:
+    """Offset-preserving tokenization: (id, tokens, starts, ends) with
+    ``text[starts[i]:ends[i]]`` each token's surface — the primitive
+    that lets char-level annotations (loss-mask spans, PII spans,
+    decontamination hits) transfer onto token sequences. Broadcast
+    vocab, Arrow kernel, zero shuffle (the ``wordpiece_apply`` shape;
+    the whitespace scan replicates the JVM pre-tokenizer's ASCII-\\s
+    semantics so both paths see identical words)."""
+    n_vocab = vocab.count()
+    if n_vocab > max_vocab_broadcast:
+        raise ValueError(
+            f"vocab has {n_vocab:,} pieces > max_vocab_broadcast="
+            f"{max_vocab_broadcast:,}"
+        )
+    vset = {r["piece"] for r in vocab.collect()}
+    bc = df.sparkSession.sparkContext.broadcast(vset)
+
+    @F.pandas_udf(
+        "struct<tokens:array<string>,starts:array<int>,ends:array<int>>"
+    )
+    def _tok(texts: pd.Series) -> pd.DataFrame:
+        v = bc.value
+        rows = []
+        for t in texts:
+            toks, st, en = py_wordpiece_offsets(t or "", v, unk, max_word_len)
+            rows.append({"tokens": toks, "starts": st, "ends": en})
+        return pd.DataFrame(rows)
+
+    out = df.select(
+        id_col,
+        _tok(F.coalesce(F.col(text_col), F.lit(""))).alias("__t"),
+    )
+    return out.select(
+        id_col,
+        F.col("__t.tokens").alias("tokens"),
+        F.col("__t.starts").alias("starts"),
+        F.col("__t.ends").alias("ends"),
+    ).withColumn("n_tokens", F.size("tokens").cast("int"))
