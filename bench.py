@@ -1013,8 +1013,20 @@ def run_corpus_scale() -> dict:
             "apply_docs_per_sec": round(n_docs / apply_sec),
         }
 
+    def _chunk() -> dict:
+        """r06: sliding-window chunking at 5M docs — zero-shuffle
+        explode; output rows ∝ corpus_words / stride."""
+        from kgfarm_spark.operators.packing import chunk_documents
+
+        out_df = chunk_documents(docs, window=24, stride=12)
+        _noop(out_df)  # materializes the chunk STRINGS (count would prune them)
+        return {"window": 24, "stride": 12, "chunks": out_df.count(),
+                "note": "sec is the noop write; the chunks recount is a "
+                        "pruned second job (no string assembly)"}
+
     ops = {
         "quality_gate": _quality_gate,
+        "chunk_documents": _chunk,
         "duplicate_ngram_spans": _spans,
         "dedup_lines_corpus": _lines,
         "unigram_logprob": _unigram,
@@ -1332,6 +1344,84 @@ def ensure_stream_data() -> None:
     spark.stop()
 
 
+def run_convfe_scale() -> dict:
+    """r06: the conversation feature-eng constructors at SCALE_TURNS
+    turns (the 16M-turn transcript table) — preference pairs, dialogue
+    context examples, SFT token masks. Results merge into BENCH_LLM.json
+    under 'convfe_*' keys after every leg. SPARK_GRAFT_CONVFE_ONLY=
+    "preference_pairs" re-benches a subset."""
+    from pyspark.sql import functions as F
+
+    from kgfarm_spark.operators.conversations import (
+        dialogue_context_examples,
+        preference_pairs,
+        render_chat,
+        sft_token_masks,
+    )
+    from kgfarm_spark.session import get_spark
+
+    ensure_scale_data()
+    path = os.path.join(REPO, "BENCH_LLM.json")
+    out: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    spark = get_spark(
+        app_name="kgfarm_convfe", master="local[8]", shuffle_partitions=64
+    )
+    t = spark.read.parquet(SCALE_DIR)
+    n_turns = t.count()
+
+    def _noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def _pref() -> dict:
+        df = preference_pairs(t)
+        _noop(df)
+        return {"pairs": df.count()}
+
+    def _ctx() -> dict:
+        _noop(dialogue_context_examples(t, k=4))
+        return {"k": 4}
+
+    def _sft() -> dict:
+        from kgfarm_spark.operators.wordpiece import wordpiece_train
+
+        corpus = render_chat(t).select(F.col("chat_text").alias("text"))
+        t0 = time.monotonic()
+        _, vocab = wordpiece_train(corpus, n_merges=500)
+        train_sec = round(time.monotonic() - t0, 1)
+        t1 = time.monotonic()
+        _noop(sft_token_masks(t, vocab))
+        mask_sec = round(time.monotonic() - t1, 1)
+        return {
+            "n_merges": 500, "vocab_train_sec": train_sec,
+            "render_tokenize_mask_sec": mask_sec,
+            "turns_per_sec": round(n_turns / mask_sec),
+        }
+
+    legs = {
+        "convfe_preference_pairs": _pref,
+        "convfe_dialogue_context": _ctx,
+        "convfe_sft_token_masks": _sft,
+    }
+    only = {x for x in (os.environ.get("SPARK_GRAFT_CONVFE_ONLY") or "").split(",") if x}
+    for name, fn in legs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        extra = fn()
+        dt = time.monotonic() - t0
+        out[name] = {
+            "turns": n_turns, "sec": round(dt, 1),
+            "turns_per_sec_total": round(n_turns / dt), **extra,
+        }
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+    spark.stop()
+    return {k: out[k] for k in legs if k in out}
+
+
 def run_stream_scale(cpus: int = 8) -> dict:
     """Streaming bench evidence (VERDICT r04 #9): throughput + state-store
     size for the two flagship streaming operators at STREAM_TURNS turns,
@@ -1543,6 +1633,10 @@ def main() -> None:
 
     if "--stream-scale" in sys.argv:
         print(json.dumps(run_stream_scale(min(cpus, 8))))
+        return
+
+    if "--convfe-scale" in sys.argv:
+        print(json.dumps(run_convfe_scale()))
         return
 
     if "--llm-scale-one" in sys.argv:

@@ -465,6 +465,46 @@ class FeatureFarm:
 
         return curate_conversations(turns, **kw)
 
+    def sft_masks(self, turns: DataFrame, vocab: DataFrame, **kw) -> DataFrame:
+        """Training-ready SFT token sequences + loss masks: render each
+        conversation, tokenize offset-preserving with a WordPiece vocab,
+        mark exactly the tokens inside assistant (``train_role``) turns
+        (operators/conversations.py:sft_token_masks)."""
+        from kgfarm_spark.operators.conversations import sft_token_masks
+
+        return sft_token_masks(turns, vocab, **kw)
+
+    def preference_pairs(self, turns: DataFrame, **kw) -> DataFrame:
+        """DPO/reward-model pair construction: group user→assistant
+        exchanges by identical prompt; emit (prompt, chosen, rejected)
+        with the highest/lowest-scoring distinct responses
+        (operators/conversations.py:preference_pairs). Pass
+        ``score_col`` for a real reward; the default scores by response
+        length (a documented stand-in)."""
+        from kgfarm_spark.operators.conversations import preference_pairs
+
+        return preference_pairs(turns, **kw)
+
+    def dialogue_examples(self, turns: DataFrame, k: int = 4, **kw) -> DataFrame:
+        """Next-response training examples: per assistant turn, the
+        previous ≤k turns rendered in the chat template as conditioning
+        context (operators/conversations.py:dialogue_context_examples)."""
+        from kgfarm_spark.operators.conversations import (
+            dialogue_context_examples,
+        )
+
+        return dialogue_context_examples(turns, k=k, **kw)
+
+    def chunk(self, docs: DataFrame, window: int = 512, stride: int = 256,
+              **kw) -> DataFrame:
+        """Sliding-window document chunking: overlapping ``window``-word
+        chunks every ``stride`` words (operators/packing.py:
+        chunk_documents) — long-document preparation for context-bounded
+        training and embedding indexing."""
+        from kgfarm_spark.operators.packing import chunk_documents
+
+        return chunk_documents(docs, window=window, stride=stride, **kw)
+
     def fit_quality_classifier(self, docs: DataFrame, target, **kw) -> dict:
         """Train the GPT-3-style discriminative quality head
         (quality_model.quality_classifier_fit): logistic regression over

@@ -184,3 +184,101 @@ def q_chat_turn_spans(spark: SparkSession, sf: str) -> DataFrame:
     from kgfarm_spark.operators.conversations import chat_turn_spans
 
     return chat_turn_spans(transcripts(spark, sf))
+
+
+@register(
+    "preference_pairs",
+    _cte(
+        """
+, nxt AS (
+  SELECT conv_id, turn_idx, role, text AS prompt,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role,
+         lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS response
+  FROM transcripts
+),
+cand AS (
+  SELECT prompt, response,
+         lpad(CAST(length(response) AS VARCHAR), 6, '0') || '|' || response AS key
+  FROM nxt WHERE role = 'user' AND next_role = 'assistant'
+)
+SELECT prompt,
+       CAST(count(*) AS INT) AS n_candidates,
+       max_by(response, key) AS chosen,
+       min_by(response, key) AS rejected,
+       CAST(length(max_by(response, key)) AS INT) AS chosen_score,
+       CAST(length(min_by(response, key)) AS INT) AS rejected_score
+FROM cand
+GROUP BY prompt
+HAVING max(key) <> min(key)
+"""
+    ),
+)
+def q_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """DPO/reward-model pair construction
+    (conversations.preference_pairs): user→assistant exchanges grouped
+    by identical prompt; highest/lowest-scoring distinct responses
+    become (chosen, rejected). One conv window + one map-side-combining
+    prompt aggregate — viral prompts don't straggle."""
+    from kgfarm_spark.operators.conversations import preference_pairs
+
+    return preference_pairs(transcripts(spark, sf))
+
+
+@register(
+    "dialogue_context",
+    _cte(
+        """
+, lines AS (
+  SELECT conv_id, turn_idx, role, coalesce(text, '') AS txt,
+         '<|' || role || '|>' || coalesce(text, '') AS line
+  FROM transcripts
+),
+ctx AS (
+  SELECT conv_id, turn_idx, role, txt,
+         string_agg(line, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS context,
+         CAST(count(*) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS INT) AS n_context_turns
+  FROM lines
+)
+SELECT conv_id, turn_idx, context, txt AS target, n_context_turns
+FROM ctx WHERE role = 'assistant' AND n_context_turns > 0
+"""
+    ),
+)
+def q_dialogue_context(spark: SparkSession, sf: str) -> DataFrame:
+    """Next-response examples (conversations.dialogue_context_examples):
+    per assistant turn, the previous ≤4 turns rendered in the
+    render_chat template as conditioning context. ONE conv-keyed window,
+    O(k) frame state per row."""
+    from kgfarm_spark.operators.conversations import (
+        dialogue_context_examples,
+    )
+
+    return dialogue_context_examples(transcripts(spark, sf), k=4)
+
+
+@register("sft_token_masks")  # rows-only BY CONTRACT: the WordPiece
+# vocabulary is trained (iterative likelihood-ratio merges) and the
+# tokenizer is max-munch over that vocabulary — not one-shot ANSI SQL.
+# Exact parity is pytest-pinned (tests/test_wordpiece.py::
+# test_sft_token_masks reconstructs the masked tokens' surfaces
+# char-for-char against the rendered assistant lines); the span
+# arithmetic underneath is oracle-checked via chat_turn_spans.
+def q_sft_token_masks(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-ready SFT sequences (conversations.sft_token_masks):
+    render → offset-preserving WordPiece tokenize → mark tokens inside
+    assistant turns. Returns per-conversation token/mask counts (arrays
+    themselves stay distributed; counts are deterministic)."""
+    from kgfarm_spark.operators.conversations import sft_token_masks
+    from kgfarm_spark.operators.wordpiece import wordpiece_train
+
+    t = transcripts(spark, sf)
+    corpus = render_chat(t).select(F.col("chat_text").alias("text"))
+    _, vocab = wordpiece_train(corpus, n_merges=30)
+    out = sft_token_masks(t, vocab)
+    return out.select(
+        "conv_id", "n_tokens", "n_train_tokens"
+    ).orderBy("conv_id")

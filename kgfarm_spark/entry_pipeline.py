@@ -1859,3 +1859,37 @@ def q_wordpiece_merges(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("text")
     merges, _ = wordpiece_train(docs, "text", n_merges=8)
     return merges
+
+
+@register(
+    "chunk_documents",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> length(x) > 0) AS w
+  FROM documents
+), base AS (
+  SELECT doc_id, w, len(w) AS n,
+         CAST(CASE WHEN len(w) <= 32 THEN 1
+                   ELSE ceil((len(w) - 32) / 16.0) + 1 END AS BIGINT) AS k
+  FROM toks WHERE len(w) > 0
+), ex AS (
+  SELECT doc_id, w, n, unnest(range(k)) AS i FROM base
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(list_slice(w, i*16 + 1, i*16 + 32), ' ') AS chunk_text,
+       CAST(least(32, n - i*16) AS INT) AS n_tokens
+FROM ex
+""",
+)
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window chunking (packing.chunk_documents): overlapping
+    32-word windows every 16 words — long-document preparation for
+    context-bounded training / embedding indexing. Zero-shuffle explode;
+    output row count ∝ corpus words / stride, immune to doc-length skew."""
+    from kgfarm_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf, "documents"), window=32, stride=16
+    )

@@ -814,6 +814,20 @@ _DEFERRED_PAST_DRIVER_CAP = [
     # detect_entities_tpch defers — r05 driver-green, profiling family
     # in-window via profile_orders + elect_default_entities:
     "detect_entities_tpch",
+    # late-r06 (2nd rotation): the preference/context/chunking family
+    # enters (preference_pairs, dialogue_context, chunk_documents — the
+    # post-curation training-example constructors). Three r05-driver-green
+    # names defer, each with its family still in-window:
+    "role_transitions",   # r01-r05 driver-green; conv-window family keeps
+                          # rolling_aggregates + sessionize + backfill_features
+                          # in-window, and dialogue_context enters on the SAME
+                          # conv-keyed window machinery
+    "bigram_logprob",     # r05 driver-green; LM family keeps ccnet_buckets,
+                          # dsir_importance AND kn3_logprob (which subsumes the
+                          # bigram interpolation) in-window
+    "asof_interval_all",  # r05 driver-green; asof family keeps
+                          # asof_backward_latest + both fused flagship twins
+                          # in-window
 ]
 
 

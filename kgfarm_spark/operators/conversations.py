@@ -35,7 +35,7 @@ md5 fingerprint — uniformly distributed by construction, no skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -418,3 +418,147 @@ def sft_token_masks(
             ),
         )
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Preference-pair construction (the DPO/RLHF reward-modeling input,
+    Rafailov et al. 2023): collect every (prompt → response) exchange —
+    a ``prompt_role`` turn immediately followed by a ``response_role``
+    turn — group the exchanges by identical prompt text, and for every
+    prompt with at least two distinct responses emit ONE training pair
+
+      (prompt, chosen, rejected, chosen_score, rejected_score,
+       n_candidates)
+
+    where ``chosen``/``rejected`` are the highest/lowest-scoring
+    responses. ``score_col`` names a per-turn reward column (a model
+    score, a human rating); when None the score is response length — a
+    deterministic stand-in documented as such, NOT a real reward. Ties
+    on score break by response text (lexicographic), so the pair is a
+    pure function of the data at any partitioning.
+
+    Plan shape: ONE conv-keyed window (lead — the same exchange every
+    transcript op reuses) + ONE prompt-keyed aggregate. ``max_by`` /
+    ``min_by`` combine map-side, so a viral prompt with millions of
+    candidate responses costs its partitions one running extremum each
+    — no skew straggler, no per-group materialization.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    nxt = df.select(
+        F.col(role_col),
+        F.col(text_col).alias("prompt"),
+        F.lead(role_col).over(w).alias("__next_role"),
+        F.lead(text_col).over(w).alias("__response"),
+        *(
+            [F.lead(score_col).over(w).alias("__score")]
+            if score_col is not None
+            else []
+        ),
+    ).filter(
+        (F.col(role_col) == prompt_role)
+        & (F.col("__next_role") == response_role)
+    )
+    if score_col is not None:
+        score = F.col("__score").cast("double")
+        key = F.struct(score.alias("s"), F.col("__response").alias("r"))
+    else:
+        score = F.length("__response").cast("double")
+        # string key == struct ordering, but also valid ANSI SQL for the
+        # DuckDB oracle (lpad fixes the numeric prefix's sort width)
+        key = F.concat(
+            F.lpad(F.length("__response").cast("string"), 6, "0"),
+            F.lit("|"),
+            F.col("__response"),
+        )
+    pairs = (
+        nxt.groupBy("prompt")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_candidates"),
+            F.max_by("__response", key).alias("chosen"),
+            F.min_by("__response", key).alias("rejected"),
+            F.max_by(score, key).alias("__cs"),
+            F.min_by(score, key).alias("__rs"),
+            (F.max(key) != F.min(key)).alias("__has_pair"),
+        )
+        .filter("__has_pair")
+    )
+    return pairs.select(
+        "prompt",
+        "n_candidates",
+        "chosen",
+        "rejected",
+        F.col("__cs").cast("int").alias("chosen_score")
+        if score_col is None
+        else F.round("__cs", 4).alias("chosen_score"),
+        F.col("__rs").cast("int").alias("rejected_score")
+        if score_col is None
+        else F.round("__rs", 4).alias("rejected_score"),
+    )
+
+
+def dialogue_context_examples(
+    df: DataFrame,
+    k: int = 4,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    target_role: str = "assistant",
+) -> DataFrame:
+    """Next-response training examples: for every ``target_role`` turn,
+    the rendered context of (up to) the previous ``k`` turns and the
+    turn's own text as the prediction target —
+
+      (conv_id, turn_idx, context, target, n_context_turns)
+
+    ``context`` is '<|role|>text' lines joined by newline — exactly the
+    ``render_chat`` template, so a model fine-tuned on these examples
+    sees the same surface form the full-conversation SFT path renders.
+    Targets with NO context (a conversation-opening turn) are dropped —
+    there is nothing to condition on.
+
+    Plan shape: ONE conv-keyed window (the canonical transcript
+    shuffle); the k-row frame bounds per-row state, and the collected
+    frame is sorted by turn index before joining, so the context string
+    is deterministic at any partitioning. Cost is O(k) per turn — at
+    100 TB the window carries k small structs per row, never the whole
+    conversation.
+    """
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    line = F.concat(
+        F.lit("<|"),
+        F.col(role_col),
+        F.lit("|>"),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(-k, -1)
+    )
+    items = F.collect_list(
+        F.struct(F.col(idx_col).alias("i"), line.alias("l"))
+    ).over(w)
+    out = df.select(
+        conv_col,
+        F.col(idx_col),
+        F.col(role_col).alias("__role"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("target"),
+        F.array_join(
+            F.transform(F.array_sort(items), lambda s: s["l"]), "\n"
+        ).alias("context"),
+        F.size(items).cast("int").alias("n_context_turns"),
+    )
+    return out.filter(
+        (F.col("__role") == target_role) & (F.col("n_context_turns") > 0)
+    ).select(conv_col, idx_col, "context", "target", "n_context_turns")

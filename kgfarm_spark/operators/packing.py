@@ -529,3 +529,69 @@ def materialize_sequences_nosplit(
         "seq_id", token_col, "n_tokens", "n_docs",
         *(["n_pad"] if pad_token is not None else []),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 512,
+    stride: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    whitespace words and emit overlapping chunks of ``window`` words
+    every ``stride`` words —
+
+      (id, chunk_idx, chunk_text, n_tokens)
+
+    — the standard long-document preparation for context-bounded
+    training and embedding indexing (every word appears in at least one
+    chunk; consecutive chunks overlap by ``window - stride`` words so no
+    span longer than the overlap is ever cut). A document with at most
+    ``window`` words yields exactly one chunk; chunk ``i`` covers words
+    ``[i*stride, i*stride + window)``; the last chunk is short rather
+    than padded. Empty documents are dropped.
+
+    Plan shape: tokenize → ``sequence(0, n_chunks-1)`` → explode →
+    ``slice`` + ``array_join`` — every expression is JVM/codegen, zero
+    Python, zero shuffle (the explode is a per-row flatMap). Output
+    rows ≈ corpus_words / stride regardless of document skew: a single
+    10M-word document becomes ~10M/stride independent rows, so the
+    pathological long-tail doc parallelizes instead of straggling.
+    """
+    if not (1 <= stride <= window):
+        raise ValueError(f"need 1 <= stride <= window, got {stride}/{window}")
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    n = F.size("__w")
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(window)) / F.lit(stride)) + 1
+    )
+    base = (
+        df.select(id_col, words.alias("__w"))
+        .filter(F.size("__w") > 0)
+        .select(id_col, "__w", n.alias("__n"), n_chunks.alias("__k"))
+    )
+    i = F.col("chunk_idx")
+    return (
+        base.select(
+            id_col,
+            "__w",
+            "__n",
+            F.explode(F.sequence(F.lit(0), (F.col("__k") - 1).cast("int"))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            i.cast("int").alias("chunk_idx"),
+            F.array_join(
+                F.slice("__w", i * stride + 1, F.lit(window)), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(window), F.col("__n") - i * stride)
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )

@@ -186,3 +186,101 @@ def test_chat_turn_spans_max_turns_matches_render(spark):
     spans = chat_turn_spans(df, max_turns=3).collect()
     assert len(spans) == 3
     assert max(r["end_char"] for r in spans) == len(text)
+
+
+def test_preference_pairs(spark):
+    from kgfarm_spark.operators.conversations import preference_pairs
+
+    rows = [
+        # prompt "q1": three exchanges, responses of lengths 3/5/5 —
+        # chosen = "ccccc" (len 5, lexicographic winner of the len-5
+        # tie), rejected = "aaa" (len 3)
+        ("c1", 0, "user", "q1", _ts(0)),
+        ("c1", 1, "assistant", "aaa", _ts(1)),
+        ("c2", 0, "user", "q1", _ts(0)),
+        ("c2", 1, "assistant", "bbbbb", _ts(1)),
+        ("c3", 0, "user", "q1", _ts(0)),
+        ("c3", 1, "assistant", "ccccc", _ts(1)),
+        # prompt "q2": two exchanges, SAME response text -> no pair
+        ("c4", 0, "user", "q2", _ts(0)),
+        ("c4", 1, "assistant", "same", _ts(1)),
+        ("c5", 0, "user", "q2", _ts(0)),
+        ("c5", 1, "assistant", "same", _ts(1)),
+        # prompt "q3": single exchange -> no pair
+        ("c6", 0, "user", "q3", _ts(0)),
+        ("c6", 1, "assistant", "only", _ts(1)),
+        # user turn NOT followed by assistant -> not an exchange
+        ("c7", 0, "user", "q1", _ts(0)),
+        ("c7", 1, "user", "zzzzzzzzz", _ts(1)),
+        # assistant with no preceding user prompt -> not an exchange
+        ("c8", 0, "system", "s", _ts(0)),
+        ("c8", 1, "assistant", "xxxxxxxxxx", _ts(1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+    out = {r["prompt"]: r for r in preference_pairs(df).collect()}
+    assert set(out) == {"q1"}
+    p = out["q1"]
+    assert p["chosen"] == "ccccc"
+    assert p["rejected"] == "aaa"
+    assert p["chosen_score"] == 5 and p["rejected_score"] == 3
+    assert p["n_candidates"] == 3
+    # partition invariance: same pair at 1 partition
+    one = preference_pairs(df.coalesce(1)).collect()
+    assert {(r["prompt"], r["chosen"], r["rejected"]) for r in one} == {
+        ("q1", "ccccc", "aaa")
+    }
+
+
+def test_preference_pairs_score_col(spark):
+    from kgfarm_spark.operators.conversations import preference_pairs
+
+    rows = [
+        # explicit reward column inverts the length ordering
+        ("c1", 0, "user", "q", 0.0, _ts(0)),
+        ("c1", 1, "assistant", "longer-answer", 0.1, _ts(1)),
+        ("c2", 0, "user", "q", 0.0, _ts(0)),
+        ("c2", 1, "assistant", "short", 0.9, _ts(1)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "reward double, ts timestamp",
+    )
+    p = preference_pairs(df, score_col="reward").collect()[0]
+    assert p["chosen"] == "short" and p["rejected"] == "longer-answer"
+    assert p["chosen_score"] == 0.9 and p["rejected_score"] == 0.1
+
+
+def test_dialogue_context_examples(spark):
+    from kgfarm_spark.operators.conversations import (
+        dialogue_context_examples,
+    )
+
+    rows = [
+        ("c1", 0, "user", "u0", _ts(0)),
+        ("c1", 1, "assistant", "a1", _ts(1)),
+        ("c1", 2, "user", "u2", _ts(2)),
+        ("c1", 3, "tool", "t3", _ts(3)),
+        ("c1", 4, "user", "u4", _ts(4)),
+        ("c1", 5, "assistant", "a5", _ts(5)),
+        # conversation OPENING with assistant -> no context, dropped
+        ("c2", 0, "assistant", "orphan", _ts(0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+    out = {r["turn_idx"]: r for r in dialogue_context_examples(df, k=4).collect()}
+    assert set(out) == {1, 5}
+    assert out[1]["context"] == "<|user|>u0"
+    assert out[1]["n_context_turns"] == 1
+    # turn 5 sees exactly the previous 4 turns (1..4), NOT turn 0
+    assert out[5]["context"] == (
+        "<|assistant|>a1\n<|user|>u2\n<|tool|>t3\n<|user|>u4"
+    )
+    assert out[5]["n_context_turns"] == 4
+    assert out[5]["target"] == "a5"
+    # context lines match the render_chat template surface
+    chat = render_chat(df.filter(F.col("conv_id") == "c1")).first()["chat_text"]
+    assert out[5]["context"] in chat

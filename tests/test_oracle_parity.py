@@ -96,5 +96,11 @@ def test_queries_have_oracles():
         "conversation_curation_e2e",  # LSH components chain (non-SQL e2e);
                              # stages oracle-checked individually, per-stage
                              # counts pinned in test_conversations
+        "sft_token_masks",   # trained WordPiece vocab + max-munch offsets
+                             # (non-SQL) — masked-surface == rendered
+                             # assistant lines char-for-char in
+                             # test_wordpiece::test_sft_token_masks; the
+                             # span arithmetic is oracle-checked via
+                             # chat_turn_spans
     }
     assert missing <= allowed_rows_only

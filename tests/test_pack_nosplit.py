@@ -165,3 +165,63 @@ def test_materialize_nosplit_oversize_own(spark):
     ).collect()}
     big = [s for s in seqs.values() if s["n_docs"] == 1 and s["n_tokens"] >= 40]
     assert len(big) == 1 and big[0]["n_pad"] == 0  # oversize seq never padded
+
+
+def test_chunk_documents_semantics(spark):
+    from kgfarm_spark.operators.packing import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    rows = [
+        (1, " ".join(words)),          # 10 words, window 4 stride 2 -> 4 chunks
+        (2, "a b"),                    # fits one chunk
+        (3, ""),                       # empty -> dropped
+        (4, None),                     # null -> dropped
+        (5, "  x \t y\n z  "),         # messy whitespace -> 3 words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, window=4, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2, 5}
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # ceil((10-4)/2)+1 = 4 chunks; chunk i covers words [2i, 2i+4)
+    assert [r["chunk_text"] for r in c1] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9",
+    ]
+    assert [r["n_tokens"] for r in c1] == [4, 4, 4, 4]
+    assert by_doc[2][0]["chunk_text"] == "a b"
+    assert by_doc[2][0]["n_tokens"] == 2
+    assert by_doc[5][0]["chunk_text"] == "x y z"
+    # coverage invariant: every word index in [0, n) is inside >=1 chunk
+    # and the reconstruction of non-overlapping stride prefixes is exact
+    joined = " ".join(r["chunk_text"].split()[0] for r in c1)
+    assert joined == "w0 w2 w4 w6"
+
+
+def test_chunk_documents_short_tail_and_validation(spark):
+    from kgfarm_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(7)))], "doc_id long, text string"
+    )
+    out = sorted(
+        chunk_documents(df, window=4, stride=3).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # ceil((7-4)/3)+1 = 2 chunks; last chunk is SHORT (w3..w6 -> 4? no:
+    # chunk1 covers words [3, 7) = 4 words exactly)
+    assert [r["n_tokens"] for r in out] == [4, 4]
+    out2 = sorted(
+        chunk_documents(df, window=4, stride=4).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # disjoint chunks: [0,4) and [4,7) -> short tail of 3
+    assert [r["n_tokens"] for r in out2] == [4, 3]
+    assert out2[1]["chunk_text"] == "w4 w5 w6"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, window=4, stride=5)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, window=4, stride=0)
