@@ -495,6 +495,30 @@ class FeatureFarm:
 
         return dialogue_context_examples(turns, k=k, **kw)
 
+    def truncate_context(self, turns: DataFrame, budget: int = 2048,
+                         **kw) -> DataFrame:
+        """Context-window truncation: keep per conversation the maximal
+        turn SUFFIX fitting ``budget`` tokens; the final turn is always
+        kept (operators/conversations.py:truncate_to_context)."""
+        from kgfarm_spark.operators.conversations import truncate_to_context
+
+        return truncate_to_context(turns, budget=budget, **kw)
+
+    def tool_profile(self, turns: DataFrame, **kw) -> DataFrame:
+        """Per-conversation tool-usage features — counts, variety,
+        dominant tool (operators/conversations.py:tool_usage_profile)."""
+        from kgfarm_spark.operators.conversations import tool_usage_profile
+
+        return tool_usage_profile(turns, **kw)
+
+    def tool_transitions(self, turns: DataFrame, **kw) -> DataFrame:
+        """Corpus-wide tool→tool transition counts — the first-order
+        Markov structure of agent tool use
+        (operators/conversations.py:tool_transition_matrix)."""
+        from kgfarm_spark.operators.conversations import tool_transition_matrix
+
+        return tool_transition_matrix(turns, **kw)
+
     def chunk(self, docs: DataFrame, window: int = 512, stride: int = 256,
               **kw) -> DataFrame:
         """Sliding-window document chunking: overlapping ``window``-word

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kgfarm_spark.entry_queries import register
+from kgfarm_spark.entry_queries import _cte, register
 from kgfarm_spark.functions.cleaning import (
     bfill,
     drop_outlier_rows_iqr,
@@ -549,3 +549,34 @@ def q_lof_outliers(spark: SparkSession, sf: str) -> DataFrame:
         max_group_rows=50_000,
     )
     return out.filter(F.col("is_outlier")).select("c_custkey").orderBy("c_custkey")
+
+
+@register(
+    "group_split",
+    _cte(
+        """
+, u AS (
+  SELECT conv_id, turn_idx,
+         CAST('0x' || substr(md5(conv_id || '#split'), 1, 8) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM transcripts
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN u < 0.05 THEN 'test'
+            WHEN u < 0.95 THEN 'train'
+            ELSE 'val' END AS split
+FROM u
+"""
+    ),
+)
+def q_group_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe conversation-level split (sampling.group_split):
+    every turn of a conversation lands in the same train/val/test split
+    via md5-uniform group assignment — a pure projection, zero shuffle."""
+    from kgfarm_spark.functions.sampling import group_split
+    from kgfarm_spark.sources.transcripts import transcripts
+
+    return group_split(
+        transcripts(spark, sf), "conv_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    ).select("conv_id", "turn_idx", "split")

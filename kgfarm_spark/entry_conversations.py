@@ -282,3 +282,97 @@ def q_sft_token_masks(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "conv_id", "n_tokens", "n_train_tokens"
     ).orderBy("conv_id")
+
+
+@register(
+    "truncate_to_context",
+    _cte(
+        r"""
+, tok AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                              x -> length(x) > 0)) AS INT) AS n_tokens
+  FROM transcripts
+),
+cum AS (
+  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS tokens_from_end,
+         max(turn_idx) OVER (PARTITION BY conv_id) AS last_idx
+  FROM tok
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, n_tokens, tokens_from_end
+FROM cum WHERE tokens_from_end <= 8 OR turn_idx = last_idx
+"""
+    ),
+)
+def q_truncate_to_context(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window truncation (conversations.truncate_to_context):
+    per conversation, the maximal turn SUFFIX fitting the token budget
+    (final turn always kept) — ONE conv-keyed descending window."""
+    from kgfarm_spark.operators.conversations import truncate_to_context
+
+    return truncate_to_context(transcripts(spark, sf), budget=8)
+
+
+@register(
+    "tool_usage_profile",
+    _cte(
+        """
+, per_tool AS (
+  SELECT conv_id, tool, count(*) AS cnt,
+         min(CASE WHEN tool IS NOT NULL THEN turn_idx END) AS first_idx
+  FROM transcripts GROUP BY conv_id, tool
+)
+SELECT conv_id,
+       CAST(sum(cnt) AS INT) AS n_turns,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN cnt ELSE 0 END) AS INT)
+           AS n_tool_turns,
+       CAST(count(CASE WHEN tool IS NOT NULL THEN 1 END) AS INT)
+           AS n_distinct_tools,
+       max_by(tool, CASE WHEN tool IS NOT NULL THEN
+              lpad(CAST(cnt AS VARCHAR), 9, '0') || '|' || tool END)
+           AS top_tool,
+       CAST(max_by(CASE WHEN tool IS NOT NULL THEN cnt END,
+              CASE WHEN tool IS NOT NULL THEN
+              lpad(CAST(cnt AS VARCHAR), 9, '0') || '|' || tool END) AS INT)
+           AS top_tool_count,
+       CAST(min(first_idx) AS INT) AS first_tool_idx
+FROM per_tool GROUP BY conv_id
+"""
+    ),
+)
+def q_tool_usage_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-conversation tool-usage features
+    (conversations.tool_usage_profile): counts, variety, dominant tool
+    — two map-side-combining aggregates, zero windows."""
+    from kgfarm_spark.operators.conversations import tool_usage_profile
+
+    return tool_usage_profile(transcripts(spark, sf))
+
+
+@register(
+    "tool_transitions",
+    _cte(
+        """
+, used AS (
+  SELECT conv_id, turn_idx, tool FROM transcripts WHERE tool IS NOT NULL
+),
+pairs AS (
+  SELECT lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool,
+         tool
+  FROM used
+)
+SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n_transitions
+FROM pairs WHERE prev_tool IS NOT NULL GROUP BY prev_tool, tool
+"""
+    ),
+)
+def q_tool_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide tool→tool transition counts
+    (conversations.tool_transition_matrix): the first-order Markov
+    structure of agent tool use — filtered lag window + a |tools|²-row
+    aggregate."""
+    from kgfarm_spark.operators.conversations import tool_transition_matrix
+
+    return tool_transition_matrix(transcripts(spark, sf))

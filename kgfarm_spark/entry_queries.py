@@ -828,6 +828,24 @@ _DEFERRED_PAST_DRIVER_CAP = [
     "asof_interval_all",  # r05 driver-green; asof family keeps
                           # asof_backward_latest + both fused flagship twins
                           # in-window
+    # late-r06 (3rd rotation): the agent-transcript feature family enters
+    # (truncate_to_context, tool_usage_profile, tool_transitions). Three
+    # more r05-driver-green names defer, families in-window:
+    "sessionize",             # r01-r05 driver-green; conv-window family keeps
+                              # rolling_aggregates + backfill_features, plus the
+                              # entering dialogue_context + truncate_to_context
+                              # run the SAME conv-keyed window machinery
+    "elect_default_entities", # r05 driver-green; profiling family keeps
+                              # profile_orders in-window
+    "duplicate_ngram_spans",  # r05 driver-green; dedup family keeps
+                              # dedup_minhash_lsh + dedup_keep_best +
+                              # dedup_exact + dedup_ngram_jaccard in-window
+    # late-r06 (4th rotation): group_split (leakage-safe conversation-level
+    # train/val/test assignment) enters; one more defers:
+    "deterministic_sample",   # r01-r05 driver-green; sampling family kept
+                              # in-window by group_split itself (the same
+                              # md5-uniform recipe) + source_mix's twin
+                              # machinery in quality_pareto_select
 ]
 
 

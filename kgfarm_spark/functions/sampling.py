@@ -54,3 +54,61 @@ def rebalance_classes(
         .filter(F.col("__rn") <= min_count)
         .drop("__rn")
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test splitting at GROUP granularity: every
+    row of a group (a conversation, a user, a document cluster) lands in
+    the same split, so per-group structure never leaks across the
+    train/eval boundary — the failure mode of row-level randomSplit on
+    conversational data, where sibling turns of one conversation end up
+    in both train and test and the eval score is contaminated.
+
+    Membership is a pure function of ``md5(group_id || '#' || seed)``
+    mapped to [0,1) and cut at the cumulative weights (splits ordered by
+    name for determinism) — partition-invariant, resumable, and
+    reproducible across engines (the exact recipe of
+    ``stratified_mix_sample``, packing.py). Changing ``seed`` redraws
+    the assignment; weights must sum to 1 (validated to 1e-9).
+
+    Plan shape: a pure projection — zero shuffles, zero aggregates; the
+    split column is computable at scan time on 10^12 rows.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative, got {weights}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(group_col).cast("string"),
+                               F.lit("#" + seed))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        / F.lit(float(2**32))
+    )
+    expr = None
+    cum = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        branch = (
+            F.when(u < cum, F.lit(name))
+            if expr is None
+            else expr.when(u < cum, F.lit(name))
+        )
+        expr = branch
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn(out_col, expr)

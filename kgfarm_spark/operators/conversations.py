@@ -562,3 +562,138 @@ def dialogue_context_examples(
     return out.filter(
         (F.col("__role") == target_role) & (F.col("n_context_turns") > 0)
     ).select(conv_col, idx_col, "context", "target", "n_context_turns")
+
+
+def truncate_to_context(
+    df: DataFrame,
+    budget: int = 2048,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window truncation: keep, per conversation, the maximal
+    SUFFIX of turns whose summed token count fits ``budget`` — the
+    standard way a chat corpus is fitted to a model's context length
+    (recent turns matter most; history is dropped from the front). The
+    final turn is ALWAYS kept, even alone over budget — truncation must
+    never emit an empty conversation. Tokens are whitespace words of
+    ``text_col`` (the same counter the packing family uses); swap in a
+    real tokenizer count upstream by pre-computing a column and passing
+    its name via ``text_col=None``-style wrappers if needed.
+
+    Output: the surviving rows plus ``n_tokens`` (this turn) and
+    ``tokens_from_end`` (inclusive running total from the conversation's
+    end) — so downstream can see how full the window is.
+
+    Plan shape: ONE conv-keyed window (descending turn order — the same
+    single shuffle every transcript op reuses); the running sum is
+    per-row O(1) frame state. No collect, no second pass.
+    """
+    if budget < 1:
+        raise ValueError(f"need budget >= 1, got {budget}")
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda x: F.length(x) > 0,
+        )
+    ).cast("int")
+    w_desc = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(idx_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(conv_col)
+    out = (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "tokens_from_end", F.sum("n_tokens").over(w_desc).cast("bigint")
+        )
+        .withColumn("__last_idx", F.max(idx_col).over(w_all))
+    )
+    return out.filter(
+        (F.col("tokens_from_end") <= budget)
+        | (F.col(idx_col) == F.col("__last_idx"))
+    ).drop("__last_idx")
+
+
+def tool_usage_profile(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Per-conversation tool-usage features for agent-transcript
+    modeling: how much, how varied, and which tool dominates —
+
+      (conv_id, n_turns, n_tool_turns, n_distinct_tools, top_tool,
+       top_tool_count, first_tool_idx)
+
+    ``top_tool`` is the most-used tool with ties broken by tool name
+    (lexicographic max), so the profile is a pure function of the data.
+    Conversations that never used a tool appear with zero counts and
+    NULL top_tool — agents-vs-chat stratification needs the zeros.
+
+    Plan shape: one (conv, tool) aggregate then one conv aggregate —
+    both combine map-side; the second input has at most |tools| rows
+    per conversation.
+    """
+    per_tool = (
+        df.groupBy(conv_col, tool_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"),
+             F.min(F.when(F.col(tool_col).isNotNull(), F.col(idx_col)))
+             .alias("__first"),
+             F.count(F.lit(1)).alias("__turns_in_group"))
+    )
+    key = F.when(
+        F.col(tool_col).isNotNull(),
+        F.struct(F.col("__cnt").alias("c"), F.col(tool_col).alias("t")),
+    )
+    return (
+        per_tool.groupBy(conv_col)
+        .agg(
+            F.sum("__turns_in_group").cast("int").alias("n_turns"),
+            F.sum(
+                F.when(F.col(tool_col).isNotNull(), F.col("__cnt")).otherwise(0)
+            ).cast("int").alias("n_tool_turns"),
+            F.count(F.when(F.col(tool_col).isNotNull(), F.lit(1))).cast("int")
+            .alias("n_distinct_tools"),
+            F.max_by(tool_col, key).alias("top_tool"),
+            F.max_by(
+                F.when(F.col(tool_col).isNotNull(), F.col("__cnt")), key
+            ).cast("int").alias("top_tool_count"),
+            F.min("__first").cast("int").alias("first_tool_idx"),
+        )
+    )
+
+
+def tool_transition_matrix(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Corpus-wide tool→tool transition counts: over each conversation's
+    tool-using turns in turn order, count every consecutive
+    (prev_tool, tool) pair —
+
+      (prev_tool, tool, n_transitions)
+
+    — the first-order Markov structure of agent tool use (which tool
+    follows which), the feature a routing/planning model trains on.
+
+    Plan shape: filter to tool turns (usually a small fraction), ONE
+    conv-keyed lag window over the filtered rows, one global
+    (prev, tool) aggregate whose cardinality is |tools|² — tiny — so
+    the final shuffle is a broadcast-sized reduction.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    used = df.filter(F.col(tool_col).isNotNull()).select(
+        conv_col, idx_col, F.col(tool_col).alias("tool")
+    )
+    pairs = used.select(
+        F.lag("tool").over(w).alias("prev_tool"), "tool"
+    ).filter(F.col("prev_tool").isNotNull())
+    return (
+        pairs.groupBy("prev_tool", "tool")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )

@@ -284,3 +284,125 @@ def test_dialogue_context_examples(spark):
     # context lines match the render_chat template surface
     chat = render_chat(df.filter(F.col("conv_id") == "c1")).first()["chat_text"]
     assert out[5]["context"] in chat
+
+
+def test_truncate_to_context(spark):
+    from kgfarm_spark.operators.conversations import truncate_to_context
+
+    rows = [
+        # c1: token counts 3/2/4/1 from the end: turn3=1, turn2=5, turn1=7,
+        # turn0=10 -> budget 6 keeps turns {2,3}; final turn always kept
+        ("c1", 0, "user", "a b c", _ts(0)),
+        ("c1", 1, "assistant", "d e", _ts(1)),
+        ("c1", 2, "user", "f g h i", _ts(2)),
+        ("c1", 3, "assistant", "j", _ts(3)),
+        # c2: single turn LONGER than budget -> still kept
+        ("c2", 0, "user", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", _ts(0)),
+        # c3: null text counts 0 tokens
+        ("c3", 0, "user", None, _ts(0)),
+        ("c3", 1, "assistant", "x y", _ts(1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+    out = truncate_to_context(df, budget=6)
+    got = {(r["conv_id"], r["turn_idx"]): r for r in out.collect()}
+    assert set(got) == {("c1", 2), ("c1", 3), ("c2", 0), ("c3", 0), ("c3", 1)}
+    assert got[("c1", 3)]["tokens_from_end"] == 1
+    assert got[("c1", 2)]["tokens_from_end"] == 5
+    assert got[("c2", 0)]["n_tokens"] == 10  # over budget, kept as last turn
+    assert got[("c3", 0)]["n_tokens"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        truncate_to_context(df, budget=0)
+
+
+def test_tool_usage_profile_and_transitions(spark):
+    from kgfarm_spark.operators.conversations import (
+        tool_transition_matrix,
+        tool_usage_profile,
+    )
+
+    rows = [
+        # c1: tools code, code, search, code -> top=code(3);
+        # transitions code->code, code->search, search->code
+        ("c1", 0, "user", "q", None, _ts(0)),
+        ("c1", 1, "tool", "t", "code", _ts(1)),
+        ("c1", 2, "tool", "t", "code", _ts(2)),
+        ("c1", 3, "tool", "t", "search", _ts(3)),
+        ("c1", 4, "tool", "t", "code", _ts(4)),
+        # c2: tie 1-1 between 'a' and 'b' -> lexicographic max 'b' wins
+        ("c2", 0, "tool", "t", "a", _ts(0)),
+        ("c2", 1, "tool", "t", "b", _ts(1)),
+        # c3: no tools at all
+        ("c3", 0, "user", "q", None, _ts(0)),
+        ("c3", 1, "assistant", "r", None, _ts(1)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    prof = {r["conv_id"]: r for r in tool_usage_profile(df).collect()}
+    assert prof["c1"]["n_turns"] == 5
+    assert prof["c1"]["n_tool_turns"] == 4
+    assert prof["c1"]["n_distinct_tools"] == 2
+    assert prof["c1"]["top_tool"] == "code"
+    assert prof["c1"]["top_tool_count"] == 3
+    assert prof["c1"]["first_tool_idx"] == 1
+    assert prof["c2"]["top_tool"] == "b"  # count tie -> lexicographic max
+    assert prof["c3"]["n_tool_turns"] == 0
+    assert prof["c3"]["top_tool"] is None
+    assert prof["c3"]["first_tool_idx"] is None
+
+    trans = {
+        (r["prev_tool"], r["tool"]): r["n_transitions"]
+        for r in tool_transition_matrix(df).collect()
+    }
+    assert trans == {
+        ("code", "code"): 1,
+        ("code", "search"): 1,
+        ("search", "code"): 1,
+        ("a", "b"): 1,
+    }
+
+
+def test_group_split_no_leakage(spark):
+    from kgfarm_spark.functions.sampling import group_split
+
+    rows = [(f"c{i}", j, "user", "t", _ts(j)) for i in range(200) for j in range(3)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+    out = group_split(df, "conv_id")
+    # every turn of a conversation gets the SAME split
+    per_conv = (
+        out.groupBy("conv_id")
+        .agg(F.count_distinct("split").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in per_conv)
+    # rough proportions at 200 groups (train 0.9 -> expect the majority)
+    counts = {
+        r["split"]: r["n"]
+        for r in out.select("conv_id", "split").distinct()
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts.get("train", 0) > 150
+    assert set(counts) <= {"train", "val", "test"}
+    # deterministic across partitioning; redrawn under another seed
+    again = {r["conv_id"]: r["split"]
+             for r in group_split(df.repartition(7), "conv_id")
+             .select("conv_id", "split").distinct().collect()}
+    first = {r["conv_id"]: r["split"]
+             for r in out.select("conv_id", "split").distinct().collect()}
+    assert again == first
+    other = {r["conv_id"]: r["split"]
+             for r in group_split(df, "conv_id", seed="different")
+             .select("conv_id", "split").distinct().collect()}
+    assert other != first
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        group_split(df, "conv_id", {"train": 0.5, "val": 0.1})
