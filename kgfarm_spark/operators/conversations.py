@@ -641,8 +641,7 @@ def tool_usage_profile(
         df.groupBy(conv_col, tool_col)
         .agg(F.count(F.lit(1)).alias("__cnt"),
              F.min(F.when(F.col(tool_col).isNotNull(), F.col(idx_col)))
-             .alias("__first"),
-             F.count(F.lit(1)).alias("__turns_in_group"))
+             .alias("__first"))
     )
     key = F.when(
         F.col(tool_col).isNotNull(),
@@ -651,7 +650,7 @@ def tool_usage_profile(
     return (
         per_tool.groupBy(conv_col)
         .agg(
-            F.sum("__turns_in_group").cast("int").alias("n_turns"),
+            F.sum("__cnt").cast("int").alias("n_turns"),
             F.sum(
                 F.when(F.col(tool_col).isNotNull(), F.col("__cnt")).otherwise(0)
             ).cast("int").alias("n_tool_turns"),
