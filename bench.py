@@ -1238,6 +1238,61 @@ def run_tok_scale() -> dict:
     return out["materialize_scaling_1v4"]
 
 
+def run_convfe_scale_one(cpus: int) -> dict:
+    """One preference-pair construction run at a given parallelism over
+    the 16M-turn transcript table (fresh subprocess per level, like
+    --scale-one): conv-keyed lead window → prompt-keyed max_by/min_by
+    aggregate — the representative two-shuffle shape of the conversation
+    feature-eng family."""
+    from kgfarm_spark.operators.conversations import preference_pairs
+    from kgfarm_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"kgfarm_convfe_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+    t = spark.read.parquet(SCALE_DIR)
+    n = t.count()
+    job = preference_pairs(t)
+    job.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.monotonic()
+    job.write.format("noop").mode("overwrite").save()
+    dt = time.monotonic() - t0
+    spark.stop()
+    return {"cpus": cpus, "turns": n, "sec": round(dt, 3)}
+
+
+def run_convfe_scaling() -> dict:
+    """North-rule pair for the conversation feature family: 1 vs 4
+    cores, fresh subprocess per level, merged into BENCH_LLM.json."""
+    ensure_scale_data()
+    path = os.path.join(REPO, "BENCH_LLM.json")
+    out: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    pair = {}
+    for level in (1, 4):
+        r = subprocess.run(
+            [sys.executable, __file__, "--convfe-scale-one", str(level)],
+            capture_output=True, text=True, env=dict(os.environ),
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        pair[level] = json.loads(line)
+    thr1 = pair[1]["turns"] / pair[1]["sec"]
+    thr4 = pair[4]["turns"] / pair[4]["sec"]
+    out["convfe_scaling_1v4"] = {
+        "turns": pair[1]["turns"],
+        "sec_1": pair[1]["sec"], "sec_4": pair[4]["sec"],
+        "turns_per_sec_1": round(thr1), "turns_per_sec_4": round(thr4),
+        "scaling_efficiency": round((thr4 / thr1) / 4.0, 3),
+    }
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    return out["convfe_scaling_1v4"]
+
+
 def run_bloom_scale_one(cpus: int) -> dict:
     """One Bloom probe+verify run at a given parallelism over the 5M-doc
     history (fresh subprocess per level): filter built once (untimed —
@@ -1633,6 +1688,15 @@ def main() -> None:
 
     if "--stream-scale" in sys.argv:
         print(json.dumps(run_stream_scale(min(cpus, 8))))
+        return
+
+    if "--convfe-scale-one" in sys.argv:
+        level = int(sys.argv[sys.argv.index("--convfe-scale-one") + 1])
+        print(json.dumps(run_convfe_scale_one(level)))
+        return
+
+    if "--convfe-scaling" in sys.argv:
+        print(json.dumps(run_convfe_scaling()))
         return
 
     if "--convfe-scale" in sys.argv:
