@@ -429,6 +429,7 @@ def preference_pairs(
     prompt_role: str = "user",
     response_role: str = "assistant",
     score_col: str | None = None,
+    context_k: int = 0,
 ) -> DataFrame:
     """Preference-pair construction (the DPO/RLHF reward-modeling input,
     Rafailov et al. 2023): collect every (prompt → response) exchange —
@@ -446,16 +447,47 @@ def preference_pairs(
     on score break by response text (lexicographic), so the pair is a
     pure function of the data at any partitioning.
 
-    Plan shape: ONE conv-keyed window (lead — the same exchange every
-    transcript op reuses) + ONE prompt-keyed aggregate. ``max_by`` /
-    ``min_by`` combine map-side, so a viral prompt with millions of
-    candidate responses costs its partitions one running extremum each
-    — no skew straggler, no per-group materialization.
+    ``context_k > 0`` grounds the grouping in dialogue history: two
+    exchanges only pair if the previous ``context_k`` turns (rendered in
+    the ``render_chat`` template) match too — the realistic DPO grouping
+    where "same prompt" means same conversational state, not merely the
+    same last message. The group key carries the context as an md5
+    fingerprint (the SHUFFLED key is 32 hex chars however long the
+    history is) and the output gains a ``context_fp`` column.
+
+    Plan shape: ONE conv-keyed window (lead + the optional context
+    frame — the same exchange every transcript op reuses) + ONE
+    prompt-keyed aggregate. ``max_by`` / ``min_by`` combine map-side, so
+    a viral prompt with millions of candidate responses costs its
+    partitions one running extremum each — no skew straggler, no
+    per-group materialization.
     """
+    if context_k < 0:
+        raise ValueError(f"need context_k >= 0, got {context_k}")
     w = Window.partitionBy(conv_col).orderBy(idx_col)
+    ctx_cols = []
+    if context_k > 0:
+        line = F.concat(
+            F.lit("<|"),
+            F.col(role_col),
+            F.lit("|>"),
+            F.coalesce(F.col(text_col), F.lit("")),
+        )
+        w_ctx = w.rowsBetween(-context_k, -1)
+        items = F.collect_list(
+            F.struct(F.col(idx_col).alias("i"), line.alias("l"))
+        ).over(w_ctx)
+        ctx_cols = [
+            F.md5(
+                F.array_join(
+                    F.transform(F.array_sort(items), lambda s: s["l"]), "\n"
+                )
+            ).alias("context_fp")
+        ]
     nxt = df.select(
         F.col(role_col),
         F.col(text_col).alias("prompt"),
+        *ctx_cols,
         F.lead(role_col).over(w).alias("__next_role"),
         F.lead(text_col).over(w).alias("__response"),
         *(
@@ -467,6 +499,7 @@ def preference_pairs(
         (F.col(role_col) == prompt_role)
         & (F.col("__next_role") == response_role)
     )
+    group_cols = (["context_fp"] if context_k > 0 else []) + ["prompt"]
     if score_col is not None:
         score = F.col("__score").cast("double")
         key = F.struct(score.alias("s"), F.col("__response").alias("r"))
@@ -480,7 +513,7 @@ def preference_pairs(
             F.col("__response"),
         )
     pairs = (
-        nxt.groupBy("prompt")
+        nxt.groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_candidates"),
             F.max_by("__response", key).alias("chosen"),
@@ -492,7 +525,7 @@ def preference_pairs(
         .filter("__has_pair")
     )
     return pairs.select(
-        "prompt",
+        *group_cols,
         "n_candidates",
         "chosen",
         "rejected",

@@ -406,3 +406,40 @@ def test_group_split_no_leakage(spark):
 
     with _pytest.raises(ValueError):
         group_split(df, "conv_id", {"train": 0.5, "val": 0.1})
+
+
+def test_preference_pairs_context_grounded(spark):
+    from kgfarm_spark.operators.conversations import preference_pairs
+
+    rows = [
+        # SAME user prompt "q", DIFFERENT preceding context -> with
+        # context_k they must NOT pair; without, they do
+        ("c1", 0, "system", "setup-A", _ts(0)),
+        ("c1", 1, "user", "q", _ts(1)),
+        ("c1", 2, "assistant", "answer-one", _ts(2)),
+        ("c2", 0, "system", "setup-B", _ts(0)),
+        ("c2", 1, "user", "q", _ts(1)),
+        ("c2", 2, "assistant", "resp", _ts(2)),
+        # SAME context AND prompt -> pairs under both modes
+        ("c3", 0, "system", "setup-A", _ts(0)),
+        ("c3", 1, "user", "q", _ts(1)),
+        ("c3", 2, "assistant", "a-much-longer-answer", _ts(2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+    flat = preference_pairs(df).collect()
+    assert len(flat) == 1 and flat[0]["n_candidates"] == 3
+
+    ctx = preference_pairs(df, context_k=2).collect()
+    # only the setup-A group has >=2 distinct responses
+    assert len(ctx) == 1
+    p = ctx[0]
+    assert p["n_candidates"] == 2
+    assert p["chosen"] == "a-much-longer-answer"
+    assert p["rejected"] == "answer-one"
+    assert len(p["context_fp"]) == 32
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        preference_pairs(df, context_k=-1)
