@@ -402,32 +402,56 @@ import re
 _JAVA_NONWS = re.compile(r"[^ \t\n\x0b\f\r]+")
 
 
+def _word_offset_pieces(
+    w: str, vocab: set, unk: str, max_word_len: int
+) -> tuple[list[str], list[int], list[int]]:
+    """One word → (pieces, word-relative starts, word-relative ends).
+    Pure function of the word — the memoizable unit."""
+    pieces = py_wordpiece_apply(w, vocab, unk, max_word_len)
+    if pieces == [unk]:
+        return [unk], [0], [len(w)]
+    starts: list[int] = []
+    ends: list[int] = []
+    i = 0
+    for p in pieces:
+        ln = len(p) - 2 if p.startswith("##") else len(p)
+        starts.append(i)
+        ends.append(i + ln)
+        i += ln
+    return pieces, starts, ends
+
+
 def py_wordpiece_offsets(
-    text: str, vocab: set, unk: str = "[UNK]", max_word_len: int = 200
+    text: str,
+    vocab: set,
+    unk: str = "[UNK]",
+    max_word_len: int = 200,
+    memo: dict | None = None,
 ) -> tuple[list[str], list[int], list[int]]:
     """Max-munch with character offsets: returns (tokens, starts, ends)
     with ``text[starts[i]:ends[i]]`` the surface of token i (an UNK or
     over-length word yields one token covering the whole word). The
-    token sequence equals ``py_wordpiece_apply`` over the same words."""
+    token sequence equals ``py_wordpiece_apply`` over the same words.
+
+    ``memo`` (word → relative pieces/offsets) amortizes the O(len²)
+    max-munch across repeated words — on Zipf-distributed text the hit
+    rate is the repetition rate, the same distinct-word memo as
+    ``wordpiece_apply``/``unigram_apply``."""
     toks: list[str] = []
     starts: list[int] = []
     ends: list[int] = []
     for m in _JAVA_NONWS.finditer(text):
         w = m.group()
         base = m.start()
-        pieces = py_wordpiece_apply(w, vocab, unk, max_word_len)
-        if pieces == [unk]:
-            toks.append(unk)
-            starts.append(base)
-            ends.append(base + len(w))
-            continue
-        i = 0
-        for p in pieces:
-            ln = len(p) - 2 if p.startswith("##") else len(p)
-            toks.append(p)
-            starts.append(base + i)
-            ends.append(base + i + ln)
-            i += ln
+        hit = memo.get(w) if memo is not None else None
+        if hit is None:
+            hit = _word_offset_pieces(w, vocab, unk, max_word_len)
+            if memo is not None:
+                memo[w] = hit
+        pieces, rel_s, rel_e = hit
+        toks.extend(pieces)
+        starts.extend(base + s for s in rel_s)
+        ends.extend(base + e for e in rel_e)
     return toks, starts, ends
 
 
@@ -461,9 +485,12 @@ def wordpiece_tokenize_with_offsets(
     )
     def _tok(texts: pd.Series) -> pd.DataFrame:
         v = bc.value
+        memo: dict = {}  # distinct-word pieces/offsets, shared per batch
         rows = []
         for t in texts:
-            toks, st, en = py_wordpiece_offsets(t or "", v, unk, max_word_len)
+            toks, st, en = py_wordpiece_offsets(
+                t or "", v, unk, max_word_len, memo=memo
+            )
             rows.append({"tokens": toks, "starts": st, "ends": en})
         return pd.DataFrame(rows)
 
