@@ -35,6 +35,7 @@ md5 fingerprint — uniformly distributed by construction, no skew.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -377,12 +378,20 @@ def sft_token_masks(
     turns, so spans either nest fully or not at all.
 
     Plan: render + span windows are conv-keyed (one exchange each,
-    shared key), the tokenizer is the broadcast-vocab Arrow kernel
-    (zero shuffle), and the mask is a pure JVM array expression over
-    (starts, ends) vs the conversation's collected ``train_role`` spans
-    (bounded by turns-per-conversation, never corpus-sized).
+    shared key); spans are collected SORTED per conversation and handed
+    to the tokenizing kernel, which walks tokens and spans together
+    with a two-pointer merge — O(tokens + spans) per conversation. The
+    first version masked with a per-token ``exists()`` over the span
+    list, which is O(tokens × spans): on a Zipf-hot conversation (the
+    16M-turn bench table's hottest conversation holds ~10^5 turns) that
+    is a ~10^11-comparison single row — the measured wall. Tokens and
+    spans are both ordered and spans are disjoint, so the merge is the
+    exact same answer at linear cost.
     """
-    from kgfarm_spark.operators.wordpiece import wordpiece_tokenize_with_offsets
+    from kgfarm_spark.operators.wordpiece import (
+        _resolve_vocab_set,
+        py_wordpiece_offsets,
+    )
 
     rendered = render_chat(
         df, conv_col, idx_col, role_col, text_col, max_turns=max_turns
@@ -392,31 +401,53 @@ def sft_token_masks(
         .filter(F.col("role") == train_role)
         .groupBy(conv_col)
         .agg(
-            F.collect_list(
-                F.struct(F.col("start_char"), F.col("end_char"))
+            F.array_sort(
+                F.collect_list(F.struct(F.col("start_char"), F.col("end_char")))
             ).alias("__spans")
         )
     )
-    tok = wordpiece_tokenize_with_offsets(
-        rendered, vocab, text_col="chat_text", id_col=conv_col
+    vset = _resolve_vocab_set(vocab)
+    bc = df.sparkSession.sparkContext.broadcast(vset)
+
+    @F.pandas_udf(
+        "struct<tokens:array<string>,loss_mask:array<boolean>,"
+        "n_tokens:int,n_train_tokens:int>"
     )
-    mask = F.expr(
-        "transform(sequence(0, size(tokens) - 1), i -> "
-        "exists(coalesce(__spans, array()), s -> "
-        "starts[i] >= s.start_char AND ends[i] <= s.end_char))"
-    )
-    return (
-        tok.join(spans, conv_col, "left")
-        .withColumn("loss_mask", mask)
-        .select(
-            conv_col,
-            "tokens",
-            "loss_mask",
-            F.col("n_tokens"),
-            F.size(F.filter("loss_mask", lambda m: m)).cast("int").alias(
-                "n_train_tokens"
-            ),
-        )
+    def _tok_mask(texts: pd.Series, span_lists: pd.Series) -> pd.DataFrame:
+        v = bc.value
+        memo: dict = {}
+        rows = []
+        for t, sp in zip(texts, span_lists):
+            toks, starts, ends = py_wordpiece_offsets(t or "", v, memo=memo)
+            mask = [False] * len(toks)
+            if sp is not None and len(sp):
+                j = 0
+                n_sp = len(sp)
+                for i, (s, e) in enumerate(zip(starts, ends)):
+                    while j < n_sp and sp[j]["end_char"] < e:
+                        j += 1
+                    if j < n_sp and sp[j]["start_char"] <= s and e <= sp[j]["end_char"]:
+                        mask[i] = True
+            rows.append(
+                {
+                    "tokens": toks,
+                    "loss_mask": mask,
+                    "n_tokens": len(toks),
+                    "n_train_tokens": sum(mask),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    joined = rendered.join(spans, conv_col, "left")
+    return joined.select(
+        conv_col,
+        _tok_mask(F.col("chat_text"), F.col("__spans")).alias("__m"),
+    ).select(
+        conv_col,
+        F.col("__m.tokens").alias("tokens"),
+        F.col("__m.loss_mask").alias("loss_mask"),
+        F.col("__m.n_tokens").alias("n_tokens"),
+        F.col("__m.n_train_tokens").alias("n_train_tokens"),
     )
 
 

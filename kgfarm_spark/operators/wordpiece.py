@@ -455,6 +455,20 @@ def py_wordpiece_offsets(
     return toks, starts, ends
 
 
+def _resolve_vocab_set(
+    vocab: DataFrame, max_vocab_broadcast: int = 5_000_000
+) -> set:
+    """Collect a WordPiece vocabulary frame to the broadcastable piece
+    set, cap-guarded like ``bpe_apply``'s broadcast path."""
+    n_vocab = vocab.count()
+    if n_vocab > max_vocab_broadcast:
+        raise ValueError(
+            f"vocab has {n_vocab:,} pieces > max_vocab_broadcast="
+            f"{max_vocab_broadcast:,}"
+        )
+    return {r["piece"] for r in vocab.collect()}
+
+
 def wordpiece_tokenize_with_offsets(
     df: DataFrame,
     vocab: DataFrame,
@@ -471,13 +485,7 @@ def wordpiece_tokenize_with_offsets(
     vocab, Arrow kernel, zero shuffle (the ``wordpiece_apply`` shape;
     the whitespace scan replicates the JVM pre-tokenizer's ASCII-\\s
     semantics so both paths see identical words)."""
-    n_vocab = vocab.count()
-    if n_vocab > max_vocab_broadcast:
-        raise ValueError(
-            f"vocab has {n_vocab:,} pieces > max_vocab_broadcast="
-            f"{max_vocab_broadcast:,}"
-        )
-    vset = {r["piece"] for r in vocab.collect()}
+    vset = _resolve_vocab_set(vocab, max_vocab_broadcast)
     bc = df.sparkSession.sparkContext.broadcast(vset)
 
     @F.pandas_udf(
