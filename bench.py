@@ -101,6 +101,24 @@ def run_once(sf_dir: str, cpus: int, names: list[str], n_runs: int = 3) -> dict:
     }
 
 
+def run_scale_subprocess(flag: str, level: int) -> dict:
+    """Run `bench.py <flag> <level>` in a fresh subprocess and parse its
+    one-line JSON result — the shared step of every 1-vs-4 scaling pair.
+    Raises with the child's stderr tail on crash instead of a bare
+    IndexError that used to hide it."""
+    r = subprocess.run(
+        [sys.executable, __file__, flag, str(level)],
+        capture_output=True, text=True, env=dict(os.environ),
+    )
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"scaling subprocess {flag} {level} produced no JSON "
+            f"(exit {r.returncode}); stderr tail: {r.stderr[-800:]}"
+        )
+    return json.loads(lines[-1])
+
+
 def ensure_scale_data() -> None:
     if os.path.exists(os.path.join(SCALE_DIR, "_SUCCESS")):
         return
@@ -1158,12 +1176,7 @@ def run_llm_scale_bench() -> dict:
     # dedup pipeline 1v4 scaling pair (fresh subprocess per level)
     pair = {}
     for level in (1, 4):
-        r = subprocess.run(
-            [sys.executable, __file__, "--llm-scale-one", str(level)],
-            capture_output=True, text=True, env=dict(os.environ),
-        )
-        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-        pair[level] = json.loads(line)
+        pair[level] = run_scale_subprocess("--llm-scale-one", level)
     thr1 = pair[1]["docs"] / pair[1]["sec"]
     thr4 = pair[4]["docs"] / pair[4]["sec"]
     out["dedup_scaling_1v4"] = {
@@ -1219,12 +1232,7 @@ def run_tok_scale() -> dict:
             out = json.load(f)
     pair = {}
     for level in (1, 4):
-        r = subprocess.run(
-            [sys.executable, __file__, "--tok-scale-one", str(level)],
-            capture_output=True, text=True, env=dict(os.environ),
-        )
-        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-        pair[level] = json.loads(line)
+        pair[level] = run_scale_subprocess("--tok-scale-one", level)
     thr1 = pair[1]["docs"] / pair[1]["sec"]
     thr4 = pair[4]["docs"] / pair[4]["sec"]
     out["materialize_scaling_1v4"] = {
@@ -1274,12 +1282,7 @@ def run_convfe_scaling() -> dict:
             out = json.load(f)
     pair = {}
     for level in (1, 4):
-        r = subprocess.run(
-            [sys.executable, __file__, "--convfe-scale-one", str(level)],
-            capture_output=True, text=True, env=dict(os.environ),
-        )
-        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-        pair[level] = json.loads(line)
+        pair[level] = run_scale_subprocess("--convfe-scale-one", level)
     thr1 = pair[1]["turns"] / pair[1]["sec"]
     thr4 = pair[4]["turns"] / pair[4]["sec"]
     out["convfe_scaling_1v4"] = {
@@ -1343,12 +1346,7 @@ def run_bloom_scale() -> dict:
             out = json.load(f)
     pair = {}
     for level in (1, 4):
-        r = subprocess.run(
-            [sys.executable, __file__, "--bloom-scale-one", str(level)],
-            capture_output=True, text=True, env=dict(os.environ),
-        )
-        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-        pair[level] = json.loads(line)
+        pair[level] = run_scale_subprocess("--bloom-scale-one", level)
     thr1 = pair[1]["docs"] / pair[1]["sec"]
     thr4 = pair[4]["docs"] / pair[4]["sec"]
     out["bloom_scaling_1v4"] = {
@@ -1769,12 +1767,9 @@ def main() -> None:
         results: dict[int, list] = {l: [] for l in levels}
         for _rep in range(2):
             for level in levels:
-                out = subprocess.run(
-                    [sys.executable, __file__, "--scale-one", str(level)],
-                    capture_output=True, text=True, env=dict(os.environ),
+                results[level].append(
+                    run_scale_subprocess("--scale-one", level)
                 )
-                line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-                results[level].append(json.loads(line))
         n = results[levels[0]][0]["turns"]
         pair_recs = {}
         for lo, hi in pairs:

@@ -198,8 +198,9 @@ def q_chat_turn_spans(spark: SparkSession, sf: str) -> DataFrame:
 ),
 cand AS (
   SELECT prompt, response,
-         lpad(CAST(length(response) AS VARCHAR), 6, '0') || '|' || response AS key
+         lpad(CAST(length(response) AS VARCHAR), 12, '0') || '|' || response AS key
   FROM nxt WHERE role = 'user' AND next_role = 'assistant'
+    AND response IS NOT NULL
 )
 SELECT prompt,
        CAST(count(*) AS INT) AS n_candidates,

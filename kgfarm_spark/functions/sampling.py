@@ -80,22 +80,26 @@ def group_split(
     Plan shape: a pure projection — zero shuffles, zero aggregates; the
     split column is computable at scan time on 10^12 rows.
     """
+    if weights is not None and (
+        not weights or any(w < 0 for w in weights.values())
+    ):
+        raise ValueError(f"weights must be a non-empty non-negative dict, got {weights}")
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
-    if not weights or any(w < 0 for w in weights.values()):
-        raise ValueError(f"weights must be non-negative, got {weights}")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {total}")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(group_col).cast("string"),
-                               F.lit("#" + seed))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("bigint")
-        / F.lit(float(2**32))
+    # the cross-engine md5-uniform recipe (operators/packing._md5_uniform);
+    # lazy import — functions/ must not import operators/ at module scope.
+    # NULL group keys coalesce to a sentinel so they hash like one regular
+    # group (all NULL-group rows land together in ONE deterministic split)
+    # instead of NULL-propagating past every cut into the last split.
+    from kgfarm_spark.operators.packing import _md5_uniform
+
+    u = _md5_uniform(
+        F.concat(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("__null__")),
+            F.lit("#" + seed),
+        )
     )
     expr = None
     cum = 0.0

@@ -487,11 +487,13 @@ def preference_pairs(
     history is) and the output gains a ``context_fp`` column.
 
     Plan shape: ONE conv-keyed window (lead + the optional context
-    frame — the same exchange every transcript op reuses) + ONE
-    prompt-keyed aggregate. ``max_by`` / ``min_by`` combine map-side, so
-    a viral prompt with millions of candidate responses costs its
-    partitions one running extremum each — no skew straggler, no
-    per-group materialization.
+    frame — the same exchange every transcript op reuses), a
+    (prompt, response)-keyed distinct-response dedupe, then the
+    prompt-keyed extremum aggregate. Every aggregate combines map-side
+    (count/max/max_by), so a viral prompt with millions of candidate
+    responses costs its partitions one running extremum each — no skew
+    straggler, no per-group materialization; the dedupe key is FINER
+    than the prompt key, so it is strictly less skewed.
     """
     if context_k < 0:
         raise ValueError(f"need context_k >= 0, got {context_k}")
@@ -529,24 +531,41 @@ def preference_pairs(
     ).filter(
         (F.col(role_col) == prompt_role)
         & (F.col("__next_role") == response_role)
+        # a NULL completion is not a candidate: it must neither inflate
+        # n_candidates nor (under score_col) be electable as chosen
+        & F.col("__response").isNotNull()
     )
     group_cols = (["context_fp"] if context_k > 0 else []) + ["prompt"]
+    # dedupe to DISTINCT responses first (per-response best score), so
+    # the extremum selection below can never elect the same text as both
+    # chosen and rejected — without this, score_col with rewards 0.9/0.1
+    # on two copies of the SAME response emitted a degenerate pair
+    per_resp = nxt.groupBy(*group_cols, "__response").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        *(
+            [F.max(F.col("__score").cast("double")).alias("__best")]
+            if score_col is not None
+            else []
+        ),
+    )
     if score_col is not None:
-        score = F.col("__score").cast("double")
+        score = F.col("__best")
         key = F.struct(score.alias("s"), F.col("__response").alias("r"))
     else:
         score = F.length("__response").cast("double")
         # string key == struct ordering, but also valid ANSI SQL for the
-        # DuckDB oracle (lpad fixes the numeric prefix's sort width)
+        # DuckDB oracle (lpad fixes the numeric prefix's sort width; 12
+        # digits covers any response below 10^12 chars — lpad TRUNCATES
+        # beyond its width, which would invert the ordering)
         key = F.concat(
-            F.lpad(F.length("__response").cast("string"), 6, "0"),
+            F.lpad(F.length("__response").cast("string"), 12, "0"),
             F.lit("|"),
             F.col("__response"),
         )
     pairs = (
-        nxt.groupBy(*group_cols)
+        per_resp.groupBy(*group_cols)
         .agg(
-            F.count(F.lit(1)).cast("int").alias("n_candidates"),
+            F.sum("__cnt").cast("int").alias("n_candidates"),
             F.max_by("__response", key).alias("chosen"),
             F.min_by("__response", key).alias("rejected"),
             F.max_by(score, key).alias("__cs"),

@@ -443,3 +443,62 @@ def test_preference_pairs_context_grounded(spark):
 
     with _pytest.raises(ValueError):
         preference_pairs(df, context_k=-1)
+
+
+def test_preference_pairs_no_degenerate_pair(spark):
+    from kgfarm_spark.operators.conversations import preference_pairs
+
+    rows = [
+        # identical response text with different rewards: NOT a pair
+        # (one distinct response) — the pre-fix code emitted
+        # chosen == rejected == 'same'
+        ("c1", 0, "user", "q", 0.1, _ts(0)),
+        ("c1", 1, "assistant", "same", 0.1, _ts(1)),
+        ("c2", 0, "user", "q", 0.9, _ts(0)),
+        ("c2", 1, "assistant", "same", 0.9, _ts(1)),
+        # two copies of 'dup' (rewards 0.2, 0.8) + one 'other' (0.5):
+        # distinct-response dedupe keeps dup@0.8 vs other@0.5
+        ("c3", 0, "user", "p", 0.0, _ts(0)),
+        ("c3", 1, "assistant", "dup", 0.2, _ts(1)),
+        ("c4", 0, "user", "p", 0.0, _ts(0)),
+        ("c4", 1, "assistant", "dup", 0.8, _ts(1)),
+        ("c5", 0, "user", "p", 0.0, _ts(0)),
+        ("c5", 1, "assistant", "other", 0.5, _ts(1)),
+        # NULL response is not a candidate under score_col either
+        ("c6", 0, "user", "r", 0.0, _ts(0)),
+        ("c6", 1, "assistant", None, 0.99, _ts(1)),
+        ("c7", 0, "user", "r", 0.0, _ts(0)),
+        ("c7", 1, "assistant", "real", 0.5, _ts(1)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "reward double, ts timestamp",
+    )
+    out = {r["prompt"]: r for r in
+           preference_pairs(df, score_col="reward").collect()}
+    assert "q" not in out          # one distinct response -> no pair
+    assert "r" not in out          # NULL filtered -> one candidate left
+    p = out["p"]
+    assert p["chosen"] == "dup" and p["rejected"] == "other"
+    assert p["chosen_score"] == 0.8 and p["rejected_score"] == 0.5
+    assert p["n_candidates"] == 3  # occurrences, not distinct responses
+    # default (length) path: NULL responses don't inflate n_candidates
+    flat = {r["prompt"]: r for r in preference_pairs(df).collect()}
+    assert "r" not in flat and flat["p"]["n_candidates"] == 3
+
+
+def test_group_split_null_group_key(spark):
+    from kgfarm_spark.functions.sampling import group_split
+
+    rows = [(None, 0), (None, 1), ("c1", 0)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    out = group_split(df, "conv_id").collect()
+    null_splits = {r["split"] for r in out if r["conv_id"] is None}
+    # all NULL-group rows land together, in a hash-chosen (not
+    # fall-through-default) split
+    assert len(null_splits) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        group_split(df, "conv_id", {})
