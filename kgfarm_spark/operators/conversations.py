@@ -221,6 +221,9 @@ def curate_conversations(
     neardup: bool = False,
     neardup_kw: dict | None = None,
     pack_budget: int | None = 2048,
+    truncate_budget: int | None = None,
+    sft_vocab: DataFrame | None = None,
+    train_role: str = "assistant",
 ) -> tuple[DataFrame, dict]:
     """Conversation-native curation: integrity filter → render →
     exact dedup → optional MinHash-LSH near-dup (keep the LONGEST
@@ -232,6 +235,17 @@ def curate_conversations(
     counts of the rendered strings (feed ``tokenizer=...`` paths via
     ``curation.curate`` on the rendered frame for model tokens);
     otherwise the surviving rendered conversations.
+
+    ``truncate_budget`` inserts a ``truncate_to_context`` stage on the
+    SURVIVING conversations' turns (drop history from the front until
+    each fits the token budget) before the output stage. ``sft_vocab``
+    (a WordPiece vocabulary frame) switches the output to training-ready
+    ``sft_token_masks`` sequences — render → offset tokenize →
+    ``train_role`` loss masks — the full raw-turns-to-trainable-batch
+    story; it composes with ``truncate_budget`` and is mutually
+    exclusive with ``pack_budget`` (masks are per-conversation, packing
+    is corpus-layout — pack the mask output downstream if both are
+    wanted).
 
     Every stage is one conv-keyed or fingerprint-keyed shuffle; the
     manifest records per-stage survivor counts (computed lazily — each
@@ -268,6 +282,46 @@ def curate_conversations(
         pairs = minhash_lsh_dedup_pairs(deduped, conv_col, "chat_text", **kw)
         deduped = dedup_keep_component_best(deduped, pairs, conv_col, "n_turns")
         manifest["stages"].append({"stage": "neardup_lsh", "convs": deduped.count()})
+
+    if sft_vocab is not None and pack_budget is not None:
+        raise ValueError(
+            "sft_vocab and pack_budget are mutually exclusive — mask "
+            "output is per-conversation; pack it downstream if needed"
+        )
+
+    if truncate_budget is not None or sft_vocab is not None:
+        # back to TURN granularity for the survivors (the rendered frame
+        # has no per-turn rows); one conv-keyed semi-join
+        survivor_turns = kept_turns.join(
+            deduped.select(conv_col), conv_col, "left_semi"
+        )
+        if truncate_budget is not None:
+            survivor_turns = truncate_to_context(
+                survivor_turns, budget=truncate_budget,
+                conv_col=conv_col, idx_col=idx_col, text_col=text_col,
+            ).drop("n_tokens", "tokens_from_end")
+            manifest["stages"].append(
+                {"stage": "truncate",
+                 "convs": survivor_turns.select(conv_col).distinct().count(),
+                 "budget": truncate_budget}
+            )
+        if sft_vocab is not None:
+            masks = sft_token_masks(
+                survivor_turns, sft_vocab, conv_col, idx_col, role_col,
+                text_col, train_role=train_role, max_turns=max_turns,
+            )
+            manifest["stages"].append(
+                {"stage": "sft_masks", "convs": masks.count()}
+            )
+            return masks, manifest
+        # truncation without masks: re-render the truncated survivors
+        rendered = render_chat(
+            survivor_turns, conv_col, idx_col, role_col, text_col,
+            max_turns=max_turns,
+        )
+        deduped = rendered.join(
+            deduped.select(conv_col, "fingerprint", "dup_count"), conv_col
+        )
 
     if pack_budget is None:
         return deduped, manifest

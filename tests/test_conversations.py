@@ -502,3 +502,29 @@ def test_group_split_null_group_key(spark):
 
     with _pytest.raises(ValueError):
         group_split(df, "conv_id", {})
+
+
+def test_curate_conversations_sft_tail(spark, convs):
+    from kgfarm_spark.operators.conversations import curate_conversations
+    from kgfarm_spark.operators.wordpiece import wordpiece_train
+
+    corpus = render_chat(convs).select(F.col("chat_text").alias("text"))
+    _, vocab = wordpiece_train(corpus, n_merges=10)
+    out, manifest = curate_conversations(
+        convs, min_turns=2, pack_budget=None, sft_vocab=vocab,
+        truncate_budget=4,
+    )
+    stages = [s["stage"] for s in manifest["stages"]]
+    assert stages == ["integrity", "exact_dedup", "truncate", "sft_masks"]
+    rows = {r["conv_id"]: r for r in out.collect()}
+    # survivors carry masks consistent with their token streams
+    for r in rows.values():
+        assert len(r["loss_mask"]) == r["n_tokens"]
+        assert r["n_train_tokens"] == sum(r["loss_mask"])
+    # c1 survives curation (c5 is its duplicate and loses the min-id
+    # election... c1 < c5, so c1 survives) and has assistant tokens
+    assert "c1" in rows and rows["c1"]["n_train_tokens"] > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate_conversations(convs, sft_vocab=vocab, pack_budget=512)
