@@ -495,6 +495,15 @@ class FeatureFarm:
 
         return dialogue_context_examples(turns, k=k, **kw)
 
+    def pack_sft(self, masks: DataFrame, budget: int = 2048,
+                 **kw) -> DataFrame:
+        """Pack ``sft_masks`` output into fixed-budget training sequences
+        with the loss masks riding along; pad never trains
+        (operators/packing.py:pack_sft_sequences)."""
+        from kgfarm_spark.operators.packing import pack_sft_sequences
+
+        return pack_sft_sequences(masks, budget=budget, **kw)
+
     def truncate_context(self, turns: DataFrame, budget: int = 2048,
                          **kw) -> DataFrame:
         """Context-window truncation: keep per conversation the maximal

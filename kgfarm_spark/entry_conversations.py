@@ -377,3 +377,35 @@ def q_tool_transitions(spark: SparkSession, sf: str) -> DataFrame:
     from kgfarm_spark.operators.conversations import tool_transition_matrix
 
     return tool_transition_matrix(transcripts(spark, sf))
+
+
+@register("sft_packed_sequences")  # rows-only BY CONTRACT: trained
+# WordPiece vocab + max-munch tokenization underneath (non-SQL); the
+# packing arithmetic it rides on IS oracle-checked (materialize_sequences,
+# pack_sequences) and the zip/unzip mask transport is pytest-pinned
+# (tests/test_pack_nosplit::test_pack_sft_sequences_roundtrip —
+# concat-roundtrip of tokens AND masks, pad-never-trains).
+def q_sft_packed_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Training batches end-to-end (packing.pack_sft_sequences over
+    conversations.sft_token_masks): render → tokenize-with-offsets →
+    assistant loss masks → fixed-budget packed sequences with masks
+    riding along. Returns per-sequence counts (deterministic at any
+    partitioning; arrays stay distributed)."""
+    from kgfarm_spark.operators.conversations import sft_token_masks
+    from kgfarm_spark.operators.packing import pack_sft_sequences
+    from kgfarm_spark.operators.wordpiece import wordpiece_train
+
+    t = transcripts(spark, sf)
+    corpus = render_chat(t).select(F.col("chat_text").alias("text"))
+    _, vocab = wordpiece_train(corpus, n_merges=30)
+    masks = sft_token_masks(t, vocab)
+    packed = pack_sft_sequences(masks, budget=256, pad_token="[PAD]")
+    return packed.select(
+        "seq_id",
+        "n_tokens",
+        "n_docs",
+        "n_pad",
+        F.size(F.filter("loss_mask", lambda m: m)).cast("int").alias(
+            "n_train_tokens"
+        ),
+    ).orderBy("seq_id")

@@ -595,3 +595,78 @@ def chunk_documents(
             .alias("n_tokens"),
         )
     )
+
+
+def pack_sft_sequences(
+    masks_df: DataFrame,
+    budget: int = 2048,
+    id_col: str = "conv_id",
+    token_col: str = "tokens",
+    mask_col: str = "loss_mask",
+    pad_token=None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Pack SFT (token, loss-mask) outputs into fixed-``budget`` training
+    sequences with the masks riding along —
+
+      (seq_id, tokens, loss_mask, n_tokens, n_docs[, n_pad])
+
+    — the last step between ``sft_token_masks`` and an actual training
+    loop: a conversation crossing a sequence boundary contributes its
+    prefix to one sequence and the remainder to the next, and each
+    token's mask bit moves WITH it (zip → ``materialize_sequences`` on
+    the zipped struct array → unzip, so the packer's concat-roundtrip
+    invariant carries over verbatim). ``pad_token`` pads the short tail
+    sequence; padding is always mask=False — pad must never train.
+
+    The input contract is ``sft_token_masks``'s: ``len(tokens) ==
+    len(loss_mask)`` per row (``arrays_zip`` would otherwise null-pad
+    the shorter side).
+
+    Scale shape: identical to ``materialize_sequences`` — codegen'd
+    slice explode, ONE seq_id shuffle, budget-bounded group state; the
+    zip/unzip are free projections.
+    """
+    id_type = dict(masks_df.dtypes).get(id_col)
+    id_expr = (
+        F.xxhash64(F.col(id_col)) if id_type == "string" else F.col(id_col)
+    )  # pack_sequences range-buckets the id space, so string ids hash to
+    # bigint first — sequence order is then deterministic in HASHED-id
+    # order (arbitrary but stable), the curate_conversations convention
+    zipped = masks_df.select(
+        id_expr.alias("__pid"), F.arrays_zip(token_col, mask_col).alias("__z")
+    )
+    seqs = materialize_sequences(zipped, "__pid", "__z", budget, None, n_buckets)
+    out = seqs.select(
+        "seq_id",
+        F.expr(f"transform(__z, x -> x.`{token_col}`)").alias(token_col),
+        F.expr(f"transform(__z, x -> x.`{mask_col}`)").alias(mask_col),
+        "n_tokens",
+        "n_docs",
+    )
+    if pad_token is not None:
+        pad = (F.lit(budget) - F.col("n_tokens")).cast("int")
+        out = (
+            out.withColumn("n_pad", F.greatest(pad, F.lit(0)))
+            .withColumn(
+                token_col,
+                F.when(
+                    pad > 0,
+                    F.concat(
+                        F.col(token_col),
+                        F.array_repeat(F.lit(pad_token), pad),
+                    ),
+                ).otherwise(F.col(token_col)),
+            )
+            .withColumn(
+                mask_col,
+                F.when(
+                    pad > 0,
+                    F.concat(
+                        F.col(mask_col),
+                        F.array_repeat(F.lit(False), pad),
+                    ),
+                ).otherwise(F.col(mask_col)),
+            )
+        )
+    return out

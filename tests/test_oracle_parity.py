@@ -102,5 +102,10 @@ def test_queries_have_oracles():
                              # test_wordpiece::test_sft_token_masks; the
                              # span arithmetic is oracle-checked via
                              # chat_turn_spans
+        "sft_packed_sequences",  # same trained-vocab tokenization under-
+                             # neath; the packing arithmetic IS oracle-
+                             # checked (materialize_sequences) and the
+                             # mask transport is pytest-pinned
+                             # (test_pack_sft_sequences_roundtrip)
     }
     assert missing <= allowed_rows_only

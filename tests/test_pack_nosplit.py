@@ -225,3 +225,47 @@ def test_chunk_documents_short_tail_and_validation(spark):
         chunk_documents(df, window=4, stride=5)
     with _pytest.raises(ValueError):
         chunk_documents(df, window=4, stride=0)
+
+
+def test_pack_sft_sequences_roundtrip(spark):
+    from kgfarm_spark.operators.packing import pack_sft_sequences
+
+    rows = [
+        ("c1", ["a", "b", "c", "d", "e"], [False, True, True, False, True]),
+        ("c2", ["f", "g"], [True, False]),
+        ("c3", ["h", "i", "j"], [False, False, True]),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, tokens array<string>, loss_mask array<boolean>"
+    )
+    out = sorted(
+        pack_sft_sequences(df, budget=4, pad_token="[PAD]").collect(),
+        key=lambda r: r["seq_id"],
+    )
+    # 10 tokens, budget 4 -> 3 sequences (4, 4, 2+2 pad)
+    assert [r["n_tokens"] for r in out] == [4, 4, 2]
+    assert out[2]["n_pad"] == 2
+    # concat-roundtrip: tokens AND masks reproduce the hashed-id-order
+    # concat (string ids pack in xxhash64 order — stable, not lexical)
+    from pyspark.sql import functions as _F
+
+    order = {
+        r["conv_id"]: r["h"]
+        for r in df.select("conv_id", _F.xxhash64("conv_id").alias("h")).collect()
+    }
+    rows_sorted = sorted(rows, key=lambda r: order[r[0]])
+    flat_t, flat_m = [], []
+    for r in out:
+        flat_t.extend(r["tokens"])
+        flat_m.extend(r["loss_mask"])
+    want_t = [t for _, ts, _ in rows_sorted for t in ts] + ["[PAD]"] * 2
+    want_m = [m for _, _, ms in rows_sorted for m in ms] + [False] * 2
+    assert flat_t == want_t
+    assert flat_m == want_m
+    # every mask bit still sits next to its token: True positions map to
+    # the same token values as in the input
+    trained_in = {(t) for _, ts, ms in rows for t, m in zip(ts, ms) if m}
+    trained_out = {t for t, m in zip(flat_t, flat_m) if m}
+    assert trained_out == trained_in
+    # pad never trains
+    assert all(not m for t, m in zip(flat_t, flat_m) if t == "[PAD]")
