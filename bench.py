@@ -1453,10 +1453,30 @@ def run_convfe_scale() -> dict:
             "turns_per_sec": round(n_turns / mask_sec),
         }
 
+    def _sft_packed() -> dict:
+        """The full trainable-batch chain: render → tokenize+mask →
+        pack into 2048-token sequences with masks riding along."""
+        from kgfarm_spark.operators.packing import pack_sft_sequences
+        from kgfarm_spark.operators.wordpiece import wordpiece_train
+
+        corpus = render_chat(t).select(F.col("chat_text").alias("text"))
+        _, vocab = wordpiece_train(corpus, n_merges=500)
+        t1 = time.monotonic()
+        masks = sft_token_masks(t, vocab)
+        packed = pack_sft_sequences(masks, budget=2048, pad_token="[PAD]")
+        n_seqs = packed.count()
+        chain_sec = round(time.monotonic() - t1, 1)
+        return {
+            "budget": 2048, "sequences": n_seqs,
+            "mask_pack_sec": chain_sec,
+            "turns_per_sec": round(n_turns / chain_sec),
+        }
+
     legs = {
         "convfe_preference_pairs": _pref,
         "convfe_dialogue_context": _ctx,
         "convfe_sft_token_masks": _sft,
+        "convfe_sft_packed": _sft_packed,
     }
     only = {x for x in (os.environ.get("SPARK_GRAFT_CONVFE_ONLY") or "").split(",") if x}
     for name, fn in legs.items():
