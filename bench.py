@@ -1472,11 +1472,23 @@ def run_convfe_scale() -> dict:
             "turns_per_sec": round(n_turns / chain_sec),
         }
 
+    def _curate_convs() -> dict:
+        """Conversation-native curation chain at 16M turns: integrity →
+        render → exact dedup → LSH near-dup keep-longest → pack."""
+        from kgfarm_spark.operators.conversations import curate_conversations
+
+        _, manifest = curate_conversations(
+            t, min_turns=2, neardup=True,
+            neardup_kw={"threshold": 0.7}, pack_budget=2048,
+        )
+        return {"stages": manifest["stages"]}
+
     legs = {
         "convfe_preference_pairs": _pref,
         "convfe_dialogue_context": _ctx,
         "convfe_sft_token_masks": _sft,
         "convfe_sft_packed": _sft_packed,
+        "convfe_curation_e2e": _curate_convs,
     }
     only = {x for x in (os.environ.get("SPARK_GRAFT_CONVFE_ONLY") or "").split(",") if x}
     for name, fn in legs.items():

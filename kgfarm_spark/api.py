@@ -495,6 +495,16 @@ class FeatureFarm:
 
         return dialogue_context_examples(turns, k=k, **kw)
 
+    def embed_text(self, docs: DataFrame, dim: int = 256, **kw) -> DataFrame:
+        """Feature-hashing text embedding (Weinberger et al. 2009): L2-
+        normalized signed hashed bag-of-words, the encoder-free bridge
+        from text (documents, rendered conversations) to the vector
+        stack — feed the output to `similar()` / `dedup(method=
+        'semantic')` (operators/similarity.py:hashed_text_embedding)."""
+        from kgfarm_spark.operators.similarity import hashed_text_embedding
+
+        return hashed_text_embedding(docs, dim=dim, **kw)
+
     def pack_sft(self, masks: DataFrame, budget: int = 2048,
                  **kw) -> DataFrame:
         """Pack ``sft_masks`` output into fixed-budget training sequences

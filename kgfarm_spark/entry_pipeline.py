@@ -1893,3 +1893,46 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     return chunk_documents(
         load_table(spark, sf, "documents"), window=32, stride=16
     )
+
+
+@register(
+    "hashed_embedding",
+    r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                            x -> length(x) > 0)) AS word
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) % 64 AS INT)
+           AS bucket,
+         CASE WHEN substr(md5(word), 9, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM w
+),
+sp AS (SELECT doc_id, bucket, sum(s) AS v FROM h GROUP BY doc_id, bucket),
+nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nn FROM sp GROUP BY doc_id)
+SELECT sp.doc_id, sp.bucket, round(sp.v / nrm.nn, 4) AS weight
+FROM sp JOIN nrm USING (doc_id)
+WHERE sp.v <> 0
+""",
+)
+def q_hashed_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-hashing text embedding (similarity.hashed_text_embedding,
+    dim=64) in SPARSE form — the dense ``emb`` array posexploded to its
+    nonzero (bucket, weight) entries so the oracle hash-checks the
+    embedding CONTENT, not just its shape. Bridges text to the ANN
+    stack (cosine_topk / IVF / SemDeDup) with no external encoder."""
+    from kgfarm_spark.operators.similarity import hashed_text_embedding
+
+    emb = hashed_text_embedding(
+        load_table(spark, sf, "documents"), dim=64
+    )
+    return (
+        emb.select("doc_id", F.posexplode("emb").alias("bucket", "__w"))
+        .filter(F.col("__w") != 0)
+        .select("doc_id", "bucket", F.round("__w", 4).alias("weight"))
+    )

@@ -846,6 +846,12 @@ _DEFERRED_PAST_DRIVER_CAP = [
                               # in-window by group_split itself (the same
                               # md5-uniform recipe) + source_mix's twin
                               # machinery in quality_pareto_select
+    # late-r06 (5th rotation): hashed_embedding (feature-hashing text →
+    # vector bridge, sparse-form content oracle) enters; one defers:
+    "ccnet_buckets",          # r05 driver-green; LM family keeps
+                              # kn3_logprob + dsir_importance +
+                              # online_score_frozen (which replays the
+                              # ccnet bucket thresholds) in-window
 ]
 
 

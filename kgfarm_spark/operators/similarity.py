@@ -926,3 +926,77 @@ def pq_topk(
 
     partial = codes.select(*cols).mapInPandas(partial_topk, out_schema)
     return _rank_topk(partial, query_id_col, k)
+
+
+def hashed_text_embedding(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+    signed: bool = True,
+) -> DataFrame:
+    """Feature-hashing text embedding (Weinberger et al. 2009): each
+    whitespace word hashes to a bucket in [0, dim) with a ±1 sign bit,
+    bucket sums L2-normalize into a dense ``array<double>`` —
+
+      (id, emb, n_words)
+
+    — the bridge from TEXT (documents, rendered conversations) to this
+    module's vector stack: the output plugs straight into
+    ``cosine_topk`` / ``ivf_topk`` / SemDeDup, giving conversation-level
+    semantic near-dup and retrieval without an external encoder. The
+    sign bit makes collisions cancel in expectation (unsigned mode sums
+    raw counts — the classic hashing-trick tradeoff). Zero-word
+    documents are dropped (no direction to normalize).
+
+    Hashing is the house md5 recipe (quality_model._bucket) — bucket
+    from hex chars 1-8, sign from hex char 9 — bit-identical in DuckDB,
+    so the embedding CONTENT is hash-checkable by an oracle (sparse
+    form), unlike a learned encoder.
+
+    Plan shape: explode → (id, bucket)-keyed sum → id-keyed dense
+    assembly; two corpus-linear shuffles, no Python, no skew (buckets
+    are hash-uniform). At 100 TB the (id, bucket) aggregate combines
+    map-side and the dense row is dim-bounded.
+    """
+    from kgfarm_spark.operators.quality_model import _bucket
+    from kgfarm_spark.operators.textstats import _words
+
+    if dim < 1:
+        raise ValueError(f"need dim >= 1, got {dim}")
+    w = F.explode(
+        _words(F.coalesce(F.col(text_col), F.lit("")))
+    ).alias("__w")
+    base = df.select(id_col, w)
+    sign = (
+        F.when(
+            F.substring(F.md5(F.col("__w")), 9, 1).isin(*"01234567"),
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+        if signed
+        else F.lit(1.0)
+    )
+    sparse = (
+        base.select(
+            id_col,
+            _bucket(F.col("__w"), dim).cast("int").alias("__b"),
+            sign.alias("__s"),
+        )
+        .groupBy(id_col, "__b")
+        .agg(F.sum("__s").alias("__v"), F.count(F.lit(1)).alias("__n"))
+    )
+    dense = sparse.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__b"), F.col("__v")))
+        ).alias("__m"),
+        F.sqrt(F.sum(F.col("__v") * F.col("__v"))).alias("__norm"),
+        F.sum("__n").cast("int").alias("n_words"),
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("__m", i), F.lit(0.0))
+        / F.col("__norm"),
+    )
+    return dense.filter(F.col("__norm") > 0).select(
+        id_col, emb.alias("emb"), "n_words"
+    )
