@@ -1474,14 +1474,20 @@ def run_convfe_scale() -> dict:
 
     def _curate_convs() -> dict:
         """Conversation-native curation chain at 16M turns: integrity →
-        render → exact dedup → LSH near-dup keep-longest → pack."""
+        render → exact dedup → pack. near-dup is EXCLUDED here by
+        design: gen_transcripts draws text from a 9-word vocabulary, so
+        every rendered conversation is a near-duplicate of every other
+        (Jaccard ≈ 1 → LSH candidates ≈ all-pairs 40k² ≈ 1.6B — measured
+        >20 min, output-bound on the degenerate corpus, not the kernel;
+        the LSH kernel's honest scale number is the 5M diverse-doc row)."""
         from kgfarm_spark.operators.conversations import curate_conversations
 
         _, manifest = curate_conversations(
-            t, min_turns=2, neardup=True,
-            neardup_kw={"threshold": 0.7}, pack_budget=2048,
+            t, min_turns=2, neardup=False, pack_budget=2048,
         )
-        return {"stages": manifest["stages"]}
+        return {"stages": manifest["stages"],
+                "note": "near-dup excluded: 9-word synthetic vocabulary "
+                        "makes conversation-level Jaccard~1 all-pairs"}
 
     legs = {
         "convfe_preference_pairs": _pref,
