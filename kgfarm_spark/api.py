@@ -495,6 +495,16 @@ class FeatureFarm:
 
         return dialogue_context_examples(turns, k=k, **kw)
 
+    def novelty(self, docs: DataFrame, reference: DataFrame,
+                n: int = 5, **kw) -> DataFrame:
+        """Per-document n-gram novelty vs a corpus-sized reference — the
+        data-freshness measure of a candidate shard against what a model
+        has already seen (operators/dedup.py:ngram_novelty; shuffle-join
+        sibling of `decontaminate`, whose eval side broadcasts)."""
+        from kgfarm_spark.operators.dedup import ngram_novelty
+
+        return ngram_novelty(docs, reference, n=n, **kw)
+
     def embed_text(self, docs: DataFrame, dim: int = 256, **kw) -> DataFrame:
         """Feature-hashing text embedding (Weinberger et al. 2009): L2-
         normalized signed hashed bag-of-words, the encoder-free bridge

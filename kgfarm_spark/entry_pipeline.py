@@ -1936,3 +1936,59 @@ def q_hashed_embedding(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("__w") != 0)
         .select("doc_id", "bucket", F.round("__w", 4).alias("weight"))
     )
+
+
+@register(
+    "ngram_novelty",
+    r"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+ref AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+ctoks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                             x -> length(x) > 0) AS toks
+  FROM corpus
+),
+csh AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+           list_distinct(list_transform(range(len(toks) - 4),
+             i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')))
+         ELSE [] END) AS shingle
+  FROM ctoks
+),
+rtoks AS (
+  SELECT list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM ref
+),
+rsh AS (
+  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 5 THEN
+           list_distinct(list_transform(range(len(toks) - 4),
+             i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')))
+         ELSE [] END) AS shingle
+  FROM rtoks
+),
+per AS (
+  SELECT c.doc_id, CAST(count(*) AS INT) AS n_shingles,
+         CAST(sum(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END) AS INT)
+           AS n_novel
+  FROM csh c LEFT JOIN rsh r ON c.shingle = r.shingle
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_shingles, 0) AS n_shingles,
+       coalesce(p.n_novel, 0) AS n_novel,
+       round(p.n_novel / nullif(p.n_shingles, 0), 4) AS novelty
+FROM (SELECT DISTINCT doc_id FROM corpus) d LEFT JOIN per p USING (doc_id)
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc 5-gram novelty vs a corpus-sized reference
+    (dedup.ngram_novelty) — the non-broadcastable sibling of
+    decontaminate: shuffle join on hash-uniform shingle keys; the
+    reference here is every 3rd document, the corpus the rest."""
+    from kgfarm_spark.operators.dedup import ngram_novelty
+
+    d = load_table(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    ref = d.filter(F.col("doc_id") % 3 == 0)
+    return ngram_novelty(corpus, ref, n=5)

@@ -852,6 +852,13 @@ _DEFERRED_PAST_DRIVER_CAP = [
                               # kn3_logprob + dsir_importance +
                               # online_score_frozen (which replays the
                               # ccnet bucket thresholds) in-window
+    # late-r06 (6th rotation): ngram_novelty (per-doc novelty vs a
+    # corpus-sized reference — the shuffle-join sibling) enters; the
+    # broadcast sibling defers with the SAME shingle machinery staying
+    # in-window through the newcomer:
+    "decontaminate_vs_eval",  # r05 driver-green; word_shingles + n-gram
+                              # join family in-window via ngram_novelty
+                              # + dedup_ngram_jaccard + dedup_minhash_lsh
 ]
 
 

@@ -963,3 +963,67 @@ def semantic_neardup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document n-gram novelty against a LARGE reference corpus: the
+    fraction of the document's distinct word n-grams absent from the
+    reference —
+
+      (id, n_shingles, n_novel, novelty)
+
+    — the data-freshness / incremental-value measure of a candidate
+    shard against what a model has already seen. This is the
+    non-broadcastable sibling of ``decontaminate``: there the eval set
+    is tiny so its shingles broadcast and the corpus is probed map-side;
+    here the reference IS a corpus (yesterday's 100 TB), so the plan is
+    a shuffle join on the shingle key — hash-uniform by construction, no
+    skew. Documents with fewer than ``n`` words have no shingles and
+    report ``novelty`` NULL (nothing to measure, distinct from 0.0 =
+    "entirely seen").
+
+    Scale shape: distinct-per-doc shingles explode once per side
+    (``word_shingles`` — array_distinct before the explode), the
+    reference dedups to its distinct shingle set (one shuffle, done once
+    and reusable via checkpoint for many shards), and the join + per-doc
+    aggregate are both shingle/doc-keyed and map-side combining.
+    """
+    doc_sh = word_shingles(docs.select(id_col, text_col), text_col, n).select(
+        id_col, "shingle"
+    )
+    ref_sh = (
+        word_shingles(reference.select(text_col), text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    per_doc = (
+        doc_sh.join(ref_sh, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(
+                F.col("n_novel") / F.nullif(F.col("n_shingles"), F.lit(0)),
+                4,
+            ).alias("novelty"),
+        )
+    )

@@ -3596,3 +3596,29 @@ def test_gopher_repetition_verdict_and_filter(spark):
     assert got == {did: r["keep"] for did, r in v.items()}
     with pytest.raises(ValueError, match="unknown repetition cap"):
         gopher_repetition_verdict(docs, caps={"typo_frac": 0.5})
+
+
+def test_ngram_novelty(spark):
+    from kgfarm_spark.operators.dedup import ngram_novelty
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # shingles: abcde bcdef -> both seen
+            (2, "a b c d e z"),        # abcde seen, bcdez novel -> 0.5
+            (3, "p q r s t u"),        # all novel
+            (4, "x y"),                # < n words -> no shingles
+            (5, None),                 # null text
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(10, "a b c d e f g")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(corpus, ref, n=5).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert (got[1]["n_shingles"], got[1]["n_novel"]) == (2, 0)
+    assert got[1]["novelty"] == 0.0
+    assert got[2]["novelty"] == 0.5
+    assert got[3]["novelty"] == 1.0
+    assert got[4]["n_shingles"] == 0 and got[4]["novelty"] is None
+    assert got[5]["novelty"] is None
