@@ -238,7 +238,11 @@ def curate_conversations(
 
     ``truncate_budget`` inserts a ``truncate_to_context`` stage on the
     SURVIVING conversations' turns (drop history from the front until
-    each fits the token budget) before the output stage. ``sft_vocab``
+    each fits the token budget) before the output stage; with it set,
+    ``max_turns`` applies only to the dedup-stage rendering and is NOT
+    re-applied downstream (it keeps the OLDEST turns, which would
+    contradict the truncation's keep-the-SUFFIX contract), and the
+    output fingerprint is recomputed from the truncated text. ``sft_vocab``
     (a WordPiece vocabulary frame) switches the output to training-ready
     ``sft_token_masks`` sequences — render → offset tokenize →
     ``train_role`` loss masks — the full raw-turns-to-trainable-batch
@@ -256,6 +260,14 @@ def curate_conversations(
         dedup_keep_component_best,
         minhash_lsh_dedup_pairs,
     )
+
+    if sft_vocab is not None and pack_budget is not None:
+        # validate BEFORE any Spark job runs — this used to raise only
+        # after integrity + render + dedup (+ LSH) had already executed
+        raise ValueError(
+            "sft_vocab and pack_budget are mutually exclusive — mask "
+            "output is per-conversation; pack it downstream if needed"
+        )
 
     manifest: dict = {"stages": []}
 
@@ -283,18 +295,19 @@ def curate_conversations(
         deduped = dedup_keep_component_best(deduped, pairs, conv_col, "n_turns")
         manifest["stages"].append({"stage": "neardup_lsh", "convs": deduped.count()})
 
-    if sft_vocab is not None and pack_budget is not None:
-        raise ValueError(
-            "sft_vocab and pack_budget are mutually exclusive — mask "
-            "output is per-conversation; pack it downstream if needed"
-        )
-
     if truncate_budget is not None or sft_vocab is not None:
         # back to TURN granularity for the survivors (the rendered frame
         # has no per-turn rows); one conv-keyed semi-join
         survivor_turns = kept_turns.join(
             deduped.select(conv_col), conv_col, "left_semi"
         )
+        # once the token-budget truncation has bounded each conversation,
+        # max_turns must NOT be re-applied downstream: it filters
+        # turn_idx < max_turns — the conversation's OLDEST turns — which
+        # intersected with the truncated SUFFIX of high indices drops the
+        # most recent turns (or the whole conversation), inverting the
+        # recency contract (review finding, reproduced)
+        downstream_max_turns = None if truncate_budget is not None else max_turns
         if truncate_budget is not None:
             survivor_turns = truncate_to_context(
                 survivor_turns, budget=truncate_budget,
@@ -308,20 +321,24 @@ def curate_conversations(
         if sft_vocab is not None:
             masks = sft_token_masks(
                 survivor_turns, sft_vocab, conv_col, idx_col, role_col,
-                text_col, train_role=train_role, max_turns=max_turns,
+                text_col, train_role=train_role,
+                max_turns=downstream_max_turns,
             )
             manifest["stages"].append(
                 {"stage": "sft_masks", "convs": masks.count()}
             )
             return masks, manifest
-        # truncation without masks: re-render the truncated survivors
+        # truncation without masks: re-render the truncated survivors;
+        # the fingerprint is RECOMPUTED from the truncated text (the
+        # pre-truncation md5 would not match its own chat_text — review
+        # finding); dup_count stays the PRE-truncation duplicate count
         rendered = render_chat(
             survivor_turns, conv_col, idx_col, role_col, text_col,
-            max_turns=max_turns,
+            max_turns=downstream_max_turns,
         )
-        deduped = rendered.join(
-            deduped.select(conv_col, "fingerprint", "dup_count"), conv_col
-        )
+        deduped = rendered.withColumn(
+            "fingerprint", F.md5("chat_text")
+        ).join(deduped.select(conv_col, "dup_count"), conv_col)
 
     if pack_budget is None:
         return deduped, manifest

@@ -994,9 +994,7 @@ def ngram_novelty(
     and reusable via checkpoint for many shards), and the join + per-doc
     aggregate are both shingle/doc-keyed and map-side combining.
     """
-    doc_sh = word_shingles(docs.select(id_col, text_col), text_col, n).select(
-        id_col, "shingle"
-    )
+    doc_sh = _doc_shingles(docs, id_col, text_col, n)
     ref_sh = (
         word_shingles(reference.select(text_col), text_col, n)
         .select("shingle")

@@ -605,6 +605,7 @@ def pack_sft_sequences(
     mask_col: str = "loss_mask",
     pad_token=None,
     n_buckets: int | None = None,
+    check_ids: bool = True,
 ) -> DataFrame:
     """Pack SFT (token, loss-mask) outputs into fixed-``budget`` training
     sequences with the masks riding along —
@@ -636,6 +637,22 @@ def pack_sft_sequences(
     zipped = masks_df.select(
         id_expr.alias("__pid"), F.arrays_zip(token_col, mask_col).alias("__z")
     )
+    if check_ids:
+        # a duplicated input id OR an xxhash64 collision shares one __pid,
+        # and the materializer's plan join then duplicates BOTH rows'
+        # tokens into the packed output — silently wrong sequences
+        # (review finding). One small fit-time aggregate catches both.
+        stats = zipped.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("__pid").alias("nd"),
+        ).first()
+        if stats["n"] != stats["nd"]:
+            raise ValueError(
+                f"{id_col} is not collision-free after hashing: "
+                f"{stats['n']:,} rows but {stats['nd']:,} distinct packed "
+                f"ids — dedupe the input ids (or disable with "
+                f"check_ids=False only if ids are known unique bigints)"
+            )
     seqs = materialize_sequences(zipped, "__pid", "__z", budget, None, n_buckets)
     out = seqs.select(
         "seq_id",

@@ -570,3 +570,36 @@ def test_hashed_embedding_conversation_retrieval(spark):
     again = {r["doc_id"]: r["emb"]
              for r in hashed_text_embedding(df.repartition(5), dim=64).collect()}
     assert all(again[k] == got[k]["emb"] for k in got)
+
+
+def test_curate_truncate_keeps_recent_turns_with_max_turns(spark):
+    """Regression (review finding): truncate_budget + max_turns used to
+    re-apply 'turn_idx < max_turns' AFTER suffix truncation, dropping
+    the most recent turns or whole conversations."""
+    from kgfarm_spark.operators.conversations import curate_conversations
+
+    rows = [("c1", i, "user" if i % 2 == 0 else "assistant",
+             "w1 w2 w3", _ts(i)) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+    out, manifest = curate_conversations(
+        df, min_turns=2, max_turns=3, truncate_budget=6, pack_budget=None
+    )
+    got = out.collect()
+    assert len(got) == 1  # the conversation survives
+    r = got[0]
+    # the truncated suffix is turns 6-7 (3 tokens each, budget 6)
+    assert r["chat_text"] == "<|user|>w1 w2 w3\n<|assistant|>w1 w2 w3"
+    # fingerprint matches the TRUNCATED text, not the pre-truncation one
+    import hashlib
+    assert r["fingerprint"] == hashlib.md5(r["chat_text"].encode()).hexdigest()
+    # early validation: no Spark jobs before the exclusivity error
+    from kgfarm_spark.operators.wordpiece import wordpiece_train
+
+    corpus = render_chat(df).select(F.col("chat_text").alias("text"))
+    _, vocab = wordpiece_train(corpus, n_merges=5)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate_conversations(df, sft_vocab=vocab, pack_budget=512)

@@ -269,3 +269,14 @@ def test_pack_sft_sequences_roundtrip(spark):
     assert trained_out == trained_in
     # pad never trains
     assert all(not m for t, m in zip(flat_t, flat_m) if t == "[PAD]")
+
+
+def test_pack_sft_rejects_duplicate_ids(spark):
+    from kgfarm_spark.operators.packing import pack_sft_sequences
+
+    df = spark.createDataFrame(
+        [("c1", ["a"], [True]), ("c1", ["b"], [False])],
+        "conv_id string, tokens array<string>, loss_mask array<boolean>",
+    )
+    with pytest.raises(ValueError, match="not collision-free"):
+        pack_sft_sequences(df, budget=4)
