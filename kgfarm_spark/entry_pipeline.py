@@ -27,7 +27,7 @@ from kgfarm_spark.operators.textstats import (
     quality_features,
     token_counts,
 )
-from kgfarm_spark.sources.transcripts import load_table
+from kgfarm_spark.sources.transcripts import load_table, scan_repartition
 
 # ---------------------------------------------------------------------------
 # shared corpora (Spark + SQL twins)
@@ -37,6 +37,14 @@ from kgfarm_spark.sources.transcripts import load_table
 def _dup_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """documents ∪ exact copies (every 7th) ∪ near-dup copies (every 10th,
     3 tokens appended) — deterministic positives for dedup ops."""
+    from kgfarm_spark.sources.transcripts import _cached_plan
+
+    return _cached_plan(
+        spark, (sf, "__dup_corpus"), lambda: _build_dup_corpus(spark, sf)
+    )
+
+
+def _build_dup_corpus(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     exact = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
@@ -45,7 +53,12 @@ def _dup_corpus(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz1 zz2 zz3")).alias("text"),
     )
-    return docs.unionByName(exact).unionByName(near)
+    # the 3-branch union yields 3 unsplittable scan tasks; repartition so
+    # the shingle/md5 pipelines above parallelize (no-op at real scale) —
+    # and, since every consumer subtree now starts at a canonically
+    # identical round-robin exchange, AQE's exchange reuse materializes
+    # the corpus ONCE per query instead of rescanning per consumer
+    return scan_repartition(docs.unionByName(exact).unionByName(near))
 
 
 _DUP_CORPUS_SQL = """
@@ -307,7 +320,12 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = cosine_topk(emb, queries, "vec_id", "embedding", "query_id", k=5)
+    # corpus side: one unsplittable scan task would serialize the whole
+    # |Q|x|C| dot-product pipeline onto one core (queries stay unsplit —
+    # they are broadcast)
+    out = cosine_topk(
+        scan_repartition(emb), queries, "vec_id", "embedding", "query_id", k=5
+    )
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
@@ -369,7 +387,7 @@ FROM ratios
 
 @register("text_quality", _quality_oracle())
 def q_quality(spark: SparkSession, sf: str) -> DataFrame:
-    out = quality_features(load_table(spark, sf, "documents"), "text")
+    out = quality_features(scan_repartition(load_table(spark, sf, "documents")), "text")
     return out.select(
         "doc_id",
         "n_chars_computed",

@@ -311,6 +311,7 @@ def minhash_signatures(
     num_hashes: int = 8,
     portable: bool = True,
     shingles: DataFrame | None = None,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature: component i = min over shingles of
     h(shingle, i). ``portable=True`` uses md5 hex strings (bit-identical
@@ -319,7 +320,9 @@ def minhash_signatures(
     precomputed (id, shingle) frame so callers that also need the
     shingles (the LSH verify stage) can share it — pass a persisted /
     checkpointed frame for a true single tokenize pass (a shared LAZY
-    frame still recomputes per consumer; only storage dedupes work)."""
+    frame still recomputes per consumer; only storage dedupes work).
+    ``with_sizes=True`` adds the per-doc shingle-set size as ``__sz`` in
+    the same aggregate (free: same grouping pass)."""
     s = shingles if shingles is not None else _doc_shingles(df, id_col, text_col, n)
     if portable:
         aggs = [
@@ -331,6 +334,8 @@ def minhash_signatures(
             F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
             for i in range(num_hashes)
         ]
+    if with_sizes:
+        aggs.append(F.count(F.lit(1)).alias("__sz"))
     return s.groupBy(id_col).agg(*aggs)
 
 
@@ -367,12 +372,28 @@ def lsh_candidate_pairs(
     sig = signatures.select(
         id_col, F.explode(F.array(*buckets)).alias("bucket")
     ).distinct()
-    a = sig.select(F.col(id_col).alias("id_a"), "bucket")
-    b_ = sig.select(F.col(id_col).alias("id_b"), "bucket")
+    # in-bucket pair enumeration via ONE groupBy + explode instead of a
+    # bucket self-join: the join consumed the ``sig`` frame twice, so the
+    # entire signature computation (tokenize + k-way min-hash — the
+    # query's hottest aggregate) ran once per join side (optimization
+    # guide §2.4: duplicated subtrees). collect_list is sorted for
+    # determinism; the nested transform emits exactly the (a < b) pairs
+    # the join produced, same skew profile (a hot bucket was one join
+    # task before, one agg row now). Shuffle volume halves: |sig| rows
+    # grouped once vs two join inputs.
+    ids = (
+        sig.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    pair_arr = F.expr(
+        "flatten(transform(__ids, (x, i) -> "
+        "transform(slice(__ids, i + 2, size(__ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
     return (
-        a.join(b_, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        ids.select(F.explode(pair_arr).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .distinct()
     )
 
@@ -386,17 +407,37 @@ def minhash_lsh_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     portable: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH candidates → exact Jaccard verification ≥ threshold.
     Same output contract as jaccard_pairs but candidate-pruned.
     Production use: ``minhash_lsh_dedup_pairs(df, id, text,
-    **LSH_PRODUCTION, threshold=0.7)``."""
+    **LSH_PRODUCTION, threshold=0.7)``.
+
+    ``materialize=True`` (default) computes the per-doc signature AND
+    shingle-set size in ONE aggregate over one tokenize pass and
+    localCheckpoints the result — an O(|docs|) table (44+ bytes/doc ·
+    num_hashes). Before, the k-way min-hash aggregate (this operator's
+    hottest stage — k md5 calls per shingle occurrence) was lazily
+    recomputed by every consumer of the signature/size frames, costing
+    2-3 full corpus tokenize+hash passes per run (optimization guide
+    §3.3: materialize an intermediate that several branches reuse; §2.4
+    duplicated subtrees). The checkpoint lives only inside this plan —
+    every new call recomputes it from the input. Pass ``False`` to keep
+    the fully lazy plan (e.g. when composing into a larger plan that is
+    itself checkpointed)."""
     s = _doc_shingles(df, id_col, text_col, n)
     sigs = minhash_signatures(
-        df, id_col, text_col, n, num_hashes, portable, shingles=s
+        df, id_col, text_col, n, num_hashes, portable, shingles=s,
+        with_sizes=materialize,
     )
+    if materialize:
+        sigs = sigs.localCheckpoint(eager=True)
+        sizes = sigs.select(id_col, "__sz")
+        sigs = sigs.drop("__sz")
+    else:
+        sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     # intersection count: expand each candidate pair by doc A's shingles,
     # then join doc B on the COMPOSITE key (id_b, shingle). Joining on
     # id_b alone and filtering shingle equality afterwards materializes

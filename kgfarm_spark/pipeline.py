@@ -131,9 +131,15 @@ def engineer_features(
     # --- 5. transforms: categorical → scaling → unary (inference.py:218-221)
     fitted: dict = {}
     low_card, high_card = [], []
-    for c in categorical:
-        d = train.agg(F.count_distinct(F.col(c)).alias("d")).first()["d"]
-        (low_card if d <= _OHE_MAX_DISTINCT else high_card).append(c)
+    if categorical:
+        # ONE cardinality probe for every categorical column (was one
+        # Spark job per column — guide §1.2: don't pay a scheduling
+        # round per scalar you could batch)
+        row = train.agg(
+            *[F.count_distinct(F.col(c)).alias(c) for c in categorical]
+        ).first()
+        for c in categorical:
+            (low_card if row[c] <= _OHE_MAX_DISTINCT else high_card).append(c)
 
     if low_card:
         train, cats = one_hot_encode(train, low_card, _OHE_MAX_DISTINCT)
@@ -226,6 +232,16 @@ def run_auto_pipeline(
         entity_df, feature_view, on=on, left_ts=entity_ts, right_ts=view_ts,
         tolerance=f"{freshness_days} DAYS", direction="backward", mode="latest",
     )
+    # materialize the enriched frame ONCE (optimization guide §5:
+    # caching pays when a frame is reused and recomputation is
+    # expensive): everything downstream — the clean-stage mean/mode
+    # fits, both split filters, every feature-selection and transform
+    # fit, the per-stage row counts, and the caller's final action —
+    # re-executed this as-of join's full lazy prefix, ~12 times per
+    # pipeline run. One localCheckpoint truncates the plan; all fit
+    # passes now scan the materialized rows. Per-call only — a new
+    # pipeline run recomputes from its inputs.
+    enriched = enriched.localCheckpoint(eager=True)
     enriched = record("enrich", enriched, freshness_days=freshness_days, on=on)
 
     # 2. clean: null-token normalization + mean/mode fill

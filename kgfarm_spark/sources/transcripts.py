@@ -92,19 +92,94 @@ TABLES = (
 ).split()
 
 
+#: lazy-PLAN memo keyed (session, source key) — caches the immutable
+#: DataFrame *plan object* only, never data: every action on a cached
+#: frame still scans the parquet and recomputes in full. Motivation
+#: (optimization round, guide §1 measurement): building a query is
+#: thousands of py4j round-trips, and ~0.1 s of that per build was
+#: re-running parquet schema inference / re-deriving the transcripts
+#: window plan that is identical within a session. Keyed by the session
+#: object so a new session (or another sf dir) never sees a stale plan.
+_PLAN_CACHE: dict = {}
+
+
+def _cached_plan(spark: SparkSession, key: tuple, build) -> DataFrame:
+    k = (spark, key)
+    df = _PLAN_CACHE.get(k)
+    if df is None:
+        df = build()
+        _PLAN_CACHE[k] = df
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for a driver table. Column pruning + predicate pushdown
     happen automatically once callers select/filter (verified in tests via
     explain: PushedFilters / ReadSchema)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _cached_plan(
+        spark, (sf_dir, name), lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    )
+
+
+def scan_repartition(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Round-robin repartition a SCAN-ONLY frame up to the session's
+    default parallelism when the source yields fewer input splits.
+
+    The driver tables are single-row-group parquet files, so a scan is
+    one unsplittable task and every narrow CPU-heavy pipeline above it
+    (tokenize/md5/cosine) serializes onto one core (optimization guide
+    §2.5 'input skew: one huge unsplittable file … repartition
+    immediately after the read'). The guard makes it scale-adaptive: a
+    real-scale table already provides >= cores splits and the exchange
+    is never added. Deterministic (Spark sorts before round-robin
+    repartition, SPARK-23207).
+
+    Only call this on frames WITHOUT exchanges (plain scan/filter/
+    union/project): reading ``df.rdd`` on an AQE-wrapped plan would
+    materialize its query stages eagerly."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DataFrame twin of TRANSCRIPTS_SQL (kept in exact semantic lockstep)."""
+    """DataFrame twin of TRANSCRIPTS_SQL (kept in exact semantic lockstep).
+
+    The row_number window partitions by the ``conv_id`` EXPRESSION rather
+    than ``user_id``: the two induce identical row groups (user_id 0..n
+    with n ≪ 10^6 here, so ``'conv_' || lpad(user_id, 6, '0')`` is
+    injective — pinned by tests/test_transcripts_derivation.py), and
+    partitioning the derivation on the key every downstream
+    per-conversation window/join needs lets Catalyst's alias-aware
+    partitioning propagation satisfy their ClusteredDistribution without
+    a second Exchange (optimization guide §2.4: two operations keyed the
+    same way share one exchange). One shuffle of the events table instead
+    of two for every transcript window query."""
+    return _cached_plan(
+        spark, (sf_dir, "__transcripts"), lambda: _build_transcripts(spark, sf_dir)
+    )
+
+
+def _build_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        F.concat(F.lit("conv_"), F.lpad(F.col("user_id").cast("string"), 6, "0")).alias("conv_id"),
+    # conv_id must be a projected ATTRIBUTE before the window (not an
+    # inline expression) — the window partitioning survives as
+    # hashpartitioning(conv_id) only when the partition key is the same
+    # attribute downstream operators cluster on.
+    base = ev.select(
+        F.concat(F.lit("conv_"), F.lpad(F.col("user_id").cast("string"), 6, "0")).alias(
+            "conv_id"
+        ),
+        "ts",
+        "event_id",
+        "event_type",
+        "props",
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    return base.select(
+        "conv_id",
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.when(F.col("event_type").isin("click", "view"), "user")
         .when(F.col("event_type") == "purchase", "assistant")
@@ -120,21 +195,55 @@ def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def probes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DataFrame twin of PROBES_SQL."""
+    """DataFrame twin of PROBES_SQL — row-identical to the 3-branch
+    UNION ALL, computed in ONE pass.
+
+    The literal union translation re-derived the transcripts window
+    (scan → shuffle → row_number) once per branch: the physical plan
+    carried three Sort+Window subtrees over the (exchange-reused) events
+    shuffle, tripling the window work and the union's shuffle read in
+    every as-of/flagship query (optimization guide §2.4: remove
+    duplicated subtrees). Here each transcript row conditionally emits
+    its 0-3 probe rows through one array+explode — the three UNION ALL
+    predicates and projections are untouched, so the output multiset is
+    exactly PROBES_SQL's (a row matching several predicates emits one
+    probe per matching branch, as UNION ALL does)."""
+    return _cached_plan(
+        spark, (sf_dir, "__probes"), lambda: _build_probes(spark, sf_dir)
+    )
+
+
+def _build_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts(spark, sf_dir)
-    shifted = t.filter(F.col("turn_idx") % 7 == 3).select(
-        "conv_id",
-        (F.col("ts") + F.expr("INTERVAL 37 MINUTE")).alias("query_ts"),
-        F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string"), F.lit("#shift")).alias("probe_id"),
+    pid = lambda tag: F.concat(  # noqa: E731
+        F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string"), F.lit(tag)
     )
-    tie = t.filter(F.col("turn_idx") % 13 == 2).select(
-        "conv_id",
-        F.col("ts").alias("query_ts"),
-        F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string"), F.lit("#tie")).alias("probe_id"),
+    branches = F.array(
+        F.when(
+            F.col("turn_idx") % 7 == 3,
+            F.struct(
+                F.col("conv_id").alias("conv_id"),
+                (F.col("ts") + F.expr("INTERVAL 37 MINUTE")).alias("query_ts"),
+                pid("#shift").alias("probe_id"),
+            ),
+        ),
+        F.when(
+            F.col("turn_idx") % 13 == 2,
+            F.struct(
+                F.col("conv_id").alias("conv_id"),
+                F.col("ts").alias("query_ts"),
+                pid("#tie").alias("probe_id"),
+            ),
+        ),
+        F.when(
+            F.col("turn_idx") % 31 == 5,
+            F.struct(
+                F.lit("conv_miss").alias("conv_id"),
+                F.col("ts").alias("query_ts"),
+                pid("#miss").alias("probe_id"),
+            ),
+        ),
     )
-    miss = t.filter(F.col("turn_idx") % 31 == 5).select(
-        F.lit("conv_miss").alias("conv_id"),
-        F.col("ts").alias("query_ts"),
-        F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string"), F.lit("#miss")).alias("probe_id"),
-    )
-    return shifted.unionByName(tie).unionByName(miss)
+    return t.select(
+        F.explode(F.filter(branches, lambda p: p.isNotNull())).alias("__p")
+    ).select("__p.conv_id", "__p.query_ts", "__p.probe_id")
