@@ -322,10 +322,14 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     # corpus side: one unsplittable scan task would serialize the whole
     # |Q|x|C| dot-product pipeline onto one core (queries stay unsplit —
-    # they are broadcast)
-    out = cosine_topk(
-        scan_repartition(emb), queries, "vec_id", "embedding", "query_id", k=5
+    # they are broadcast); the repartitioned plan is memoized like the
+    # scans (the .rdd partition probe costs a planning pass per build)
+    from kgfarm_spark.sources.transcripts import _cached_plan
+
+    corpus = _cached_plan(
+        spark, (sf, "__emb_repart"), lambda: scan_repartition(emb)
     )
+    out = cosine_topk(corpus, queries, "vec_id", "embedding", "query_id", k=5)
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
@@ -387,7 +391,14 @@ FROM ratios
 
 @register("text_quality", _quality_oracle())
 def q_quality(spark: SparkSession, sf: str) -> DataFrame:
-    out = quality_features(scan_repartition(load_table(spark, sf, "documents")), "text")
+    from kgfarm_spark.sources.transcripts import _cached_plan
+
+    docs = _cached_plan(
+        spark,
+        (sf, "__docs_repart"),
+        lambda: scan_repartition(load_table(spark, sf, "documents")),
+    )
+    out = quality_features(docs, "text")
     return out.select(
         "doc_id",
         "n_chars_computed",

@@ -151,24 +151,30 @@ def _interval_join(left, right, keys, left_ts, right_ts, tolerance, right_cols):
 
 
 def _union_window(left, right, keys, left_ts, right_ts, direction, tolerance, right_cols, tiebreak):
-    payload = F.struct(
-        F.col(right_ts).alias("matched_ts"), *[F.col(c) for c in right_cols]
+    # selectExpr: the whole projection crosses py4j once and parses
+    # JVM-side — the per-column Column form cost hundreds of round-trips
+    # per query construction (guide §1: the profile showed construction,
+    # not executors). Identical Catalyst expressions.
+    ltypes = {c: left.schema[c].dataType.simpleString() for c in left.columns}
+    payload_sql = "struct(`" + right_ts + "` AS matched_ts" + "".join(
+        f", `{c}`" for c in right_cols
+    ) + ")"
+    r_side = right.selectExpr(
+        *[f"`{k}`" for k in keys],
+        f"`{right_ts}` AS __ts",
+        "0 AS __side",
+        (f"CAST(`{tiebreak}` AS BIGINT) AS __tb" if tiebreak else "CAST(0 AS BIGINT) AS __tb"),
+        f"{payload_sql} AS __payload",
+        *[f"CAST(NULL AS {ltypes[c]}) AS `__l_{c}`" for c in left.columns],
     )
-    r_side = right.select(
-        *keys,
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
-        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tb"),
-        payload.alias("__payload"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left.columns],
-    )
-    l_side = left.select(
-        *keys,
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        F.lit(None).cast("long").alias("__tb"),
-        F.lit(None).cast(r_side.schema["__payload"].dataType).alias("__payload"),
-        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    ptype = r_side.schema["__payload"].dataType.simpleString()
+    l_side = left.selectExpr(
+        *[f"`{k}`" for k in keys],
+        f"`{left_ts}` AS __ts",
+        "1 AS __side",
+        "CAST(NULL AS BIGINT) AS __tb",
+        f"CAST(NULL AS {ptype}) AS __payload",
+        *[f"`{c}` AS `__l_{c}`" for c in left.columns],
     )
     u = r_side.unionByName(l_side)
 
@@ -195,19 +201,19 @@ def _union_window(left, right, keys, left_ts, right_ts, direction, tolerance, ri
     carried = u.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
     out = carried.filter(F.col("__side") == 1)
 
-    match = F.col("__match")
+    match = "__match"
     if tolerance is not None:
-        tol = F.expr(_tolerance_expr(tolerance))
+        tol = _tolerance_expr(tolerance)
         if direction == "backward":
-            in_tol = match["matched_ts"] >= F.col("__ts") - tol
+            in_tol = f"__match.matched_ts >= __ts - {tol}"
         else:
-            in_tol = match["matched_ts"] <= F.col("__ts") + tol
-        match = F.when(in_tol, match)
+            in_tol = f"__match.matched_ts <= __ts + {tol}"
+        match = f"(CASE WHEN {in_tol} THEN __match END)"
 
-    return out.select(
-        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
-        match["matched_ts"].alias("matched_ts"),
-        *[match[c].alias(c) for c in right_cols],
+    return out.selectExpr(
+        *[f"`__l_{c}` AS `{c}`" for c in left.columns],
+        f"{match}.matched_ts AS matched_ts",
+        *[f"{match}.`{c}` AS `{c}`" for c in right_cols],
     )
 
 

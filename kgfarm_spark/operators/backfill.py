@@ -73,70 +73,69 @@ def _union_frame(
     """Union probes into the transcript stream on the (key, ts) axis.
     Turns sort before probes at equal ts (__side 0 < 1 → inclusive
     backward semantics); ``text`` is projected to its length BEFORE the
-    shuffle."""
-    turn_side = transcripts.select(
-        F.col(key),
-        F.col(ts).alias("__ts"),
-        F.lit(0).alias("__side"),  # turns sort before probes at equal ts
-        F.col("turn_idx").cast("long").alias("__tb"),
-        F.lit(True).alias("__is_turn"),
-        F.length("text").cast("long").alias("__text_len"),
-        F.col("tool").isNotNull().alias("__has_tool"),
-        (F.col("role") == "user").alias("__is_user"),
-        (F.col("role") == "assistant").alias("__is_assistant"),
-        *[F.lit(None).cast(probes.schema[c].dataType).alias(f"__p_{c}") for c in probe_cols],
+    shuffle.
+
+    Built with ``selectExpr`` (whole projection parsed JVM-side in one
+    round-trip): the per-column ``F.*`` form cost a few hundred py4j
+    round-trips per construction, a measurable slice of the per-query
+    wall at interactive scale (guide §1: measure — construction showed
+    up in the profile, not the executors). The parsed expressions are
+    identical Catalyst nodes."""
+    ptypes = {c: probes.schema[c].dataType.simpleString() for c in probe_cols}
+    turn_side = transcripts.selectExpr(
+        f"`{key}`",
+        f"`{ts}` AS __ts",
+        "0 AS __side",  # turns sort before probes at equal ts
+        "CAST(turn_idx AS BIGINT) AS __tb",
+        "true AS __is_turn",
+        "CAST(length(text) AS BIGINT) AS __text_len",
+        "(tool IS NOT NULL) AS __has_tool",
+        "(role = 'user') AS __is_user",
+        "(role = 'assistant') AS __is_assistant",
+        *[f"CAST(NULL AS {ptypes[c]}) AS `__p_{c}`" for c in probe_cols],
     )
-    probe_side = probes.select(
-        F.col(key),
-        F.col(probe_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        F.lit(None).cast("long").alias("__tb"),
-        F.lit(False).alias("__is_turn"),
-        F.lit(None).cast("long").alias("__text_len"),
-        F.lit(None).cast("boolean").alias("__has_tool"),
-        F.lit(None).cast("boolean").alias("__is_user"),
-        F.lit(None).cast("boolean").alias("__is_assistant"),
-        *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
+    probe_side = probes.selectExpr(
+        f"`{key}`",
+        f"`{probe_ts}` AS __ts",
+        "1 AS __side",
+        "CAST(NULL AS BIGINT) AS __tb",
+        "false AS __is_turn",
+        "CAST(NULL AS BIGINT) AS __text_len",
+        "CAST(NULL AS BOOLEAN) AS __has_tool",
+        "CAST(NULL AS BOOLEAN) AS __is_user",
+        "CAST(NULL AS BOOLEAN) AS __is_assistant",
+        *[f"`{c}` AS `__p_{c}`" for c in probe_cols],
     )
     return turn_side.unionByName(probe_side)
 
 
 def _fused_state(u: DataFrame, key: str) -> DataFrame:
     """Cumulative feature state over the unioned stream: ONE window
-    partitioned by ``key`` ordered (ts, side, turn)."""
-    cum = (
-        Window.partitionBy(key)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    is_turn1 = F.when(F.col("__is_turn"), F.lit(1)).otherwise(F.lit(0)).cast("long")
-    turn_len = F.when(F.col("__is_turn"), F.col("__text_len"))
+    partitioned by ``key`` ordered (ts, side, turn).
 
-    # ONE select so Catalyst emits a single Window operator for all eight
-    # expressions (chained withColumn + scalar wrappers like coalesce
-    # interleave Projects between Window nodes, which blocks the
-    # CollapseWindow rule → 8 sequential window passes instead of 1)
-    return u.select(
+    ONE selectExpr so Catalyst emits a single Window operator for all
+    eight expressions (chained withColumn + scalar wrappers like
+    coalesce interleave Projects between Window nodes, which blocks the
+    CollapseWindow rule → 8 sequential window passes instead of 1), and
+    the whole projection crosses py4j once (construction cost — see
+    ``_union_frame``)."""
+    ww = (
+        f"OVER (PARTITION BY `{key}` ORDER BY __ts ASC, __side ASC, __tb ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return u.selectExpr(
         "*",
-        F.last(F.when(F.col("__is_turn"), F.col("__ts")), ignorenulls=True)
-        .over(cum)
-        .alias("matched_ts"),
-        F.sum(is_turn1).over(cum).alias("turns_so_far"),
-        F.coalesce(
-            F.sum(F.when(F.col("__has_tool"), 1).otherwise(0).cast("long")).over(cum),
-            F.lit(0),
-        ).alias("tool_calls_so_far"),
-        F.sum(turn_len).over(cum).alias("text_len_sum"),
-        F.avg(turn_len).over(cum).alias("text_len_avg"),
-        F.max(turn_len).over(cum).alias("text_len_max"),
-        F.coalesce(
-            F.sum(F.when(F.col("__is_user"), 1).otherwise(0).cast("long")).over(cum),
-            F.lit(0),
-        ).alias("user_turns_so_far"),
-        F.coalesce(
-            F.sum(F.when(F.col("__is_assistant"), 1).otherwise(0).cast("long")).over(cum),
-            F.lit(0),
-        ).alias("assistant_turns_so_far"),
+        f"last(CASE WHEN __is_turn THEN __ts END, true) {ww} AS matched_ts",
+        f"sum(CAST(CASE WHEN __is_turn THEN 1 ELSE 0 END AS BIGINT)) {ww} AS turns_so_far",
+        f"coalesce(sum(CAST(CASE WHEN __has_tool THEN 1 ELSE 0 END AS BIGINT)) {ww}, 0)"
+        " AS tool_calls_so_far",
+        f"sum(CASE WHEN __is_turn THEN __text_len END) {ww} AS text_len_sum",
+        f"avg(CASE WHEN __is_turn THEN __text_len END) {ww} AS text_len_avg",
+        f"max(CASE WHEN __is_turn THEN __text_len END) {ww} AS text_len_max",
+        f"coalesce(sum(CAST(CASE WHEN __is_user THEN 1 ELSE 0 END AS BIGINT)) {ww}, 0)"
+        " AS user_turns_so_far",
+        f"coalesce(sum(CAST(CASE WHEN __is_assistant THEN 1 ELSE 0 END AS BIGINT)) {ww}, 0)"
+        " AS assistant_turns_so_far",
     )
 
 
@@ -453,15 +452,16 @@ def backfill_asof_fused(
 
     # tolerance / no-match: null out the feature block exactly like a
     # missed as-of join (matched_ts outside [probe_ts - tol, probe_ts])
-    valid = F.col("matched_ts").isNotNull()
     tol_expr = _tolerance_expr(tolerance)
+    valid = "(matched_ts IS NOT NULL)"
     if tol_expr is not None:
-        valid = valid & (F.col("matched_ts") >= F.col("__ts") - F.expr(tol_expr))
+        valid = f"(matched_ts IS NOT NULL AND matched_ts >= __ts - {tol_expr})"
 
-    sel = [F.col(key)] + [F.col(f"__p_{c}").alias(c) for c in probe_cols]
-    for c in _FEATURES:
-        sel.append(F.when(valid, F.col(c)).alias(c))
-    out = out.select(*sel)
+    out = out.selectExpr(
+        f"`{key}`",
+        *[f"`__p_{c}` AS `{c}`" for c in probe_cols],
+        *[f"CASE WHEN {valid} THEN `{c}` END AS `{c}`" for c in _FEATURES],
+    )
     return out.withColumn(
         "tool_call_rate", F.col("tool_calls_so_far") / F.col("turns_so_far")
     )

@@ -371,19 +371,20 @@ def lsh_candidate_pairs(
             buckets.append(F.concat_ws("|", F.lit(str(b)), *[c.cast("string") for c in raw]))
     sig = signatures.select(
         id_col, F.explode(F.array(*buckets)).alias("bucket")
-    ).distinct()
+    )
     # in-bucket pair enumeration via ONE groupBy + explode instead of a
     # bucket self-join: the join consumed the ``sig`` frame twice, so the
     # entire signature computation (tokenize + k-way min-hash — the
     # query's hottest aggregate) ran once per join side (optimization
-    # guide §2.4: duplicated subtrees). collect_list is sorted for
-    # determinism; the nested transform emits exactly the (a < b) pairs
-    # the join produced, same skew profile (a hot bucket was one join
-    # task before, one agg row now). Shuffle volume halves: |sig| rows
-    # grouped once vs two join inputs.
+    # guide §2.4: duplicated subtrees). collect_set subsumes the old
+    # per-(id, bucket) DISTINCT (one shuffle instead of two); sort_array
+    # makes it deterministic; the nested transform emits exactly the
+    # (a < b) pairs the join produced, same skew profile (a hot bucket
+    # was one join task before, one agg row now). Shuffle volume halves:
+    # |sig| rows grouped once vs two join inputs.
     ids = (
         sig.groupBy("bucket")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"))
         .filter(F.size("__ids") >= 2)
     )
     pair_arr = F.expr(
