@@ -119,14 +119,21 @@ def mutual_information_binned(
     """Binned MI estimate (M15 scale path — sklearn mutual_info_classif is
     a kNN estimator, not distributable exactly; SURVEY §7 #2): equi-width
     bin each feature, then MI from the (bin, class) contingency counts.
-    One min/max pass + one groupBy per feature."""
+    One min/max pass + ONE melted contingency pass for ALL features (was
+    one groupBy job per feature — guide §1.2: batch scalar jobs; the
+    per-feature (bin, class) counts are identical, each feature's rows
+    are just tagged with its name before one grouped count)."""
+    from collections import defaultdict
+
     mm = df.agg(
         *[F.min(c).alias(f"{c}__mn") for c in feature_cols],
         *[F.max(c).alias(f"{c}__mx") for c in feature_cols],
         F.count(F.lit(1)).alias("__n"),
     ).first()
     n = mm["__n"]
-    scores = {}
+    scores: dict = {}
+    binnable = []
+    bin_structs = []
     for c in feature_cols:
         mn, mx = mm[f"{c}__mn"], mm[f"{c}__mx"]
         if mn is None or mx == mn:
@@ -136,25 +143,39 @@ def mutual_information_binned(
         bin_col = F.least(
             F.floor((F.col(c) - F.lit(mn)) / F.lit(width)), F.lit(bins - 1)
         )
+        binnable.append(c)
+        # NULL feature value -> NULL bin (the literals are non-null), so
+        # the post-explode bin filter reproduces the old per-feature
+        # isNotNull row filter exactly
+        bin_structs.append(
+            F.struct(F.lit(c).alias("__c"), bin_col.alias("__bin"))
+        )
+    if binnable:
         counts = (
-            df.filter(F.col(c).isNotNull())
-            .groupBy(bin_col.alias("__bin"), F.col(target).alias("__y"))
+            df.select(
+                F.explode(F.array(*bin_structs)).alias("__cb"),
+                F.col(target).alias("__y"),
+            )
+            .filter(F.col("__cb.__bin").isNotNull())
+            .groupBy(F.col("__cb.__c").alias("__c"), F.col("__cb.__bin").alias("__bin"), "__y")
             .count()
             .collect()
         )
-        from collections import defaultdict
-
-        pxy = {(r["__bin"], r["__y"]): r["count"] / n for r in counts}
-        px, py = defaultdict(float), defaultdict(float)
-        for (bx, y), p in pxy.items():
-            px[bx] += p
-            py[y] += p
-        mi = sum(
-            p * math.log(p / (px[bx] * py[y]))
-            for (bx, y), p in pxy.items()
-            if p > 0
-        )
-        scores[c] = max(mi, 0.0)
+        by_feature: dict = defaultdict(list)
+        for r in counts:
+            by_feature[r["__c"]].append(r)
+        for c in binnable:
+            pxy = {(r["__bin"], r["__y"]): r["count"] / n for r in by_feature[c]}
+            px, py = defaultdict(float), defaultdict(float)
+            for (bx, y), p in pxy.items():
+                px[bx] += p
+                py[y] += p
+            mi = sum(
+                p * math.log(p / (px[bx] * py[y]))
+                for (bx, y), p in pxy.items()
+                if p > 0
+            )
+            scores[c] = max(mi, 0.0)
     return scores
 
 

@@ -475,22 +475,57 @@ def one_hot_encode(
     (handle_unknown='ignore': unseen values → all zeros, apis.py:340)."""
     fitted = categories is not None
     cats = dict(categories) if categories else {}  # never mutate the caller's
+    todo = [] if fitted else [c for c in cols if c not in cats]
+    # a column absent from a PASSED fitted dict was over-cardinality at
+    # fit time and stays raw — re-fitting here would fit on the APPLY
+    # frame (test-data leakage + train/test schema divergence; review
+    # finding)
+    if todo:
+        # batched fit: ONE cardinality probe for every column, then ONE
+        # melted distinct-collect per dtype group for the passing ones
+        # (was a count job + a collect job per column — guide §1.2).
+        # count_distinct excludes NULLs like the old per-column filter;
+        # collected values are sorted ascending in Python, which matches
+        # the old orderBy for every orderable Spark type (UTF-8 byte
+        # order is code-point order).
+        row = df.agg(
+            *[F.count_distinct(F.col(c)).alias(c) for c in todo]
+        ).first()
+        ok = [c for c in todo if row[c] <= max_distinct]
+        by_dtype: dict[str, list[str]] = {}
+        dts = dict(df.dtypes)
+        for c in ok:
+            by_dtype.setdefault(dts[c], []).append(c)
+        for grp in by_dtype.values():
+            pairs = (
+                df.select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(F.lit(c).alias("__c"), F.col(c).alias("__v"))
+                                for c in grp
+                            ]
+                        )
+                    ).alias("__p")
+                )
+                .select("__p.__c", "__p.__v")
+                .filter(F.col("__v").isNotNull())
+                .distinct()
+                .collect()
+            )
+            def _skey(v):
+                # Spark's orderBy puts float NaN last; Python sorted()
+                # with NaN is undefined — pin the same order
+                return (1, 0.0) if isinstance(v, float) and v != v else (0, v)
+
+            for c in grp:
+                cats[c] = sorted(
+                    (r["__v"] for r in pairs if r["__c"] == c), key=_skey
+                )
     out = df
     for c in cols:
         if c not in cats:
-            if fitted:
-                # apply mode: a column absent from the fitted dict was
-                # over-cardinality at fit time and kept raw — re-fitting
-                # here would fit on the APPLY frame (test-data leakage +
-                # train/test schema divergence; review finding)
-                continue
-            distinct_df = df.select(c).filter(F.col(c).isNotNull()).distinct()
-            # count-first guard: never collect a high-cardinality column's
-            # dictionary just to discover it fails the ≤max_distinct gate
-            if distinct_df.limit(max_distinct + 1).count() > max_distinct:
-                continue
-            vals = [r[c] for r in distinct_df.orderBy(c).collect()]
-            cats[c] = vals
+            continue
         for v in cats[c]:
             # null/unseen -> 0 (not NULL): pd.get_dummies semantics and
             # exactly what the DuckDB oracle's CASE already emits

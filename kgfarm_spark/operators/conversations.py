@@ -605,6 +605,14 @@ def preference_pairs(
         # a NULL completion is not a candidate: it must neither inflate
         # n_candidates nor (under score_col) be electable as chosen
         & F.col("__response").isNotNull()
+        # under score_col an UNSCORED response is not a candidate either:
+        # struct(NULL, text) sorts lowest, so it was silently elected as
+        # `rejected` with a NULL rejected_score (r06 advisor finding)
+        & (
+            F.col("__score").isNotNull()
+            if score_col is not None
+            else F.lit(True)
+        )
     )
     group_cols = (["context_fp"] if context_k > 0 else []) + ["prompt"]
     # dedupe to DISTINCT responses first (per-response best score), so

@@ -409,6 +409,7 @@ def minhash_lsh_dedup_pairs(
     threshold: float = 0.5,
     portable: bool = True,
     materialize: bool = True,
+    verify_pushdown: bool = False,
 ) -> DataFrame:
     """LSH candidates → exact Jaccard verification ≥ threshold.
     Same output contract as jaccard_pairs but candidate-pruned.
@@ -426,7 +427,20 @@ def minhash_lsh_dedup_pairs(
     duplicated subtrees). The checkpoint lives only inside this plan —
     every new call recomputes it from the input. Pass ``False`` to keep
     the fully lazy plan (e.g. when composing into a larger plan that is
-    itself checkpointed)."""
+    itself checkpointed).
+
+    ``verify_pushdown=True`` semi-join-reduces the corpus to candidate
+    doc ids BEFORE the verify-side re-shingling (guide §3.2): the two
+    verify passes then tokenize only dup-candidate docs instead of the
+    full corpus. Exactness-preserving (the verify joins already restrict
+    to candidate ids — the filter just lands below the tokenizer). Turn
+    it on when corpus text bytes dominate (large docs / low dup rate):
+    it trades two corpus-wide tokenize passes for two broadcasts of the
+    candidate id set plus recomputing the banding aggregate per
+    consumer. At sub-second corpus sizes the extra stage waves cost more
+    than the tokenize they save (measured at sf0.1: +0.7 s), hence the
+    default off; at 100 TB with KB-sized docs the pushdown is the right
+    side of the trade."""
     s = _doc_shingles(df, id_col, text_col, n)
     sigs = minhash_signatures(
         df, id_col, text_col, n, num_hashes, portable, shingles=s,
@@ -439,6 +453,22 @@ def minhash_lsh_dedup_pairs(
     else:
         sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    if verify_pushdown:
+        # NOTE: cand itself is NOT checkpointed — its consumers (two
+        # semi-filters + the verify join) each recompute only the
+        # banding aggregate over the already-materialized signature
+        # table, which measured cheaper than one more eager checkpoint
+        # job's stage barriers.
+        ids_a = cand.select(F.col("id_a").alias(id_col)).distinct()
+        ids_b = cand.select(F.col("id_b").alias(id_col)).distinct()
+        s_a = _doc_shingles(
+            df.join(F.broadcast(ids_a), id_col, "left_semi"), id_col, text_col, n
+        )
+        s_b = _doc_shingles(
+            df.join(F.broadcast(ids_b), id_col, "left_semi"), id_col, text_col, n
+        )
+    else:
+        s_a = s_b = s
     # intersection count: expand each candidate pair by doc A's shingles,
     # then join doc B on the COMPOSITE key (id_b, shingle). Joining on
     # id_b alone and filtering shingle equality afterwards materializes
@@ -447,8 +477,8 @@ def minhash_lsh_dedup_pairs(
     # the intersection rows (~|A∩B|), a ~30x cut in the verify stage's
     # join output at any scale.
     inter = (
-        cand.join(s.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
-        .join(s.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
+        cand.join(s_a.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(s_b.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )

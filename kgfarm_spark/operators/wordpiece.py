@@ -335,7 +335,13 @@ def py_wordpiece_apply(
         piece = None
         while j > i:
             cand = word[i:j] if i == 0 else "##" + word[i:j]
-            if cand in vocab:
+            # a word-initial RAW prefix must not match a '##'-prefixed
+            # CONTINUATION entry (a literal '##ab' word vs the
+            # continuation piece '##ab'): the '##' convention encodes
+            # position, and a false match desyncs every downstream
+            # offset derivation that subtracts the marker length
+            # (r06 advisor finding)
+            if cand in vocab and not (i == 0 and cand.startswith("##")):
                 piece = cand
                 break
             j -= 1

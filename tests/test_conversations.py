@@ -603,3 +603,44 @@ def test_curate_truncate_keeps_recent_turns_with_max_turns(spark):
 
     with _pytest.raises(ValueError):
         curate_conversations(df, sft_vocab=vocab, pack_budget=512)
+
+
+def test_preference_pairs_null_score_not_elected(spark):
+    """r06 advisor finding: under score_col, an UNSCORED (NULL-reward)
+    response must not be a candidate — it used to sort lowest and get
+    silently elected as `rejected` with a NULL rejected_score."""
+    from kgfarm_spark.operators.conversations import preference_pairs
+
+    rows = [
+        ("c1", 0, "user", "q", 0.9, _ts(0)),
+        ("c1", 1, "assistant", "scored-hi", 0.9, _ts(1)),
+        ("c2", 0, "user", "q", 0.2, _ts(0)),
+        ("c2", 1, "assistant", "scored-lo", 0.2, _ts(1)),
+        ("c3", 0, "user", "q", None, _ts(0)),
+        ("c3", 1, "assistant", "unscored", None, _ts(1)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "reward double, ts timestamp",
+    )
+    out = preference_pairs(df, score_col="reward").collect()
+    assert len(out) == 1
+    p = out[0]
+    assert p["chosen"] == "scored-hi" and p["rejected"] == "scored-lo"
+    assert p["n_candidates"] == 2  # the unscored response is not counted
+    assert p["rejected_score"] == 0.2
+
+    # all-NULL-score prompts emit no pair at all (not a NULL-score pair)
+    rows_all_null = [
+        ("c1", 0, "user", "q", None, _ts(0)),
+        ("c1", 1, "assistant", "a", None, _ts(1)),
+        ("c2", 0, "user", "q", None, _ts(0)),
+        ("c2", 1, "assistant", "b", None, _ts(1)),
+    ]
+    df2 = spark.createDataFrame(
+        rows_all_null,
+        "conv_id string, turn_idx int, role string, text string, "
+        "reward double, ts timestamp",
+    )
+    assert preference_pairs(df2, score_col="reward").count() == 0

@@ -3622,3 +3622,28 @@ def test_ngram_novelty(spark):
     assert got[3]["novelty"] == 1.0
     assert got[4]["n_shingles"] == 0 and got[4]["novelty"] is None
     assert got[5]["novelty"] is None
+
+
+def test_minhash_paths_identical(spark):
+    """r07 optimization guards: the single-pass candidate enumeration +
+    signature materialization + optional verify pushdown must all yield
+    the exact pair set of the fully lazy plan."""
+    from kgfarm_spark.operators.dedup import minhash_lsh_dedup_pairs
+
+    rows = [(i, f"w{i%7} w{(i+1)%7} w{(i+2)%7} w{(i+3)%7} w{(i+4)%5} tail{i%3}")
+            for i in range(60)]
+    rows += [(1000 + i, rows[i][1]) for i in range(0, 60, 5)]  # exact dups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {
+        tuple(r)
+        for r in minhash_lsh_dedup_pairs(
+            df, "doc_id", "text", materialize=False
+        ).collect()
+    }
+    assert base  # planted dups must surface
+    for kw in ({"materialize": True}, {"materialize": True, "verify_pushdown": True}):
+        got = {
+            tuple(r)
+            for r in minhash_lsh_dedup_pairs(df, "doc_id", "text", **kw).collect()
+        }
+        assert got == base, kw

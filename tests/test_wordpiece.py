@@ -186,3 +186,30 @@ def test_sft_token_masks(spark):
     # a conversation with no train_role turns masks nothing
     assert out["c2"]["n_train_tokens"] == 0
     assert not any(out["c2"]["loss_mask"])
+
+
+def test_word_initial_raw_prefix_never_matches_continuation():
+    """r06 advisor finding: a literal '##ab' word must not max-munch
+    into the CONTINUATION entry '##ab' at position 0 — the '##' marker
+    encodes position, and a false match desyncs the offset kernel
+    (which subtracts the marker length from every '##' piece)."""
+    from kgfarm_spark.operators.wordpiece import (
+        _word_offset_pieces,
+        py_wordpiece_apply,
+    )
+
+    vocab = {"##ab", "a", "##b", "#", "###"}
+    # '##ab' the literal word: the raw prefix '##ab' matches the
+    # continuation entry textually but must be rejected at i==0; the
+    # cover is then '#' (raw) + '###' (continuation of '#') + '##ab'
+    # (continuation of 'ab' — legitimate at i==2)
+    assert py_wordpiece_apply("##ab", vocab) == ["#", "###", "##ab"]
+    pieces, starts, ends = _word_offset_pieces("##ab", vocab, "[UNK]", 200)
+    # offsets must re-cover the word surface exactly, whatever the split
+    w = "##ab"
+    assert ends[-1] == len(w)
+    assert all(e - s >= 1 for s, e in zip(starts, ends))
+    # and a vocab where the only cover needs the continuation match at
+    # i==0 now yields UNK instead of desynced offsets
+    pieces2 = py_wordpiece_apply("##ab", {"##ab"}, "[UNK]")
+    assert pieces2 == ["[UNK]"]
