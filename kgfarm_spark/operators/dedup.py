@@ -447,7 +447,12 @@ def minhash_lsh_dedup_pairs(
         with_sizes=materialize,
     )
     if materialize:
-        sigs = sigs.localCheckpoint(eager=True)
+        # eager=False: the checkpoint materializes inside the query's
+        # first job instead of a separate synchronous build-time job
+        # (one fewer job round-trip); BlockManager's per-partition block
+        # locks guarantee each partition is computed once even when AQE
+        # materializes consumer stages concurrently
+        sigs = sigs.localCheckpoint(eager=False)
         sizes = sigs.select(id_col, "__sz")
         sigs = sigs.drop("__sz")
     else:

@@ -240,8 +240,10 @@ def run_auto_pipeline(
     # re-executed this as-of join's full lazy prefix, ~12 times per
     # pipeline run. One localCheckpoint truncates the plan; all fit
     # passes now scan the materialized rows. Per-call only — a new
-    # pipeline run recomputes from its inputs.
-    enriched = enriched.localCheckpoint(eager=True)
+    # pipeline run recomputes from its inputs. eager=False: the
+    # stage-count action right below materializes it inside its own job
+    # (no separate synchronous checkpoint job).
+    enriched = enriched.localCheckpoint(eager=False)
     enriched = record("enrich", enriched, freshness_days=freshness_days, on=on)
 
     # 2. clean: null-token normalization + mean/mode fill
