@@ -58,7 +58,7 @@ def _build_dup_corpus(spark: SparkSession, sf: str) -> DataFrame:
     # and, since every consumer subtree now starts at a canonically
     # identical round-robin exchange, AQE's exchange reuse materializes
     # the corpus ONCE per query instead of rescanning per consumer
-    return scan_repartition(docs.unionByName(exact).unionByName(near))
+    return scan_repartition(docs.unionByName(exact).unionByName(near), key="doc_id")
 
 
 _DUP_CORPUS_SQL = """
@@ -327,7 +327,7 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     from kgfarm_spark.sources.transcripts import _cached_plan
 
     corpus = _cached_plan(
-        spark, (sf, "__emb_repart"), lambda: scan_repartition(emb)
+        spark, (sf, "__emb_repart"), lambda: scan_repartition(emb, key="vec_id")
     )
     out = cosine_topk(corpus, queries, "vec_id", "embedding", "query_id", k=5)
     return out.withColumn("cosine", F.round("cosine", 6))
@@ -396,7 +396,7 @@ def q_quality(spark: SparkSession, sf: str) -> DataFrame:
     docs = _cached_plan(
         spark,
         (sf, "__docs_repart"),
-        lambda: scan_repartition(load_table(spark, sf, "documents")),
+        lambda: scan_repartition(load_table(spark, sf, "documents"), key="doc_id"),
     )
     out = quality_features(docs, "text")
     return out.select(

@@ -121,9 +121,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
-def scan_repartition(df: DataFrame, multiplier: int = 1) -> DataFrame:
-    """Round-robin repartition a SCAN-ONLY frame up to the session's
-    default parallelism when the source yields fewer input splits.
+def scan_repartition(
+    df: DataFrame, key: str | None = None, multiplier: int = 1
+) -> DataFrame:
+    """Repartition a SCAN-ONLY frame up to the session's default
+    parallelism when the source yields fewer input splits.
 
     The driver tables are single-row-group parquet files, so a scan is
     one unsplittable task and every narrow CPU-heavy pipeline above it
@@ -131,8 +133,16 @@ def scan_repartition(df: DataFrame, multiplier: int = 1) -> DataFrame:
     §2.5 'input skew: one huge unsplittable file … repartition
     immediately after the read'). The guard makes it scale-adaptive: a
     real-scale table already provides >= cores splits and the exchange
-    is never added. Deterministic (Spark sorts before round-robin
-    repartition, SPARK-23207).
+    is never added.
+
+    Pass a high-cardinality ``key`` (the id column) to HASH-partition:
+    hash partitioning is deterministic, so when several subtrees of one
+    query start at this exchange, ReuseExchange materializes it ONCE —
+    round-robin exchanges canonicalize as order-dependent and are
+    re-executed per consumer (measured: the dedup corpus shuffled twice
+    under round-robin, once under hash). Without ``key`` falls back to
+    round-robin (still deterministic under retry via Spark's
+    sort-before-repartition, SPARK-23207, but not reusable).
 
     Only call this on frames WITHOUT exchanges (plain scan/filter/
     union/project): reading ``df.rdd`` on an AQE-wrapped plan would
@@ -141,6 +151,8 @@ def scan_repartition(df: DataFrame, multiplier: int = 1) -> DataFrame:
     target = sc.defaultParallelism * multiplier
     if df.rdd.getNumPartitions() >= target:
         return df
+    if key is not None:
+        return df.repartition(target, F.col(key))
     return df.repartition(target)
 
 
