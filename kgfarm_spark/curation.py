@@ -321,6 +321,13 @@ def curate(
     if neardup:
         if neardup == "semantic":
             kw = {"threshold": 0.95, **(neardup_kw or {})}
+        elif neardup == "lsh":
+            # curate() is corpus-scale by contract → verify-side
+            # candidate pushdown on by default here (measured at 5M
+            # docs: 181 → 140 s; it only loses on sub-second corpora,
+            # where curate() is the wrong entry point anyway)
+            kw = {"n": 3, "threshold": 0.7, "verify_pushdown": True,
+                  **(neardup_kw or {})}
         else:
             kw = {"n": 3, "threshold": 0.7, **(neardup_kw or {})}
         params = {k: str(v) for k, v in kw.items()}

@@ -491,7 +491,11 @@ def compact_curated_sink(
     if "__len" in docs.columns:
         raise ValueError("column name __len collides with the compactor's "
                          "working column; rename it first")
-    kw = {"n": 3, "threshold": 0.7, **(neardup_kw or {})}
+    # accumulated-sink compaction is corpus-scale by contract → verify
+    # pushdown on by default (see minhash_lsh_dedup_pairs; 5M-doc
+    # measurement in OPTIMIZATION_r07.md)
+    kw = {"n": 3, "threshold": 0.7, "verify_pushdown": True,
+          **(neardup_kw or {})}
     t0 = time.monotonic()
     n_in = docs.count()
     pairs = minhash_lsh_dedup_pairs(docs, id_col, text_col, **kw)
