@@ -114,19 +114,23 @@ def _partial_top_idx(sims, ids, k: int):
 
 
 def norm_expr(col: str) -> Column:
-    """L2 norm of an array column — sequential double sum (oracle-exact)."""
-    v = F.col(col).cast("array<double>")
-    return F.sqrt(
-        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    """L2 norm of an array column — sequential double sum (oracle-exact).
+    Built from ONE SQL parse (the Python-lambda HOF form cost dozens of
+    py4j round-trips per expression — construction showed up in the
+    query-build profile); the parsed tree is the identical Catalyst
+    aggregate/transform chain."""
+    return F.expr(
+        f"sqrt(aggregate(transform(CAST(`{col}` AS array<double>), "
+        f"x -> x * x), CAST(0.0 AS double), (acc, x) -> acc + x))"
     )
 
 
 def dot_expr(a: str, b: str) -> Column:
     """Dot product of two array columns — sequential double sum."""
-    va = F.col(a).cast("array<double>")
-    vb = F.col(b).cast("array<double>")
-    return F.aggregate(
-        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    return F.expr(
+        f"aggregate(zip_with(CAST(`{a}` AS array<double>), "
+        f"CAST(`{b}` AS array<double>), (x, y) -> x * y), "
+        f"CAST(0.0 AS double), (acc, x) -> acc + x)"
     )
 
 
